@@ -1,23 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every declared query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Each query is fully materialized through the `noop` sink (count()
+  * can elide column decode on scan-shaped plans; noop cannot). One
+  * untimed warm-up action runs first so the first measured query does
+  * not absorb session/codegen bring-up.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Untimed warm-up: session bring-up, parquet reader, whole-stage
+    // codegen, BroadcastExchange thread pools, WindowExec — the paths
+    // every measured query reuses. Runs on a 1k-row slice so the work
+    // itself is negligible.
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val n = Tables.nation(spark, sfDir)
+      val li = Tables.lineitem(spark, sfDir).limit(1000)
+      li.join(broadcast(n), li("l_suppkey") % 25 === n("n_nationkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("l_orderkey")))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(25,8)")), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical readers for the driver-generated parquet corpus
+  * (`TESTDATA.md`). All date-typed semantics are made explicit here:
+  * `o_orderdate` / `l_shipdate` land as timestamp[ms] in the parquet
+  * footers but the reference's data model is DATE
+  * (`/root/reference/etl.py:58-63`), so calendar queries cast through
+  * [[Tables.monthlySeries]].
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/region.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/nation.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/customer.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/supplier.parquet")
+  def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
+  def events(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/events.parquet")
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The payroll-shaped monthly time series: one row per month, an
+    * integer "level" value — the same (date PK, int value) model as
+    * `nonfarm_payrolls` (`/root/reference/etl.py:58-63`), derived from
+    * `lineitem` at scale. The groupBy is a partial+final hash
+    * aggregate; at 100 TB the shuffle key (month) has low cardinality
+    * but the map-side combine reduces each partition to <=#months rows
+    * before the exchange, so the shuffle is tiny regardless of input
+    * size.
+    */
+  def monthlySeries(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(count(lit(1)).as("emp"))
+
+  /** Oracle-side CTE matching [[monthlySeries]] exactly (DuckDB SQL). */
+  val monthlySeriesSql: String =
+    "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, COUNT(*) AS emp FROM lineitem GROUP BY 1"
+}

@@ -1,0 +1,375 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CalendarColumns._
+import graft.functions.GrowthRates._
+import graft.functions.Num._
+
+/** Reference-parity OLAP queries (SURVEY.md §2) over the payroll-
+  * shaped monthly series ([[graft.Tables.monthlySeries]]). Each
+  * query mirrors one analysis branch of
+  * `/root/reference/dashboard_nfp.py` and follows the *executed
+  * pandas* semantics where the reference's display SQL disagrees
+  * (SURVEY.md §2.12).
+  *
+  * Every query ends in an explicit total order so the verify dump is
+  * row-deterministic; every double output is rounded via r4 on both
+  * engines.
+  */
+object Payroll {
+
+  /** The two "pandemic-analog" years for the slice comparison —
+    * first two full years in the corpus (reference compares
+    * 2019/2020, `dashboard_nfp.py:113`). */
+  private val CompareYears = Seq(1995, 1996)
+
+  private def series(s: SparkSession, dir: String): DataFrame =
+    Tables.monthlySeries(s, dir)
+
+  private val wGlobal = Window.orderBy("month")
+
+  // ---------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------
+
+  /** Slice Q1 (A1, `dashboard_nfp.py:85-86`): average monthly level
+    * per year. */
+  def sliceYearlyAvg(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .groupBy(yearOf(col("month")).as("year"))
+      .agg(r4(avg("emp")).as("avg_employment"))
+      .orderBy("year")
+
+  /** Slice Q2 (F1∧F2∧F3, `dashboard_nfp.py:112-116`): two-year
+    * comparison slice, months March..December, year as legend label. */
+  def sliceYearCompare(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .filter(year(col("month")).isin(CompareYears: _*) &&
+        month(col("month")).between(3, 12))
+      .select(col("month"), col("emp"),
+        yearOf(col("month")).as("year"))
+      .orderBy("month")
+
+  /** Dice Q1 (W1+F4, `dashboard_nfp.py:152-153`): months with a MoM
+    * drop steeper than −2%. Filter applies to the *unrounded* window
+    * result (never pushed below the window; Catalyst keeps it above). */
+  def diceMomDrop(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .withColumn("mom_pct", pctChange(col("emp"), wGlobal))
+      .filter(col("mom_pct") < -2)
+      .select(col("month"), col("emp"), r4(col("mom_pct")).as("mom_pct"))
+      .orderBy("month")
+
+  /** Dice Q2 (W2, `dashboard_nfp.py:195-197`): Q4-only MoM change,
+    * LAG partitioned **per year after the Q4 filter** (executed-pandas
+    * semantics: October's change is null and dropped; only Nov, Dec
+    * survive — SURVEY.md §2.12 #1). */
+  def diceQ4Mom(s: SparkSession, dir: String): DataFrame = {
+    val wYear = Window.partitionBy(year(col("month"))).orderBy("month")
+    series(s, dir)
+      .filter(month(col("month")).isin(10, 11, 12))
+      .withColumn("mom_pct", pctChange(col("emp"), wYear))
+      .na.drop(Seq("mom_pct"))
+      .select(col("month"), monthName(col("month")).as("month_name"),
+        r4(col("mom_pct")).as("mom_pct"))
+      .orderBy("month")
+  }
+
+  /** Dice Q2 rollup (A2, `dashboard_nfp.py:225`): average Q4 MoM
+    * change by month name. avg over doubles goes through the
+    * deterministic decimal-sum path. */
+  def diceQ4AvgByMonth(s: SparkSession, dir: String): DataFrame = {
+    val wYear = Window.partitionBy(year(col("month"))).orderBy("month")
+    series(s, dir)
+      .filter(month(col("month")).isin(10, 11, 12))
+      .withColumn("mom_pct", pctChange(col("emp"), wYear))
+      .na.drop(Seq("mom_pct"))
+      .groupBy(monthName(col("month")).as("month_name"))
+      .agg(r4(davg(col("mom_pct"))).as("avg_mom_pct"))
+      .orderBy("month_name")
+  }
+
+  /** Roll-up Q1a (A3+W3, `dashboard_nfp.py:246-248`): quarterly sums
+    * with QoQ growth. */
+  def rollupQuarterly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("year", "quarter")
+    series(s, dir)
+      .groupBy(yearOf(col("month")).as("year"),
+        quarterOf(col("month")).as("quarter"))
+      .agg(sum("emp").as("total_emp"))
+      .withColumn("qoq_pct", r4(pctChange(col("total_emp"), w)))
+      .orderBy("year", "quarter")
+  }
+
+  /** Roll-up Q1b (A4+W4, `dashboard_nfp.py:250-251`): yearly sums
+    * with YoY growth. */
+  def rollupYearly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("year")
+    series(s, dir)
+      .groupBy(yearOf(col("month")).as("year"))
+      .agg(sum("emp").as("total_emp"))
+      .withColumn("yoy_pct", r4(pctChange(col("total_emp"), w)))
+      .orderBy("year")
+  }
+
+  /** Roll-up Q2 (A5+P9, `dashboard_nfp.py:300-301`): average level by
+    * decade bucket (all-decades formula, not the display-SQL CASE). */
+  def rollupDecade(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .groupBy(decadeOf(col("month")).as("decade"))
+      .agg(r4(avg("emp")).as("avg_employment"))
+      .orderBy("decade")
+
+  /** Idiomatic upgrade of A3+A4 (SURVEY.md §2.4 note): one-pass
+    * ROLLUP(year, quarter) — month→quarter→year→grand-total hierarchy
+    * in a single shuffle instead of one groupBy per grain. */
+  def rollupHierarchy(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .rollup(yearOf(col("month")).as("year"),
+        quarterOf(col("month")).as("quarter"))
+      .agg(sum("emp").as("total_emp"))
+      .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
+
+  /** Drill Q1 phase 1 (A4+W5+T1, `dashboard_nfp.py:338-342`): the
+    * year with the highest absolute annual gain (argmax, deterministic
+    * year tie-break). TakeOrderedAndProject, no full sort. */
+  def drillTopGainYear(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("year")
+    series(s, dir)
+      .groupBy(yearOf(col("month")).as("year"))
+      .agg(sum("emp").as("total_emp"))
+      .withColumn("annual_gain", absChange(col("total_emp"), w))
+      .na.drop(Seq("annual_gain"))
+      .orderBy(col("annual_gain").desc, col("year").asc)
+      .limit(1)
+  }
+
+  /** Drill Q1 phase 2 (J2+F9, `dashboard_nfp.py:340-348`): monthly
+    * breakdown of the top-gain year. Two-phase exactly like the
+    * reference: the phase-1 scalar crosses the driver (`:342`) and is
+    * pushed back down as a literal — which lets the month filter reach
+    * the parquet scan as a pushed predicate. */
+  def drillTopYearMonths(s: SparkSession, dir: String): DataFrame = {
+    val topYear = drillTopGainYear(s, dir)
+      .select("year").first().getLong(0)
+    series(s, dir)
+      .filter(year(col("month")) === lit(topYear))
+      .select(col("month"), monthName(col("month")).as("month_name"),
+        col("emp"))
+      .orderBy("month")
+  }
+
+  /** Drill Q2 (W5+T2, `dashboard_nfp.py:398-399`): sharpest absolute
+    * MoM drop (argmin; pandas idxmin takes first-in-date-order, so the
+    * tie-break is month asc). */
+  def drillSharpestDrop(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .withColumn("mom_gain", absChange(col("emp"), wGlobal))
+      .na.drop(Seq("mom_gain"))
+      .select(col("month"), monthYearLabel(col("month")).as("month_label"),
+        col("mom_gain"))
+      .orderBy(col("mom_gain").asc, col("month").asc)
+      .limit(1)
+
+  /** W6 flagship (`dashboard_nfp.py:152-171`): peak-to-recovery,
+    * set-based (SURVEY.md §2.11). The reference loops in Python,
+    * rescanning the frame per drop (O(drops·N)); here it is one
+    * window pass plus two broadcast range-joins:
+    *
+    *  - `prior_peak` — running max over strictly-earlier months (W7);
+    *  - `recovery_month` — min month after the drop whose level
+    *    regains the prior peak (theta join J1, drops side broadcast);
+    *  - `prior_peak_month` — first earlier month at the peak (F8);
+    *  - `months_to_recover` — `months_between` replaces the
+    *    hand-rolled `12·Δy + Δm` of `:168`; null = never recovered
+    *    (the reference silently skips these, `:166` — we keep them as
+    *    nulls, strictly more information).
+    *
+    * Scale: drops ≪ series, so both joins broadcast the drops side —
+    * BroadcastNestedLoop over #months·#drops pairs, never a shuffle of
+    * the big side. At 100 TB the series input is already pre-reduced
+    * to month grain upstream.
+    */
+  def recovery(s: SparkSession, dir: String): DataFrame =
+    recoveryOf(series(s, dir))
+
+  /** [[recovery]] over an arbitrary (month, emp) series — the NFP
+    * fixture tests drive this directly. */
+  def recoveryOf(series: DataFrame): DataFrame = {
+    val s2 = series
+      .withColumn("mom_pct", pctChange(col("emp"), wGlobal))
+      .withColumn("prior_peak", priorPeak(col("emp"), wGlobal))
+    val drops = s2.filter(col("mom_pct") < -2)
+      .select(col("month").as("drop_month"), col("emp").as("drop_emp"),
+        col("mom_pct"), col("prior_peak"))
+    val ser = s2.select(col("month").as("s_month"), col("emp").as("s_emp"))
+
+    val rec = ser
+      .join(broadcast(drops),
+        col("s_month") > col("drop_month") &&
+          col("s_emp") >= col("prior_peak"))
+      .groupBy("drop_month")
+      .agg(min(col("s_month")).as("recovery_month"))
+    val peakAt = ser
+      .join(broadcast(drops),
+        col("s_month") < col("drop_month") &&
+          col("s_emp") === col("prior_peak"))
+      .groupBy("drop_month")
+      .agg(min(col("s_month")).as("prior_peak_month"))
+
+    drops
+      .join(peakAt, Seq("drop_month"), "left")
+      .join(rec, Seq("drop_month"), "left")
+      .select(
+        col("drop_month"),
+        col("drop_emp").as("emp"),
+        r4(col("mom_pct")).as("mom_pct"),
+        col("prior_peak"),
+        col("prior_peak_month"),
+        col("recovery_month"),
+        months_between(col("recovery_month"), col("drop_month"))
+          .cast("long").as("months_to_recover"))
+      .orderBy("drop_month")
+  }
+
+  // ---------------------------------------------------------------
+  // Registration
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "payroll_slice_yearly_avg"    -> (sliceYearlyAvg _),
+    "payroll_slice_year_compare"  -> (sliceYearCompare _),
+    "payroll_dice_mom_drop"       -> (diceMomDrop _),
+    "payroll_dice_q4_mom"         -> (diceQ4Mom _),
+    "payroll_dice_q4_avg_by_month" -> (diceQ4AvgByMonth _),
+    "payroll_rollup_quarterly"    -> (rollupQuarterly _),
+    "payroll_rollup_yearly"       -> (rollupYearly _),
+    "payroll_rollup_decade"       -> (rollupDecade _),
+    "payroll_rollup_hierarchy"    -> (rollupHierarchy _),
+    "payroll_drill_top_gain_year" -> (drillTopGainYear _),
+    "payroll_drill_top_year_months" -> (drillTopYearMonths _),
+    "payroll_drill_sharpest_drop" -> (drillSharpestDrop _),
+    "payroll_recovery"            -> (recovery _),
+  )
+
+  private val S = Tables.monthlySeriesSql
+
+  val oracleSql: Map[String, String] = Map(
+    "payroll_slice_yearly_avg" ->
+      s"""WITH series AS ($S)
+         |SELECT year(month) AS year, round(avg(emp), 4) AS avg_employment
+         |FROM series GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "payroll_slice_year_compare" ->
+      s"""WITH series AS ($S)
+         |SELECT month, emp, year(month) AS year FROM series
+         |WHERE year(month) IN (${CompareYears.mkString(", ")})
+         |  AND month(month) BETWEEN 3 AND 12
+         |ORDER BY month""".stripMargin,
+
+    "payroll_dice_mom_drop" ->
+      s"""WITH series AS ($S),
+         |s2 AS (SELECT month, emp,
+         |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS mom_pct
+         |  FROM series WINDOW w AS (ORDER BY month))
+         |SELECT month, emp, round(mom_pct, 4) AS mom_pct
+         |FROM s2 WHERE mom_pct < -2 ORDER BY month""".stripMargin,
+
+    "payroll_dice_q4_mom" ->
+      s"""WITH series AS ($S),
+         |q4 AS (SELECT month, emp FROM series WHERE month(month) IN (10, 11, 12)),
+         |s2 AS (SELECT month, emp,
+         |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS mom_pct
+         |  FROM q4 WINDOW w AS (PARTITION BY year(month) ORDER BY month))
+         |SELECT month, monthname(month) AS month_name, round(mom_pct, 4) AS mom_pct
+         |FROM s2 WHERE mom_pct IS NOT NULL ORDER BY month""".stripMargin,
+
+    "payroll_dice_q4_avg_by_month" ->
+      s"""WITH series AS ($S),
+         |q4 AS (SELECT month, emp FROM series WHERE month(month) IN (10, 11, 12)),
+         |s2 AS (SELECT month,
+         |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS mom_pct
+         |  FROM q4 WINDOW w AS (PARTITION BY year(month) ORDER BY month))
+         |SELECT monthname(month) AS month_name,
+         |  round(${davgSql("mom_pct")}, 4) AS avg_mom_pct
+         |FROM s2 WHERE mom_pct IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "payroll_rollup_quarterly" ->
+      s"""WITH series AS ($S),
+         |q AS (SELECT year(month) AS year, quarter(month) AS quarter,
+         |  CAST(sum(emp) AS BIGINT) AS total_emp FROM series GROUP BY 1, 2)
+         |SELECT year, quarter, total_emp,
+         |  round((total_emp - lag(total_emp) OVER w) / lag(total_emp) OVER w * 100, 4) AS qoq_pct
+         |FROM q WINDOW w AS (ORDER BY year, quarter)
+         |ORDER BY year, quarter""".stripMargin,
+
+    "payroll_rollup_yearly" ->
+      s"""WITH series AS ($S),
+         |y AS (SELECT year(month) AS year, CAST(sum(emp) AS BIGINT) AS total_emp
+         |  FROM series GROUP BY 1)
+         |SELECT year, total_emp,
+         |  round((total_emp - lag(total_emp) OVER w) / lag(total_emp) OVER w * 100, 4) AS yoy_pct
+         |FROM y WINDOW w AS (ORDER BY year)
+         |ORDER BY year""".stripMargin,
+
+    "payroll_rollup_decade" ->
+      s"""WITH series AS ($S)
+         |SELECT CAST(CAST(floor(year(month) / 10) * 10 AS BIGINT) AS VARCHAR) || 's' AS decade,
+         |  round(avg(emp), 4) AS avg_employment
+         |FROM series GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "payroll_rollup_hierarchy" ->
+      s"""WITH series AS ($S)
+         |SELECT year(month) AS year, quarter(month) AS quarter,
+         |  CAST(sum(emp) AS BIGINT) AS total_emp
+         |FROM series GROUP BY ROLLUP(year(month), quarter(month))
+         |ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""".stripMargin,
+
+    "payroll_drill_top_gain_year" ->
+      s"""WITH series AS ($S),
+         |y AS (SELECT year(month) AS year, CAST(sum(emp) AS BIGINT) AS total_emp
+         |  FROM series GROUP BY 1),
+         |g AS (SELECT year, total_emp,
+         |  CAST(total_emp - lag(total_emp) OVER (ORDER BY year) AS BIGINT) AS annual_gain FROM y)
+         |SELECT year, total_emp, annual_gain FROM g
+         |WHERE annual_gain IS NOT NULL
+         |ORDER BY annual_gain DESC, year ASC LIMIT 1""".stripMargin,
+
+    "payroll_drill_top_year_months" ->
+      s"""WITH series AS ($S),
+         |y AS (SELECT year(month) AS year, CAST(sum(emp) AS BIGINT) AS total_emp
+         |  FROM series GROUP BY 1),
+         |g AS (SELECT year, CAST(total_emp - lag(total_emp) OVER (ORDER BY year) AS BIGINT) AS annual_gain FROM y),
+         |top AS (SELECT year FROM g WHERE annual_gain IS NOT NULL
+         |  ORDER BY annual_gain DESC, year ASC LIMIT 1)
+         |SELECT month, monthname(month) AS month_name, emp FROM series
+         |WHERE year(month) = (SELECT year FROM top) ORDER BY month""".stripMargin,
+
+    "payroll_drill_sharpest_drop" ->
+      s"""WITH series AS ($S),
+         |g AS (SELECT month, CAST(emp - lag(emp) OVER (ORDER BY month) AS BIGINT) AS mom_gain
+         |  FROM series)
+         |SELECT month, strftime(month, '%B %Y') AS month_label, mom_gain
+         |FROM g WHERE mom_gain IS NOT NULL
+         |ORDER BY mom_gain ASC, month ASC LIMIT 1""".stripMargin,
+
+    "payroll_recovery" ->
+      s"""WITH series AS ($S),
+         |s2 AS (SELECT month, emp,
+         |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS mom_pct,
+         |  max(emp) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_peak
+         |  FROM series WINDOW w AS (ORDER BY month)),
+         |drops AS (SELECT * FROM s2 WHERE mom_pct < -2)
+         |SELECT d.month AS drop_month, d.emp, round(d.mom_pct, 4) AS mom_pct,
+         |  d.prior_peak,
+         |  (SELECT min(s.month) FROM s2 s WHERE s.month < d.month AND s.emp = d.prior_peak) AS prior_peak_month,
+         |  (SELECT min(s.month) FROM s2 s WHERE s.month > d.month AND s.emp >= d.prior_peak) AS recovery_month,
+         |  CAST(date_diff('month', d.month,
+         |    (SELECT min(s.month) FROM s2 s WHERE s.month > d.month AND s.emp >= d.prior_peak)) AS BIGINT) AS months_to_recover
+         |FROM drops d ORDER BY drop_month""".stripMargin,
+  )
+}

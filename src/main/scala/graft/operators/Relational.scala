@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num._
+import graft.functions.{CalendarColumns => CalCols}
+
+/** Relational engine surface over the TPC-H-ish star (TESTDATA.md):
+  * multi-way joins, semi/anti joins, set ops, top-k, key-dedup upsert
+  * semantics (SURVEY.md §2.1 S4, §2.7, §2.8). The reference itself is
+  * single-table; this is the general surface a user of the engine
+  * needs, designed scale-first: dimension sides broadcast, fact-side
+  * aggregates pre-reduce before any shuffle, top-k runs as
+  * TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the bench headline. One scan,
+    * partial+final hash agg on a 2-value key; all double measures go
+    * through the exact decimal-sum path for oracle determinism. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(dsum(col("l_quantity"))).as("sum_qty"),
+        r4(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(davg(col("l_quantity"))).as("avg_qty"),
+        r4(davg(col("l_extendedprice"))).as("avg_price"),
+        r4(davg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region. nation/region are tiny → explicit broadcast; the
+    * lineitem→orders join is the only real shuffle, and AQE picks
+    * broadcast for customer at small SF. */
+  def revenueByRegion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey"))
+    val r = broadcast(Tables.region(s, dir).select("r_regionkey", "r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(r4(dsum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
+  /** Top-10 customers by revenue (T1-style top-k over a join).
+    * Pre-aggregates revenue per order key *before* joining up to
+    * customer — the join input shrinks from |lineitem| to |orders|. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val revByOrder = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(dsumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    revByOrder
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(r4(sum("rev").cast("double")).as("revenue"), count(lit(1)).as("n_orders"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** Order counts by priority for orders that have at least one late
+    * shipment — a left-semi (EXISTS) probe of lineitem. */
+  def lateOrdersByPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Set-op surface (§2.8): months in which items shipped but no
+    * order was placed (the shipping tail) — EXCEPT of two distinct
+    * month projections. Both sides pre-reduce to month grain in their
+    * partial aggregates, so the EXCEPT shuffles #months rows, not
+    * facts. */
+  def shipOnlyMonths(s: SparkSession, dir: String): DataFrame = {
+    val shipM = Tables.lineitem(s, dir)
+      .select(CalCols.monthStart(col("l_shipdate")).as("m"))
+    val orderM = Tables.orders(s, dir)
+      .select(CalCols.monthStart(col("o_orderdate")).as("m"))
+    shipM.except(orderM).orderBy("m")
+  }
+
+  /** S4 upsert semantics (`/root/reference/etl.py:66-71`): last-write-
+    * wins per key. The reference upserts row-at-a-time over a wire
+    * protocol; the engine expresses it as a single window-dedup —
+    * latest order per customer, deterministic tie-break on key. */
+  def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary"     -> (pricingSummary _),
+    "rel_revenue_by_region"   -> (revenueByRegion _),
+    "rel_top_customers"       -> (topCustomers _),
+    "rel_late_orders_by_priority" -> (lateOrdersByPriority _),
+    "rel_ship_only_months" -> (shipOnlyMonths _),
+    "rel_latest_order_per_customer" -> (latestOrderPerCustomer _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(${dsumSql("l_quantity")}, 4) AS sum_qty,
+         |  round(${dsumSql("l_extendedprice")}, 4) AS sum_base_price,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS sum_disc_price,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 4) AS sum_charge,
+         |  round(${davgSql("l_quantity")}, 4) AS avg_qty,
+         |  round(${davgSql("l_extendedprice")}, 4) AS avg_price,
+         |  round(${davgSql("l_discount")}, 4) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_revenue_by_region" ->
+      s"""SELECT r_name,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_top_customers" ->
+      s"""WITH ro AS (
+         |  SELECT l_orderkey, ${dsumExactSql("l_extendedprice * (1 - l_discount)")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |rc AS (
+         |  SELECT o_custkey, round(CAST(sum(rev) AS DOUBLE), 4) AS revenue, count(*) AS n_orders
+         |  FROM ro JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+         |SELECT c_custkey, c_name, revenue, n_orders
+         |FROM rc JOIN customer ON o_custkey = c_custkey
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+
+    "rel_late_orders_by_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_ship_only_months" ->
+      s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m FROM lineitem
+         |EXCEPT
+         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) FROM orders
+         |ORDER BY m""".stripMargin,
+
+    "rel_latest_order_per_customer" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+         |FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders)
+         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+  )
+}
