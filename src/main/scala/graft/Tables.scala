@@ -18,7 +18,16 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  def events(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/events.parquet")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read it as raw nanos (legacy conf) and convert to a
+    * microsecond timestamp with integer arithmetic (a double divide
+    * would lose precision at 2024-epoch nanos ≈ 1.7e18). DuckDB's
+    * reader does the same ns→µs truncation, so oracle values align. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 

@@ -1,6 +1,166 @@
 package graft.ext
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num.r4
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (TESTDATA.md): quality scoring, language ID,
+  * token counting, term stats, document fingerprinting.
+  *
+  * Everything is pure `org.apache.spark.sql.functions` — tokenization
+  * via `split`, per-token work via higher-order functions (`filter`,
+  * `transform`) — so the whole pipeline stays codegen'd and scales as
+  * an embarrassingly-parallel map over document partitions; only
+  * term-frequency introduces a (pre-combined) shuffle.
+  */
 object Text {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Whitespace tokenization — the shared primitive. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+
+  // tiny per-language function-word lists for the n-gram/stopword
+  // language-ID heuristic (public-knowledge word lists)
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopFr = Seq("le", "la", "et", "les", "des")
+  private val stopEs = Seq("el", "los", "de", "y", "las")
+
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))) / size(toks)
+
+  private def hitRatioSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($lst, t))) / len(toks)"
+  }
+
+  /** Quality scoring: length, token stats, punctuation + stopword
+    * ratios, and a simple acceptance flag — the filters a pretraining
+    * data pipeline runs before anything expensive. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        r4(length(regexp_replace(col("text"), "\\s+", "")) / size(t))
+          .as("avg_token_len"),
+        r4(length(regexp_replace(col("text"), "[^.,;:!?]", "")) /
+          length(col("text"))).as("punct_ratio"),
+        r4(hitRatio(t, stopEn)).as("stopword_ratio"))
+      .withColumn("quality_ok",
+        col("n_tokens").between(10, 1000) && col("stopword_ratio") > 0.01)
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: function-word hit-ratio per language, argmax with a
+    * fixed tie-break order (en > de > fr > es). A real pipeline swaps
+    * in char-n-gram profiles; the operator shape — per-doc scoring,
+    * no shuffle — is identical. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      hitRatio(t, stopEn).as("s_en"), hitRatio(t, stopDe).as("s_de"),
+      hitRatio(t, stopFr).as("s_fr"), hitRatio(t, stopEs).as("s_es"))
+    base.select(
+      col("doc_id"), col("lang"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es"), "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+        .when(col("s_fr") >= col("s_es"), "fr")
+        .otherwise("es").as("pred_lang"),
+      r4(col("s_en")).as("en_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token
+    * count (letters / digit-runs / punct-runs as separate tokens). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Corpus term frequency: explode + count + top-20. The groupBy
+    * pre-combines map-side, so the shuffle carries one row per
+    * (partition, distinct token) — vocabulary-sized, not corpus-sized. */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Document fingerprint: md5 of case/whitespace/punct-normalized
+    * text — the canonical-form key for exact-after-normalization
+    * dedup (a cheap, exact complement to MinHash). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality"     -> (quality _),
+    "text_langid"      -> (langId _),
+    "text_token_stats" -> (tokenStats _),
+    "text_term_freq"   -> (termFreq _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 4) AS avg_token_len,
+         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4) AS punct_ratio,
+         |  round(${hitRatioSql(stopEn)}, 4) AS stopword_ratio
+         |  FROM t)
+         |SELECT *, (n_tokens BETWEEN 10 AND 1000) AND stopword_ratio > 0.01 AS quality_ok
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${hitRatioSql(stopEn)} AS s_en, ${hitRatioSql(stopDe)} AS s_de,
+         |  ${hitRatioSql(stopFr)} AS s_fr, ${hitRatioSql(stopEs)} AS s_es
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+         |  round(s_en, 4) AS en_score
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_term_freq" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($tokSql) AS token FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

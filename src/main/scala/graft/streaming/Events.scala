@@ -1,6 +1,116 @@
 package graft.streaming
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Num._
+
+/** Event-stream operators over `events` (TESTDATA.md). Each exists in
+  * two forms: a batch query (DuckDB-oracled, the correctness gate)
+  * and a Structured Streaming builder over the same transform so the
+  * semantics are verified once and reused on `readStream` (tested via
+  * file-source → memory-sink in `EventsStreamSpec`).
+  */
 object Events {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** File-source schema: `ts` lands as raw nanos (see
+    * [[graft.Tables.events]]) and is converted in [[fromRaw]]. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def fromRaw(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  /** Tumbling 1-hour windows per event type — the shared transform.
+    * Works on a batch or streaming input identically. */
+  def hourlyTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), r4(dsum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch form (oracled). */
+  def hourlyByType(s: SparkSession, dir: String): DataFrame =
+    hourlyTransform(Tables.events(s, dir)).orderBy("hour_start", "event_type")
+
+  /** Streaming form: file-source → watermark → windowed agg. Late
+    * data beyond 2 h is dropped and state is bounded — the shape that
+    * runs unbounded at 100 TB/day. */
+  def hourlyStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    hourlyTransform(
+      fromRaw(s.readStream.schema(rawSchema).parquet(dir))
+        .withWatermark("ts", "2 hours"))
+  }
+
+  /** JSON property extraction (`props` is a JSON string): typed
+    * `from_json` parse, then per-type stats on the extracted field.
+    * At scale the parse is a codegen'd expression per row — no
+    * shuffle beyond the final small agg. */
+  def jsonKv(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), r4(avg("k")).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Sessionization: 30-minute-gap session windows per user —
+    * `session_window` in batch (and unchanged in streaming, where
+    * state lives in the store and closes via watermark). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r4(dsum(col("value"))).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming dedup-by-key (S4 upsert semantics on a stream):
+    * watermarked `dropDuplicates` on event_id — bounded state. */
+  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromRaw(s.readStream.schema(rawSchema).parquet(dir))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly_by_type" -> (hourlyByType _),
+    "events_json_kv"        -> (jsonKv _),
+    "events_sessionize"     -> (sessionize _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_hourly_by_type" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json_kv" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH g AS (SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL '30 minutes' AS session_end,
+         |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+  )
 }

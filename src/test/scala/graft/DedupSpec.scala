@@ -1,0 +1,37 @@
+package graft
+
+import graft.ext.Dedup
+
+/** Sketch-based dedup vs the exact Jaccard oracle on sf0.001. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: survivor is min doc_id, copies >= 1") {
+    val d = Dedup.exact(spark, sf0001).collect()
+    assert(d.nonEmpty && d.forall(_.getAs[Long]("n_copies") >= 1))
+  }
+
+  test("minhash LSH candidates recall most exact >=0.95 Jaccard pairs") {
+    val exactPairs = Dedup.jaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture has no near-dup pairs to test recall on")
+    val recall = exactPairs.count(lshPairs.contains).toDouble / exactPairs.size
+    info(f"minhash-LSH recall over exact pairs: $recall%.3f " +
+      f"(${lshPairs.size} candidates vs ${exactPairs.size} exact)")
+    assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
+  }
+
+  test("simhash pairs respect the declared hamming bound") {
+    val p = Dedup.simhashPairs(spark, sf0001).collect()
+    assert(p.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = Dedup.simhash(spark, sf0001).collect().map(_.toSeq)
+    val b = Dedup.simhash(spark, sf0001).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+}

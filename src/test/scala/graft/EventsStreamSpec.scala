@@ -1,0 +1,38 @@
+package graft
+
+import graft.streaming.Events
+
+/** Structured Streaming surface: the same transform verified in batch
+  * (DuckDB oracle) must produce identical results when driven through
+  * readStream → memory sink. */
+class EventsStreamSpec extends SparkSpec {
+
+  test("streaming hourly agg == batch hourly agg (complete mode)") {
+    val batch = Events.hourlyByType(spark, sf0001).collect().map(_.toSeq).toSet
+
+    val q = Events.hourlyStream(spark, sf0001)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each event_id once") {
+    val q = Events.dedupStream(spark, sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      val distinct = spark.table("dedup_out")
+        .select("event_id").distinct().count()
+      assert(n == distinct && n > 0)
+    } finally q.stop()
+  }
+}

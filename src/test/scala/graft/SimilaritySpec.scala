@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot product folds exactly") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
+  }
+
+  test("brute-force top-k: k rows per query, cosine in [-1, 1], rank dense") {
+    val r = Similarity.bruteForceTopK(spark, sf0001).collect()
+    val byQuery = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
+      assert(rows.forall(x => math.abs(x.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("LSH ANN finds a nontrivial fraction of the exact top-k") {
+    val exact = Similarity.bruteForceTopK(spark, sf0001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshAnn(spark, sf0001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(f"LSH-ANN recall@3: $recall%.3f (${ann.size} returned)")
+    assert(recall >= 0.2, f"recall $recall%.3f — LSH buckets degenerate")
+  }
+}
