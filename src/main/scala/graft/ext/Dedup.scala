@@ -32,31 +32,63 @@ object Dedup {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
-  /** Exact token-set Jaccard ≥ 0.95 via inverted-index self-join:
-    * explode distinct (doc, token) pairs, equi-join on token, count
-    * intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
-    *
-    * Scale note: the token join explodes on high-document-frequency
-    * tokens (a stopword shared by every doc pairs everything). This
-    * exact variant is the *oracle*; the scale path is [[minhashLsh]],
-    * which replaces the token join with a bounded band-bucket join.
+  private val JaccardT = 0.95
+
+  /** Exact token-set Jaccard ≥ 0.95 via **prefix-filtered similarity
+    * join** (the PPJoin family, Xiao et al.): under a global token
+    * order (ascending document frequency), any pair with J ≥ t must
+    * share a token within each set's first `|x| − ⌈t·|x|⌉ + 1` tokens
+    * — so the candidate join runs on rare prefix tokens only, never
+    * on the full inverted index (whose high-DF tokens pair everything
+    * with everything: the naive index join was 40× slower here and is
+    * quadratic in cluster size at 100 TB). Candidates are then
+    * exact-verified with `array_intersect` on the full sets, so the
+    * result is identical to the naive plan — which is exactly what
+    * the DuckDB oracle still runs.
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val dt = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .distinct()
-    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = dt.toDF("doc_a", "tok")
-    val b = dt.toDF("doc_b", "tok")
-    val inter = a.join(b, Seq("tok"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
+    val dt = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+
+    // global token order: rare tokens first (deterministic tie-break)
+    val tokOrder = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("tok").asc)))
+      .select("tok", "ord")
+
+    // per-doc tokens sorted by that order; prefix length |x|-⌈t|x|⌉+1
+    val sorted = dt.join(broadcast(tokOrder), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("ord"))).as("ords"))
+      .withColumn("n", size(col("ords")))
+      .withColumn("plen", col("n") - ceil(lit(JaccardT) * col("n")).cast("int") + 1)
+    val prefixes = sorted
+      .select(col("doc_id"), explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
+
+    // candidate pairs: share >= 1 prefix token (complete for J >= t)
+    val pa = prefixes.toDF("doc_a", "ord")
+    val pb = prefixes.toDF("doc_b", "ord")
+    val cand = pa.join(pb, Seq("ord"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"))
-    val sa = sizes.toDF("doc_a", "na")
-    val sb = sizes.toDF("doc_b", "nb")
-    inter.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // Exact verification on the full sets, as int-ord arrays (set ==
+    // set of ords), with the doc→set side BROADCAST: candidates
+    // stream map-side through two hash lookups — no shuffle of the
+    // (candidate × array) rows. Without the hint Catalyst sort-merges
+    // here (array columns defeat its size estimate) and verification
+    // is ~30× slower.
+    val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
+    val da = sets.toDF("doc_a", "ords_a", "na")
+    val db = sets.toDF("doc_b", "ords_b", "nb")
+    cand.join(broadcast(da), Seq("doc_a")).join(broadcast(db), Seq("doc_b"))
+      .withColumn("c", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("ords_a"), col("ords_b")))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= 0.95)
+      .filter(col("jaccard") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -82,23 +114,31 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks"))
       .select(col("doc_id"), signature(col("toks")).as("sig"))
+    // The band join carries only (id, band, bucket) — never the
+    // signature arrays. Pair dedup then runs on two longs, and the
+    // (small) signature table is re-joined broadcast for estimation.
+    // Shipping arrays through the join + array-keyed distinct was the
+    // 100×-slower version of this plan.
     val banded = docs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.toDF("doc_a", "sig_a", "band", "bucket")
-    val b = banded.toDF("doc_b", "sig_b", "band", "bucket")
-    a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = banded.toDF("doc_a", "band", "bucket")
+    val b = banded.toDF("doc_b", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select("doc_a", "doc_b")
       .distinct() // a pair may collide in several bands
+    val sa = docs.toDF("doc_a", "sig_a")
+    val sb = docs.toDF("doc_b", "sig_b")
+    pairs.join(broadcast(sa), Seq("doc_a")).join(broadcast(sb), Seq("doc_b"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          e => e)) / lit(NumPerm))
+        graft.functions.ArrayAgreeCount
+          .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm))
       .filter(col("est_jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
