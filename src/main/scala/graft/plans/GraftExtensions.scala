@@ -1,0 +1,69 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => WindowNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{ArrayAgreeCount, SortedIntersectSize}
+
+/** Advisory lint (SURVEY.md §4): a `Window` with an empty partition
+  * spec serializes its whole input onto one task — correct, and fine
+  * when the input is a calendar-grain aggregate (≤ a few thousand
+  * rows), catastrophic when someone orders 100 TB of raw facts.
+  *
+  * The rule rewrites nothing: it flags global windows whose child is
+  * *not* an aggregation (the only shape where the input is provably
+  * pre-reduced in this engine) so the pattern is visible in logs and
+  * assertable in tests.
+  */
+object GlobalWindowLint extends Rule[LogicalPlan] {
+  /** Flagged plan fragments (test/observability hook). */
+  val flagged = new ConcurrentLinkedQueue[String]()
+
+  private def isPreReduced(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case other if other.children.size == 1 => isPreReduced(other.children.head)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case w: WindowNode if w.partitionSpec.isEmpty && !isPreReduced(w.child) =>
+        val msg = s"global window over non-aggregated input: " +
+          s"${w.windowExpressions.map(_.sql).mkString(", ")}"
+        flagged.add(msg)
+        logWarning(s"[graft-lint] $msg — single-task execution; " +
+          "partition the window or pre-aggregate its input")
+      case _ =>
+    }
+    plan
+  }
+}
+
+/** Session extension wiring: the lint rule plus SQL registration of
+  * the engine's native expressions, so
+  * `spark.sql("SELECT sorted_intersect_size(a, b) ...")` works.
+  * Activate via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => GlobalWindowLint)
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("array_agree_count"),
+      new ExpressionInfo(classOf[ArrayAgreeCount].getName,
+        "array_agree_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayAgreeCount(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.GlobalWindowLint
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT sorted_intersect_size(array(1, 3, 5), array(3, 5, 7)) AS a, " +
+        "array_agree_count(array(1L, 2L), array(1L, 9L)) AS b").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+  }
+
+  test("lint flags a global window over raw (non-aggregated) input") {
+    GlobalWindowLint.flagged.clear()
+    Seq((Date.valueOf("2020-01-01"), 1L), (Date.valueOf("2020-02-01"), 2L))
+      .toDF("d", "v")
+      .withColumn("l", lag("v", 1).over(Window.orderBy("d")))
+      .collect()
+    assert(!GlobalWindowLint.flagged.isEmpty)
+  }
+
+  test("lint stays quiet for windows over pre-aggregated input") {
+    val before = {
+      GlobalWindowLint.flagged.clear()
+      Tables.monthlySeries(spark, sf0001)
+        .withColumn("l", lag("emp", 1).over(Window.orderBy("month")))
+        .collect()
+      GlobalWindowLint.flagged.size()
+    }
+    assert(before == 0,
+      s"flagged an aggregate-fed global window: ${GlobalWindowLint.flagged}")
+  }
+}

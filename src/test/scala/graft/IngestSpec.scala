@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vs: (String, Long, Long)*) =
+    vs.map { case (m, v, ver) => (Date.valueOf(m), v, ver) }
+      .toDF("month", "emp", "ingest_v")
+
+  test("upsert is last-write-wins per key (S4 semantics)") {
+    val existing = series(("2020-01-01", 100L, 1L), ("2020-02-01", 200L, 1L))
+    val incoming = series(("2020-02-01", 250L, 2L), ("2020-03-01", 300L, 2L))
+    val merged = Ingest.upsert(existing, incoming, "month", "ingest_v")
+      .orderBy("month").select("month", "emp").as[(Date, Long)].collect()
+    assert(merged.toSeq == Seq(
+      (Date.valueOf("2020-01-01"), 100L),
+      (Date.valueOf("2020-02-01"), 250L),
+      (Date.valueOf("2020-03-01"), 300L)))
+  }
+
+  test("upsert is idempotent (re-running the same batch changes nothing)") {
+    val existing = series(("2020-01-01", 100L, 1L))
+    val batch = series(("2020-01-01", 150L, 2L), ("2020-02-01", 200L, 2L))
+    val once = Ingest.upsert(existing, batch, "month", "ingest_v")
+    val twice = Ingest.upsert(once, batch, "month", "ingest_v")
+    assert(once.orderBy("month").collect().toSeq ==
+      twice.orderBy("month").collect().toSeq)
+  }
+
+  test("time-series writer partitions by year and prunes on read") {
+    val dir = Files.createTempDirectory("graft_ts").toString
+    Ingest.writeTimeSeries(Tables.monthlySeries(spark, sf0001), dir)
+    val back = spark.read.parquet(dir)
+    // partition pruning: a year filter must reach the scan as a
+    // partition filter, reading only that year's directory
+    val pruned = back.filter(col("year") === 1996)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("year"))
+    val all = Tables.monthlySeries(spark, sf0001)
+      .filter(year(col("month")) === 1996).count()
+    assert(pruned.count() == all)
+  }
+}

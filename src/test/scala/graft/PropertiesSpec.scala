@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.GrowthRates._
+
+/** Property-based invariants (SURVEY.md §5 #3) over generated monthly
+  * series — scalacheck generators driven with fixed seeds (no
+  * scalatestplus bridge in the offline dependency set). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val levelsGen: Gen[List[Long]] =
+    Gen.choose(2, 40).flatMap(n => Gen.listOfN(n, Gen.choose(50L, 5000L)))
+
+  private def toSeries(levels: List[Long]) =
+    levels.zipWithIndex.map { case (v, i) =>
+      (Date.valueOf(f"${2010 + i / 12}%04d-${i % 12 + 1}%02d-01"), v)
+    }.toDF("month", "emp")
+
+  private val w = Window.orderBy("month")
+
+  test("telescoping: sum of first differences == last - first") {
+    for (seed <- 1L to 10L) {
+      val levels = sample(levelsGen, seed)
+      val sumDiff = toSeries(levels)
+        .withColumn("d", absChange(col("emp"), w))
+        .agg(sum("d")).head().getLong(0)
+      assert(sumDiff == levels.last - levels.head, s"seed=$seed $levels")
+    }
+  }
+
+  test("monotone non-decreasing series has no negative growth") {
+    for (seed <- 1L to 10L) {
+      val deltas = sample(Gen.choose(2, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 100L))), seed)
+      val levels = deltas.scanLeft(1000L)(_ + _)
+      val negatives = toSeries(levels)
+        .withColumn("p", pctChange(col("emp"), w))
+        .filter(col("p") < 0).count()
+      assert(negatives == 0, s"seed=$seed")
+    }
+  }
+
+  test("prior peak is monotone non-decreasing along the series") {
+    for (seed <- 1L to 10L) {
+      val levels = sample(levelsGen, seed)
+      val peaks = toSeries(levels)
+        .withColumn("pk", priorPeak(col("emp"), w))
+        .orderBy("month").select("pk")
+        .collect().map(r => if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+      assert(peaks.sameElements(peaks.sorted), s"seed=$seed")
+    }
+  }
+}
