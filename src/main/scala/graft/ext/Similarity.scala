@@ -105,9 +105,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val NearDupCos = 0.45
+
+  /** Embedding-cosine near-duplicate pairs (the dedup-family member
+    * over vectors): exact all-pairs cosine ≥ 0.45. The pair space is
+    * a broadcast nested-loop over `vec_a < vec_b` — exact and fine
+    * while one side broadcasts; at corpus scale the same verify step
+    * runs over [[lshAnn]]-style bucket candidates instead of the full
+    * cross product (identical math, bounded pairs). */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val a = vs.toDF("vec_a", "va", "na")
+    val b = vs.toDF("vec_b", "vb", "nb")
+    b.join(broadcast(a), col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_lsh_ann"    -> (lshAnn _),
+    "dedup_embedding_pairs" -> (embeddingNearDups _),
   )
 
   /** LSH is hash-seeded → not reproducible in SQL (rows-only check);
@@ -126,5 +146,14 @@ object Similarity {
          |  FROM p)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos
+         |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -46,7 +46,7 @@ object Events {
   def hourlyStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     hourlyTransform(
-      fromRaw(s.readStream.schema(rawSchema).parquet(dir))
+      fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
         .withWatermark("ts", "2 hours"))
   }
 
@@ -75,9 +75,38 @@ object Events {
 
   /** Streaming dedup-by-key (S4 upsert semantics on a stream):
     * watermarked `dropDuplicates` on event_id — bounded state. */
+  case class UserState(n_events: Long, total_value: Double)
+  case class UserCounts(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state (`mapGroupsWithState`): per-user running
+    * event count + value total. The state store holds one tiny record
+    * per user — the pattern for arbitrary per-key accumulators that
+    * windowed aggregation can't express. Update mode emits the state
+    * after every batch. */
+  def userTotalsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n_events
+          var t = prev.total_value
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update(UserState(n, t))
+          UserCounts(user, n, t)
+      }
+      .toDF()
+  }
+
   def dedupStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromRaw(s.readStream.schema(rawSchema).parquet(dir))
+    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
   }

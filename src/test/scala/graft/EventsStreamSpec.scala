@@ -22,6 +22,27 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful per-user totals converge to the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val q = Events.userTotalsStream(spark, sf0001)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_totals")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode: last row per user is the final state
+      val streamed = spark.table("user_totals")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = Events.dedupStream(spark, sf0001)
       .writeStream.outputMode("append")
