@@ -116,6 +116,18 @@ object Payroll {
       .orderBy("year")
   }
 
+  /** T4 (`dashboard_nfp.py:295`): first five quarters of the QoQ
+    * roll-up — pandas `head(5)` relies on insertion order; here the
+    * order is explicit, so the limit is deterministic
+    * (TakeOrderedAndProject, no full sort at scale). Includes the P6
+    * quarter display label. */
+  def rollupQuarterlyTop5(s: SparkSession, dir: String): DataFrame =
+    rollupQuarterly(s, dir)
+      .withColumn("quarter_label",
+        concat(col("year").cast("string"), lit("-Q"), col("quarter").cast("string")))
+      .orderBy("year", "quarter")
+      .limit(5)
+
   /** Roll-up Q2 (A5+P9, `dashboard_nfp.py:300-301`): average level by
     * decade bucket (all-decades formula, not the display-SQL CASE). */
   def rollupDecade(s: SparkSession, dir: String): DataFrame =
@@ -249,6 +261,7 @@ object Payroll {
     "payroll_rollup_quarterly"    -> (rollupQuarterly _),
     "payroll_rollup_yearly"       -> (rollupYearly _),
     "payroll_rollup_decade"       -> (rollupDecade _),
+    "payroll_rollup_quarterly_top5" -> (rollupQuarterlyTop5 _),
     "payroll_rollup_hierarchy"    -> (rollupHierarchy _),
     "payroll_drill_top_gain_year" -> (drillTopGainYear _),
     "payroll_drill_top_year_months" -> (drillTopYearMonths _),
@@ -321,6 +334,17 @@ object Payroll {
          |SELECT CAST(CAST(floor(year(month) / 10) * 10 AS BIGINT) AS VARCHAR) || 's' AS decade,
          |  round(avg(emp), 4) AS avg_employment
          |FROM series GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "payroll_rollup_quarterly_top5" ->
+      s"""WITH series AS ($S),
+         |q AS (SELECT year(month) AS year, quarter(month) AS quarter,
+         |  CAST(sum(emp) AS BIGINT) AS total_emp FROM series GROUP BY 1, 2),
+         |g AS (SELECT year, quarter, total_emp,
+         |  round((total_emp - lag(total_emp) OVER w) / lag(total_emp) OVER w * 100, 4) AS qoq_pct
+         |  FROM q WINDOW w AS (ORDER BY year, quarter))
+         |SELECT year, quarter, total_emp, qoq_pct,
+         |  CAST(year AS VARCHAR) || '-Q' || CAST(quarter AS VARCHAR) AS quarter_label
+         |FROM g ORDER BY year, quarter LIMIT 5""".stripMargin,
 
     "payroll_rollup_hierarchy" ->
       s"""WITH series AS ($S)

@@ -105,6 +105,20 @@ object Relational {
     shipM.except(orderM).orderBy("m")
   }
 
+  /** Set-op surface, INTERSECT + UNION: calendar months that appear in
+    * both the order and ship streams, unioned with the ship-only tail
+    * and tagged. Each leg pre-reduces to month grain before the set
+    * ops shuffle anything. */
+  def monthCoverage(s: SparkSession, dir: String): DataFrame = {
+    val shipM = Tables.lineitem(s, dir)
+      .select(CalCols.monthStart(col("l_shipdate")).as("m"))
+    val orderM = Tables.orders(s, dir)
+      .select(CalCols.monthStart(col("o_orderdate")).as("m"))
+    val both = shipM.intersect(orderM).withColumn("coverage", lit("both"))
+    val shipOnly = shipM.except(orderM).withColumn("coverage", lit("ship_only"))
+    both.union(shipOnly).orderBy("m")
+  }
+
   /** S4 upsert semantics (`/root/reference/etl.py:66-71`): last-write-
     * wins per key. The reference upserts row-at-a-time over a wire
     * protocol; the engine expresses it as a single window-dedup —
@@ -126,6 +140,7 @@ object Relational {
     "rel_top_customers"       -> (topCustomers _),
     "rel_late_orders_by_priority" -> (lateOrdersByPriority _),
     "rel_ship_only_months" -> (shipOnlyMonths _),
+    "rel_month_coverage"   -> (monthCoverage _),
     "rel_latest_order_per_customer" -> (latestOrderPerCustomer _),
   )
 
@@ -178,6 +193,13 @@ object Relational {
          |EXCEPT
          |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) FROM orders
          |ORDER BY m""".stripMargin,
+
+    "rel_month_coverage" ->
+      s"""WITH shipm AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m FROM lineitem),
+         |orderm AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m FROM orders),
+         |mboth AS (SELECT m, 'both' AS coverage FROM (SELECT m FROM shipm INTERSECT SELECT m FROM orderm)),
+         |shiponly AS (SELECT m, 'ship_only' AS coverage FROM (SELECT m FROM shipm EXCEPT SELECT m FROM orderm))
+         |SELECT * FROM mboth UNION ALL SELECT * FROM shiponly ORDER BY m""".stripMargin,
 
     "rel_latest_order_per_customer" ->
       s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
