@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan regression guards: the scale properties the engine
+  * promises (pushdown, pruning, broadcast shapes, top-k without full
+  * sort) asserted on the optimized plans — a plan that silently loses
+  * one of these still passes correctness but dies at 100 TB. */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def executed(df: DataFrame) = {
+    df.queryExecution.executedPlan
+  }
+
+  test("pricing summary: shipdate filter is pushed to the parquet scan") {
+    val plan = executed(operators.Relational.pricingSummary(spark, sf0001))
+    val s = plan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$s")
+  }
+
+  test("monthly series: scan reads only l_shipdate (column pruning)") {
+    val plan = executed(operators.Payroll.sliceYearlyAvg(spark, sf0001))
+    val s = plan.toString
+    assert(s.contains("ReadSchema: struct<l_shipdate:timestamp"), s)
+    assert(!s.contains("l_extendedprice"), "pruning lost: reads extra columns")
+  }
+
+  test("revenue by region: every join is a broadcast hash join") {
+    val df = operators.Relational.revenueByRegion(spark, sf0001)
+    df.collect() // let AQE finalize
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("SortMergeJoin"),
+      s"dimension join degraded to sort-merge:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject (no global sort)") {
+    val s = executed(operators.Relational.topCustomers(spark, sf0001)).toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("recovery: drops side broadcasts into the range joins") {
+    val s = executed(operators.Payroll.recovery(spark, sf0001)).toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"range join lost its broadcast:\n$s")
+  }
+
+  test("whole-stage codegen covers the pricing aggregate") {
+    // AQE defers physical planning, so codegen subtrees only appear
+    // with it off (execution behavior is identical per-stage)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s = operators.Relational.pricingSummary(spark, sf0001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(s.contains("WholeStageCodegen subtrees"), s.take(500))
+      assert(!s.startsWith("Found 0 WholeStageCodegen"), s.take(500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
