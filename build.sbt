@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits very large classes per query; with ~40
+  // queries in one JVM the default 240m code cache fills and hot loops
+  // silently fall back to the interpreter (random 10-20x per-query
+  // slowdowns). More cache + flushing + compiler threads keeps C2 live.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  "-XX:CICompilerCount=6",
 )

@@ -48,6 +48,7 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
     val dt = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
 
@@ -111,7 +112,11 @@ object Dedup {
     * (`zip_with` + filter + size). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val rowsPerBand = NumPerm / Bands
+    // repartition before the signature map: the docs parquet is one
+    // file (one partition), and signatures cost perms × tokens hash
+    // evals per doc — serial without the spread
     val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks"))
       .select(col("doc_id"), signature(col("toks")).as("sig"))
     // The band join carries only (id, band, bucket) — never the

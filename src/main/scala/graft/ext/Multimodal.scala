@@ -29,6 +29,9 @@ object Multimodal {
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, dir)
+      // single-file parquet = one partition; spread so the (real)
+      // decode cost parallelizes across executors
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("content"),
         col("source"))

@@ -21,9 +21,13 @@ object Similarity {
   private val K = 3
   private val NQueries = 10
 
-  /** Embeddings cast float→double once; norm precomputed per row. */
+  /** Embeddings cast float→double once; norm precomputed per row.
+    * The parquet is one small file → one input partition; repartition
+    * so the downstream O(pairs·dim) compute (dots in the pair joins)
+    * spreads across all cores instead of running serially. */
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
