@@ -94,6 +94,76 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word 3-gram shingles, 1-based positions (mirrors the oracle's
+    * `tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]`). Docs under 3
+    * tokens have no shingles and are excluded by both engines. */
+  private def shingles(tk: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
+      concat_ws(" ", element_at(tk, i), element_at(tk, (i + 1).cast("int")),
+        element_at(tk, (i + 2).cast("int")))))
+
+  private val ShingleT = 0.8
+
+  /** n-gram (3-shingle) Jaccard ≥ 0.8 — the word-order-sensitive
+    * near-dup detector (token-set Jaccard is order-blind; shingles
+    * catch only genuine passage reuse). Unlike single tokens,
+    * shingles have low document frequency, so the inverted-index
+    * equi-join stays near-linear: each shingle pairs only the handful
+    * of documents containing that exact 3-word sequence. */
+  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"), shingles(tk).as("sh"))
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    val sa = sizes.toDF("doc_a", "na")
+    val sb = sizes.toDF("doc_b", "nb")
+    inter.join(broadcast(sa), Seq("doc_a")).join(broadcast(sb), Seq("doc_b"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= ShingleT)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer et al.): hash every
+    * 3-gram shingle, slide a window of [[WinnowW]] hashes, keep each
+    * window's minimum — a position-robust sketch whose size is
+    * ~|doc|/w. Docs sharing ≥ 3 fingerprints are near-dup candidates.
+    * Hash-seeded (xxhash64) → no SQL oracle; `DedupSpec` asserts the
+    * candidates cover the shingle-Jaccard pairs. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"),
+        transform(shingles(tk), sh => xxhash64(sh)).as("hs"))
+      .filter(size(col("hs")) >= WinnowW)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - WinnowW), j =>
+          array_min(slice(col("hs"), (j + 1).cast("int"), lit(WinnowW)))))
+        .as("fps"))
+    val fp = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val a = fp.toDF("doc_a", "fp")
+    val b = fp.toDF("doc_b", "fp")
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val NumPerm = 32
   private val Bands = 4 // 8 rows per band → s-curve threshold ≈ 0.77
 
@@ -197,6 +267,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
+    "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
@@ -209,6 +281,24 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_shingle_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE c / (sa.n + sb.n - c) >= $ShingleT
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH dt AS (SELECT DISTINCT doc_id,

@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
   }
 
+  test("winnowing candidates cover the shingle-Jaccard near-dups") {
+    val exact = Dedup.shingleJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = Dedup.winnowPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no shingle near-dups")
+    val covered = exact.count(winnow.contains).toDouble / exact.size
+    info(f"winnow coverage of shingle pairs: $covered%.3f " +
+      f"(${winnow.size} candidates vs ${exact.size} exact)")
+    assert(covered >= 0.9)
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 3))
