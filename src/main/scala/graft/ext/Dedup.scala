@@ -94,13 +94,26 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Word 3-gram shingles, 1-based positions (mirrors the oracle's
-    * `tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]`). Docs under 3
-    * tokens have no shingles and are excluded by both engines. */
-  private def shingles(tk: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
-      concat_ws(" ", element_at(tk, i), element_at(tk, (i + 1).cast("int")),
-        element_at(tk, (i + 2).cast("int")))))
+  /** Word 3-gram shingle rows (doc_id, pos, shingle), built
+    * relationally (posexplode + `lead` over a per-doc window) rather
+    * than nested `transform` lambdas — nested higher-order functions
+    * run interpreted with their tokenizer input re-inlined per
+    * element (~70× slower, profiled). Docs under 3 tokens have no
+    * shingles and are excluded, mirroring the oracle. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Text.tokens(col("text"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+  }
 
   private val ShingleT = 0.8
 
@@ -111,13 +124,9 @@ object Dedup {
     * equi-join stays near-linear: each shingle pairs only the handful
     * of documents containing that exact 3-word sequence. */
   def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val tk = Text.tokens(col("text"))
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .filter(size(tk) >= 3)
-      .select(col("doc_id"), shingles(tk).as("sh"))
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val sh = shingleRows(s, dir)
+      .select(col("doc_id"), col("sh").as("shingle")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "shingle")
     val b = sh.toDF("doc_b", "shingle")
     val inter = a.join(b, Seq("shingle"))
@@ -140,20 +149,33 @@ object Dedup {
     * window's minimum — a position-robust sketch whose size is
     * ~|doc|/w. Docs sharing ≥ 3 fingerprints are near-dup candidates.
     * Hash-seeded (xxhash64) → no SQL oracle; `DedupSpec` asserts the
-    * candidates cover the shingle-Jaccard pairs. */
+    * candidates cover the shingle-Jaccard pairs.
+    *
+    * Formulated RELATIONALLY — posexplode + `lead` for shingles, a
+    * sliding `min` window frame for the winnow — not as nested
+    * `transform` lambdas: nested higher-order functions execute in
+    * interpreted mode with their inputs (including the tokenizer)
+    * re-inlined per element, which profiled ~70× slower than the
+    * compiled window operators here. */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val tk = Text.tokens(col("text"))
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .filter(size(tk) >= 3)
-      .select(col("doc_id"),
-        transform(shingles(tk), sh => xxhash64(sh)).as("hs"))
-      .filter(size(col("hs")) >= WinnowW)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(col("hs")) - WinnowW), j =>
-          array_min(slice(col("hs"), (j + 1).cast("int"), lit(WinnowW)))))
-        .as("fps"))
-    val fp = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val hashed = shingleRows(s, dir)
+      .withColumn("h", xxhash64(col("sh")))
+    // winnow: min over each w-length window of consecutive shingle
+    // hashes (frame [0, w-1]); valid only where w hashes remain
+    val fp = hashed
+      .withColumn("fp", min(col("h")).over(wDoc.rowsBetween(0, WinnowW - 1)))
+      .withColumn("hEnd", lead(col("h"), WinnowW - 1).over(wDoc))
+      .filter(col("hEnd").isNotNull)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+    // No document-frequency pruning here: winnowing's min-hash
+    // selection correlates across near-dup docs, so the fingerprints
+    // such pairs share ARE the popular ones — a df cap empties the
+    // candidate set (coverage went 0.96 → 0.0 when tried). The pair
+    // join stays bounded because each doc contributes only ~|doc|/w
+    // distinct fingerprints.
     val a = fp.toDF("doc_a", "fp")
     val b = fp.toDF("doc_b", "fp")
     a.join(b, Seq("fp"))
@@ -167,12 +189,25 @@ object Dedup {
   private val NumPerm = 32
   private val Bands = 4 // 8 rows per band → s-curve threshold ≈ 0.77
 
-  /** Per-document MinHash signature: for permutation k, the min of
-    * `xxhash64(k, token)` over the distinct token set — all inside
-    * one `transform`/`array_min` expression tree. */
-  private def signature(toks: Column): Column =
-    transform(sequence(lit(0), lit(NumPerm - 1)),
-      k => array_min(transform(toks, t => xxhash64(k, t))))
+  /** Per-document MinHash signatures: for permutation k, the min of
+    * `xxhash64(k, token)` over the distinct token set. Computed
+    * relationally — explode (token × permutation), codegen'd
+    * `min(xxhash64)` aggregate with map-side partial combine, then
+    * one `collect_list` pivot back to an array — because the nested
+    * `transform(…, array_min(transform(…)))` form executes
+    * interpreted per element (higher-order functions don't codegen).
+    * Returns (doc_id, sig: array&lt;long&gt; ordered by k). */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), lit(NumPerm - 1))).as("k"))
+      .groupBy("doc_id", "k")
+      .agg(min(xxhash64(col("k"), col("tok"))).as("mh"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("k"), col("mh")))).as("kv"))
+      .select(col("doc_id"),
+        transform(col("kv"), x => x.getField("mh")).as("sig"))
 
   /** MinHash + LSH near-dup candidates, est. Jaccard ≥ 0.9 — the
     * 100 TB dedup path. Banding turns all-pairs similarity into an
@@ -182,13 +217,12 @@ object Dedup {
     * (`zip_with` + filter + size). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val rowsPerBand = NumPerm / Bands
-    // repartition before the signature map: the docs parquet is one
-    // file (one partition), and signatures cost perms × tokens hash
-    // evals per doc — serial without the spread
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks"))
-      .select(col("doc_id"), signature(col("toks")).as("sig"))
+    // the signature aggregation ends in an exchange, which the
+    // banded/sa/sb branches below share via ReusedExchange
+    val docs = signatures(
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks")))
     // The band join carries only (id, band, bucket) — never the
     // signature arrays. Pair dedup then runs on two longs, and the
     // (small) signature table is re-joined broadcast for estimation.
