@@ -9,17 +9,22 @@ import graft.functions.Num.r4
 
 /** Similarity search over the `embeddings` table
   * (`ArrayType(FloatType)`, 64-dim): brute-force cosine top-k as the
-  * exact baseline, random-hyperplane LSH bucketing as the
-  * approximate scale path.
+  * exact baseline, random-hyperplane LSH bucketing as the approximate
+  * scale path, and an LSH-bucketed near-duplicate pair detector.
   *
-  * The dot product is a `zip_with` + left-fold `aggregate` over
-  * doubles — sequential per row, so bit-identical to the oracle's
-  * `list_dot_product`, and fully codegen'd (no UDF).
+  * The dot product is the native codegen'd
+  * [[graft.functions.DotProduct]] expression (left-to-right fold, so
+  * bit-identical to DuckDB's `list_dot_product`); the hyperplanes are
+  * deterministic ±1 sign vectors seeded from `md5("t_j_k")` — a hash
+  * both engines compute identically, which makes every query here
+  * (including the LSH ones) reproducible by the DuckDB oracle.
   */
 object Similarity {
 
   private val K = 3
   private val NQueries = 10
+  /** Embedding dimensionality (TESTDATA.md: 64-dim float vectors). */
+  private val Dim = 64
 
   /** Embeddings cast float→double once; norm precomputed per row.
     * The parquet is one small file → one input partition; repartition
@@ -32,9 +37,10 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Native codegen'd dot product (index-order fold; see
+    * [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   /** Exact kNN: brute-force cosine of each query (vec_id < 10)
     * against the full corpus, top-3 per query.
@@ -60,47 +66,63 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic ±1 hyperplane component: `+1` iff the top bit of
+    * `md5("t_j_k")` is 0 (equivalently the first hex digit is '0'-'7'
+    * — the form the DuckDB oracle uses). Computed driver-side once per
+    * plane and shipped as a 64-double literal array: no executor
+    * hashing, no broadcast state, and a hash both engines share. */
+  private[graft] def signPlane(table: Int, j: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { k =>
+      md.reset()
+      val d = md.digest(s"${table}_${j}_$k".getBytes("UTF-8"))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** `bits`-bit signature of `v` for hash table `table`: bit j is
+    * `sign(v · plane(table, j))`. Each projection is one native
+    * codegen'd dot against a literal sign vector. */
+  private def lshSig(v: Column, table: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(dot(v, typedlit(signPlane(table, j).toSeq)) > 0, lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Skinny bucket table (vec_id, t, sig): one row per vector per
+    * hash table. Downstream candidate joins carry only three longs —
+    * never the vectors, which re-join broadcast for verification. */
+  private def buckets(vs: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshSig(col("v"), t, bits).as("sig")))
+    vs.select(col("vec_id"), explode(array(sigs: _*)).as("ts"))
+      .select(col("vec_id"), col("ts.t"), col("ts.sig"))
+  }
+
   private val SigBits = 6  // bits per table → 64 buckets
   private val Tables_ = 8  // independent hash tables (union of candidates)
-
-  /** Deterministic ±1 pseudo-random hyperplane signature for one
-    * table: component k of plane (t, j) is `sign(xxhash64(t, j, k))`
-    * — reproducible across executors with no driver-side state or
-    * broadcast of plane matrices. */
-  private def lshSig(v: Column, table: Int): Column = {
-    val bits = (0 until SigBits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, k) =>
-          x * when(pmod(xxhash64(lit(table), lit(j), k), lit(2)) === 0, 1.0)
-            .otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
 
   /** Approximate kNN: multi-table random-hyperplane LSH → per-table
     * bucket equi-join → exact cosine re-rank over the union of
     * candidates. The all-pairs cross join becomes `Tables_` shuffles
-    * on 6-bit keys (explode by table, join on (table, sig)); more
-    * tables buy recall, bits-per-table buys selectivity. Recall vs
-    * [[bruteForceTopK]] is asserted in the test suite. */
+    * on 6-bit keys; more tables buy recall, bits-per-table buys
+    * selectivity. Recall vs [[bruteForceTopK]] is asserted in the
+    * test suite, and the md5-seeded planes make the whole query
+    * reproducible by the DuckDB oracle. */
   def lshAnn(s: SparkSession, dir: String): DataFrame = {
-    val sigs = (0 until Tables_).map(t =>
-      struct(lit(t).as("t"), lshSig(col("v"), t).as("sig")))
     val vs = vectors(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(array(sigs: _*)).as("ts"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("ts.t"), col("ts.sig"))
-    val q = vs.toDF("query_id", "qv", "qnrm", "t", "sig")
-      .filter(col("query_id") < NQueries)
-    val c = vs.toDF("neighbor_id", "cv", "cnrm", "t", "sig")
+    val bk = buckets(vs, Tables_, SigBits)
+    val q = bk.toDF("query_id", "t", "sig").filter(col("query_id") < NQueries)
+    val c = bk.toDF("neighbor_id", "t", "sig")
+    val cand = c.join(broadcast(q), Seq("t", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct() // union candidates across tables
+    val qv = vs.toDF("query_id", "qv", "qnrm")
+    val cv = vs.toDF("neighbor_id", "cv", "cnrm")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("t", "sig"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qv", "cv", "qnrm", "cnrm")
-      .distinct() // union candidates across tables
+    cand.join(broadcast(qv), Seq("query_id")).join(broadcast(cv), Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
@@ -110,14 +132,46 @@ object Similarity {
   }
 
   private val NearDupCos = 0.45
+  private val NearBits = 3    // coarse buckets: high recall at low cos
+  private val NearTables = 16
 
-  /** Embedding-cosine near-duplicate pairs (the dedup-family member
-    * over vectors): exact all-pairs cosine ≥ 0.45. The pair space is
-    * a broadcast nested-loop over `vec_a < vec_b` — exact and fine
-    * while one side broadcasts; at corpus scale the same verify step
-    * runs over [[lshAnn]]-style bucket candidates instead of the full
-    * cross product (identical math, bounded pairs). */
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: hyperplane
+    * candidates (3 bits × 16 tables) → exact cosine ≥ 0.45 verify on
+    * candidates only. No cross join anywhere: candidate generation is
+    * 16 equi-joins on 3-bit keys, linear in corpus size per bucket.
+    *
+    * Parameter choice: at this corpus's near-dup threshold (0.45,
+    * collision prob per bit ≈ 0.65) a pair is missed with prob
+    * (1 − 0.65³)¹⁶ ≈ 0.006 — coarse bits + many tables buy recall at
+    * a low threshold. At production thresholds (≥ 0.9, p ≈ 0.97 per
+    * bit) the same operator runs with more bits per table and prunes
+    * much harder — the s-curve steepens with the threshold.
+    * The DuckDB oracle replicates the buckets exactly (md5-seeded
+    * planes), so this is hash-checked, not rows-only; recall vs the
+    * all-pairs scan is additionally asserted in `SimilaritySpec`. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val bk = buckets(vs, NearTables, NearBits)
+    val a = bk.toDF("vec_a", "t", "sig")
+    val b = bk.toDF("vec_b", "t", "sig")
+    val cand = a.join(b, Seq("t", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct() // a pair may co-bucket in several tables
+    val va = vs.toDF("vec_a", "va", "na")
+    val vb = vs.toDF("vec_b", "vb", "nb")
+    cand.join(broadcast(va), Seq("vec_a")).join(broadcast(vb), Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Exact all-pairs near-dup scan — the recall oracle for
+    * [[embeddingNearDups]], used only by `SimilaritySpec` (O(n²);
+    * deliberately NOT a declared query). */
+  private[graft] def embeddingNearDupsAllPairs(
+      s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
     val a = vs.toDF("vec_a", "va", "na")
     val b = vs.toDF("vec_b", "vb", "nb")
@@ -134,8 +188,24 @@ object Similarity {
     "dedup_embedding_pairs" -> (embeddingNearDups _),
   )
 
-  /** LSH is hash-seeded → not reproducible in SQL (rows-only check);
-    * brute force has an exact DuckDB oracle. */
+  /** Shared oracle CTE prefix: vectors + norms, and the md5-seeded
+    * hyperplane signatures for (`tables` × `bits`) planes — exactly
+    * the arithmetic [[lshSig]] runs (same fold order, same sign
+    * test), so LSH bucket assignments match Spark's bit-for-bit. */
+  private def lshOracleCtes(tables: Int, bits: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |planes AS (SELECT tt.t AS t, jj.j AS j,
+       |    list_transform(range(0, $Dim), k ->
+       |      CASE WHEN substr(md5(tt.t || '_' || jj.j || '_' || k), 1, 1)
+       |             BETWEEN '0' AND '7'
+       |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pv
+       |  FROM range(0, $tables) tt(t), range(0, $bits) jj(j)),
+       |sigs AS (SELECT n.vec_id, p.t,
+       |    CAST(SUM(CASE WHEN list_dot_product(n.v, p.pv) > 0
+       |                  THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS BIGINT) AS sig
+       |  FROM n CROSS JOIN planes p GROUP BY 1, 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -151,12 +221,33 @@ object Similarity {
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
+    "sim_topk_lsh_ann" ->
+      s"""WITH ${lshOracleCtes(Tables_, SigBits)},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+         |  WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id),
+         |p AS (SELECT query_id, neighbor_id,
+         |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = query_id
+         |  JOIN n cn ON cn.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
     "dedup_embedding_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      s"""WITH ${lshOracleCtes(NearTables, NearBits)},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+         |  WHERE a.vec_id < b.vec_id),
+         |p AS (SELECT vec_a, vec_b,
+         |    list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+         |  FROM cand
+         |  JOIN n na ON na.vec_id = vec_a
+         |  JOIN n nb ON nb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos
          |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin,
   )

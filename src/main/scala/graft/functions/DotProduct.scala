@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Dot product of two `array<double>` columns as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * Replaces `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`: Spark
+  * higher-order functions evaluate their lambdas per element in
+  * interpreted mode (they do not participate in codegen), which
+  * profiled at ~44 µs per 64-dim pair on the similarity join paths —
+  * this loop is ~0.05 µs/row and stays inside the enclosing
+  * WholeStageCodegen stage.
+  *
+  * Accumulation is STRICTLY left-to-right (`acc += a(i)*b(i)` in index
+  * order) — the same fold order as the `aggregate` form it replaces
+  * and as DuckDB's `list_dot_product`, so results stay bit-identical
+  * to the oracle. Do not "optimize" into pairwise/vectorized
+  * summation: double addition is not associative.
+  *
+  * Null semantics: null array → null. Mismatched lengths → null
+  * (`zip_with` padded with null, which nulled the whole fold — kept
+  * for parity). Array elements must be non-null (inputs come from
+  * `transform(embedding, cast)` over non-null vectors).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API entry point. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(
+      GraftShims.expression(a), GraftShims.expression(b)))
+}

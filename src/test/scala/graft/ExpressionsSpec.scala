@@ -45,6 +45,45 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.select(arrayAgreeCount(col("a"), col("b"))).head().getInt(0) == 2)
   }
 
+  test("dot_product matches the aggregate(zip_with) fold it replaces") {
+    import graft.functions.DotProduct.dotProduct
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3, 1e-9), Seq(7.0, 0.25, -3.5, 1e9)),
+      (Seq.empty[Double], Seq.empty[Double]),
+    ).toDF("a", "b")
+    val got = df.select(
+      dotProduct(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("ref")).collect()
+    // exact equality: both are left-to-right folds, must be bit-identical
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
+  test("dot_product: null input or length mismatch yields null") {
+    import graft.functions.DotProduct.dotProduct
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (Some(Seq(1.0)), Option.empty[Seq[Double]]),
+    ).toDF("a", "b")
+    df.select(dotProduct(col("a"), col("b"))).collect()
+      .foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("signPlane matches the md5 top-bit rule (oracle parity)") {
+    // DuckDB: substr(md5('0_0_0'),1,1) BETWEEN '0' AND '7'  <=>  +1.0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val plane = graft.ext.Similarity.signPlane(0, 0)
+    (0 until 64).foreach { k =>
+      val hex = md.digest(s"0_0_$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = if (hex.charAt(0) <= '7') 1.0 else -1.0
+      assert(plane(k) == expect, s"k=$k hex=$hex")
+    }
+    assert(plane.count(_ == 1.0) > 16 && plane.count(_ == -1.0) > 16,
+      "sign plane degenerate")
+  }
+
   test("type mismatch is rejected at analysis") {
     val df = Seq((Seq("x"), Seq(1))).toDF("a", "b")
     intercept[Exception] {

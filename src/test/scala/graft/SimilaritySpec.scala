@@ -21,6 +21,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bucketed near-dup pairs recall the all-pairs scan") {
+    val exact = Similarity.embeddingNearDupsAllPairs(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.embeddingNearDups(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketed output is a subset by construction (candidates ∩ exact)
+    assert(bucketed.subsetOf(exact), "bucketed produced a non-exact pair")
+    if (exact.nonEmpty) {
+      val recall = exact.count(bucketed.contains).toDouble / exact.size
+      info(f"LSH near-dup recall: $recall%.3f (${exact.size} exact pairs)")
+      assert(recall >= 0.9, f"recall $recall%.3f — raise tables / lower bits")
+    }
+  }
+
   test("LSH ANN finds a nontrivial fraction of the exact top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf0001)
       .select("query_id", "neighbor_id").collect()
