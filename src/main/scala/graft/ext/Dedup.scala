@@ -17,11 +17,23 @@ import graft.functions.Num.r4
   *     band-bucket equi-join, no pairwise work outside buckets
   *  5. SimHash — 32-bit sketch + Hamming-ball candidate pairing
   *
-  * All sketches are built from `functions._` higher-order expressions
-  * (xxhash64 inside `transform`) — codegen'd, no UDFs, no
-  * collect-to-driver.
+  * All sketches hash with md5 (via codegen'd `functions._`
+  * expressions or the one-pass [[graft.functions.MinHashSketch]]
+  * aggregate — no UDFs, no collect-to-driver). md5, unlike
+  * xxhash64/murmur3, is computed identically by DuckDB, so every
+  * sketch query here is reproducible by the driver's SQL oracle.
   */
 object Dedup {
+
+  /** 60-bit cross-engine hash: first 15 hex digits of md5 as a
+    * base-16 integer. DuckDB equivalent:
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`. */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit variant (first 8 hex digits) — enough for per-bit votes. */
+  private def md5Hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Exact dedup: group by content hash, keep the smallest doc_id
     * (deterministic survivor), count copies. At scale this shuffles
@@ -148,8 +160,9 @@ object Dedup {
     * 3-gram shingle, slide a window of [[WinnowW]] hashes, keep each
     * window's minimum — a position-robust sketch whose size is
     * ~|doc|/w. Docs sharing ≥ 3 fingerprints are near-dup candidates.
-    * Hash-seeded (xxhash64) → no SQL oracle; `DedupSpec` asserts the
-    * candidates cover the shingle-Jaccard pairs.
+    * Hashes are md5-based ([[md5Hash60]]) → the DuckDB oracle
+    * recomputes the fingerprints exactly; `DedupSpec` additionally
+    * asserts the candidates cover the shingle-Jaccard pairs.
     *
     * Formulated RELATIONALLY — posexplode + `lead` for shingles, a
     * sliding `min` window frame for the winnow — not as nested
@@ -161,7 +174,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val hashed = shingleRows(s, dir)
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", md5Hash60(col("sh")))
     // winnow: min over each w-length window of consecutive shingle
     // hashes (frame [0, w-1]); valid only where w hashes remain
     val fp = hashed
@@ -189,25 +202,19 @@ object Dedup {
   private val NumPerm = 32
   private val Bands = 4 // 8 rows per band → s-curve threshold ≈ 0.77
 
-  /** Per-document MinHash signatures: for permutation k, the min of
-    * `xxhash64(k, token)` over the distinct token set. Computed
-    * relationally — explode (token × permutation), codegen'd
-    * `min(xxhash64)` aggregate with map-side partial combine, then
-    * one `collect_list` pivot back to an array — because the nested
-    * `transform(…, array_min(transform(…)))` form executes
-    * interpreted per element (higher-order functions don't codegen).
-    * Returns (doc_id, sig: array&lt;long&gt; ordered by k). */
+  /** Per-document MinHash signatures: for permutation k, the min over
+    * the distinct token set of the md5-based 60-bit hash `H(k, tok)`
+    * (see [[graft.functions.MinHashSketch]]). One pass over the token
+    * rows via the custom `TypedImperativeAggregate` — no token×perm
+    * row explosion, no collect_list pivot; the map-side partial
+    * combine means the only shuffle carries one 32-long array per
+    * document. Returns (doc_id, sig: array&lt;long&gt; ordered by k). */
   private def signatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(0), lit(NumPerm - 1))).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min(xxhash64(col("k"), col("tok"))).as("mh"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("k"), col("mh")))).as("kv"))
-      .select(col("doc_id"),
-        transform(col("kv"), x => x.getField("mh")).as("sig"))
+      .agg(graft.functions.MinHashSketch
+        .minhashSketch(col("tok"), NumPerm).as("sig"))
 
   /** MinHash + LSH near-dup candidates, est. Jaccard ≥ 0.9 — the
     * 100 TB dedup path. Banding turns all-pairs similarity into an
@@ -254,15 +261,16 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document: each distinct token votes ±1 on
-    * every bit of its hash; the sketch sign-thresholds the vote
-    * vector. Computed as explode → 32 conditional sums → bit
-    * recombination (pure aggregates, map-side combinable). */
+    * every bit of its hash ([[md5Hash32]] — oracle-reproducible); the
+    * sketch sign-thresholds the vote vector. Computed as explode → 32
+    * conditional sums → bit recombination (pure aggregates, map-side
+    * combinable). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
-      .withColumn("h", hash(col("tok")))
+      .withColumn("h", md5Hash32(col("tok")))
     val votes = (0 until 32).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1 << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
     }
     val sketch = (0 until 32).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
@@ -308,9 +316,77 @@ object Dedup {
     "dedup_simhash_pairs" -> (simhashPairs _),
   )
 
-  /** jaccard/exact are SQL-expressible; the sketch ops (xxhash64 /
-    * murmur3-dependent) are not reproducible in DuckDB → rows-only. */
+  /** All dedup queries are oracle-checked. The sketch ops hash with
+    * md5 (identical in both engines), so DuckDB recomputes signatures
+    * exactly. The LSH/banding stages need no oracle replication: a
+    * pair passing the final similarity filter is ALWAYS a banding
+    * candidate (est ≥ 0.9 of 32 ⇒ ≤ 3 mismatches ⇒ some 8-row band
+    * agrees, pigeonhole — same for the SimHash byte-banding), so the
+    * oracle computes the filter over all pairs and gets the identical
+    * result set at oracle scale. */
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |mh AS (SELECT doc_id, kk.k AS k,
+         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_filter(range(0, $NumPerm), i -> a.sig[i+1] = b.sig[i+1]))
+         |      / ${NumPerm}.0 AS est_jaccard
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
+         |FROM pairs WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+         |sh AS (SELECT doc_id, unnest(range(0, len(tk) - 2)) AS pos,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM t),
+         |h AS (SELECT doc_id, pos,
+         |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS hv
+         |  FROM sh),
+         |w AS (SELECT doc_id,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+         |    lead(hv, ${WinnowW - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS hEnd
+         |  FROM h),
+         |fp AS (SELECT DISTINCT doc_id, fp FROM w WHERE hEnd IS NOT NULL)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM dt),
+         |v AS (SELECT doc_id, ii.i AS i,
+         |    CASE WHEN SUM(CASE WHEN ((h >> ii.i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) << ii.i ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM h, range(0, 32) ii(i) GROUP BY doc_id, ii.i)
+         |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
+         |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM dt),
+         |v AS (SELECT doc_id, ii.i AS i,
+         |    CASE WHEN SUM(CASE WHEN ((h >> ii.i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) << ii.i ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM h, range(0, 32) ii(i) GROUP BY doc_id, ii.i),
+         |sk AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM v GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

@@ -70,8 +70,11 @@ object Multimodal {
     }
   }
 
-  /** Feature query surface (rows-only check: the histogram is not
-    * practically SQL-expressible). */
+  /** Feature query surface. The stub's 16-bin byte histogram IS
+    * SQL-expressible for this corpus: the text is pure ASCII
+    * (verified: octet_length == length for every row), so bin b's
+    * count is a regex count of chars in `[\x{b0}-\x{bF}]` — the
+    * DuckDB oracle checks f0/f7 exactly. */
   def features(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, dir)
       .toDF()
@@ -99,6 +102,19 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id AS media_id, text,
+        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |SELECT media_id,
+        |  64 + nb % 64 AS width,
+        |  64 + (nb // 64) % 64 AS height,
+        |  CAST(nb AS BIGINT) AS n_bytes,
+        |  round(len(regexp_extract_all(text, '[\x00-\x0f]'))
+        |    / greatest(1.0, CAST(nb AS DOUBLE)), 4) AS f0,
+        |  round(len(regexp_extract_all(text, '[\x70-\x7f]'))
+        |    / greatest(1.0, CAST(nb AS DOUBLE)), 4) AS f7
+        |FROM b ORDER BY media_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
