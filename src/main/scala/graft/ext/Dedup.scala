@@ -62,29 +62,42 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
-    val dt = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val dt = docs.select(col("doc_id"), explode(col("ts")).as("tok")).cache()
 
-    // global token order: rare tokens first (deterministic tie-break)
+    // Global token order: rare tokens first (deterministic tie-break).
+    // Ordinals come from monotonically_increasing_id over the sorted
+    // frame — order-preserving (range partitioning puts ascending keys
+    // in ascending partition ids, and the id is (partition << 33) |
+    // row) and injective, with NO single-partition global window: a
+    // 100 TB vocabulary assigns ordinals fully in parallel. Only the
+    // ORDER of ordinals matters downstream, not density.
     val tokOrder = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("ord", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").asc, col("tok").asc)))
-      .select("tok", "ord")
+      .sort(col("df").asc, col("tok").asc)
+      .select(col("tok"), monotonically_increasing_id().as("ord"))
 
-    // per-doc tokens sorted by that order; prefix length |x|-⌈t|x|⌉+1
+    // Per-doc tokens sorted by that order; prefix length |x|-⌈t|x|⌉+1.
+    // Cached: three consumers (prefixes + both verify sides) would
+    // otherwise recompute the tokenize→join→collect_list lineage ~5×.
     val sorted = dt.join(broadcast(tokOrder), Seq("tok"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("ord"))).as("ords"))
       .withColumn("n", size(col("ords")))
       .withColumn("plen", col("n") - ceil(lit(JaccardT) * col("n")).cast("int") + 1)
+      .cache()
     val prefixes = sorted
-      .select(col("doc_id"), explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
 
-    // candidate pairs: share >= 1 prefix token (complete for J >= t)
-    val pa = prefixes.toDF("doc_a", "ord")
-    val pb = prefixes.toDF("doc_b", "ord")
-    val cand = pa.join(pb, Seq("ord"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Candidate pairs: share >= 1 prefix token (complete for J >= t),
+    // with the PPJoin LENGTH filter fused into the join: J(x,y) >= t
+    // forces t·|x| <= |y| <= |x|/t, which prunes the quadratic blowup
+    // inside popular prefix buckets before the distinct.
+    val pa = prefixes.toDF("doc_a", "na", "ord")
+    val pb = prefixes.toDF("doc_b", "nb", "ord")
+    val cand = pa.join(pb,
+        pa("ord") === pb("ord") && col("doc_a") < col("doc_b") &&
+          col("nb") >= ceil(lit(JaccardT) * col("na")) &&
+          col("nb") * lit(JaccardT) <= col("na"))
       .select("doc_a", "doc_b")
       .distinct()
 

@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** `|A ∩ B|` for two **ascending-sorted** int arrays, as a native
-  * Catalyst expression with whole-stage codegen.
+/** `|A ∩ B|` for two **ascending-sorted** int or long arrays, as a
+  * native Catalyst expression with whole-stage codegen.
   *
   * The built-in `array_intersect` materializes a hash set per row
   * (boxed elements, allocation per call) — measured ~25 µs/row on the
@@ -30,15 +30,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(IntegerType, _) => true
-      case _ => false
-    })
+    val ok = Seq(IntegerType, LongType).exists(et =>
+      Seq(left, right).forall(_.dataType match {
+        case ArrayType(`et`, _) => true
+        case _ => false
+      }))
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_size requires array<int> inputs, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+      s"sorted_intersect_size requires two array<int> or two array<bigint> " +
+        s"inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,11 +50,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val n1 = x.numElements()
     val n2 = y.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < n1 && j < n2) {
-      val xi = x.getInt(i); val yj = y.getInt(j)
-      if (xi == yj) { c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < n1 && j < n2) {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { c += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n1 && j < n2) {
+        val xi = x.getInt(i); val yj = y.getInt(j)
+        if (xi == yj) { c += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -61,13 +74,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val (jt, getter) = if (isLong) ("long", "getLong") else ("int", "getInt")
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |final int $n1 = $a.numElements();
          |final int $n2 = $b.numElements();
          |while ($i < $n1 && $j < $n2) {
-         |  final int $x = $a.getInt($i);
-         |  final int $y = $b.getInt($j);
+         |  final $jt $x = $a.$getter($i);
+         |  final $jt $y = $b.$getter($j);
          |  if ($x == $y) { $c++; $i++; $j++; }
          |  else if ($x < $y) { $i++; }
          |  else { $j++; }

@@ -28,6 +28,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.select(sortedIntersectSize(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("sorted_intersect_size supports long arrays (vocabulary ordinals)") {
+    val df = Seq(
+      (Seq(1L, 3L, (1L << 40) + 5L), Seq(3L, 4L, (1L << 40) + 5L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+    ).toDF("a", "b")
+    val got = df.select(
+      sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("array_agree_count matches zip_with composition on long arrays") {
     val df = Seq(
       (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
