@@ -44,16 +44,27 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      val err = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must not read as a (fast) success: its partial
+    // wall-time still counts, and an "errors" map names it so the
+    // bench JSON carries the failure. Nonzero exit on any failure.
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

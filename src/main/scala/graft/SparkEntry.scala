@@ -23,6 +23,7 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
+      sources.Ingest.queries ++
       streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
@@ -35,5 +36,6 @@ object SparkEntry {
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++
       ext.Multimodal.oracleSql ++
+      sources.Ingest.oracleSql ++
       streaming.Events.oracleSql
 }

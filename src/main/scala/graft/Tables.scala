@@ -48,4 +48,35 @@ object Tables {
   /** Oracle-side CTE matching [[monthlySeries]] exactly (DuckDB SQL). */
   val monthlySeriesSql: String =
     "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, COUNT(*) AS emp FROM lineitem GROUP BY 1"
+
+  private val seriesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** S5 session result cache: the reference memoizes the loaded series
+    * per dashboard session (`@st.cache_data`,
+    * `/root/reference/dashboard_nfp.py:50`). Spark parity is
+    * `df.cache()` on the shared aggregate, memoized per (session, sf
+    * dir) — every payroll query reuses one in-memory copy (≤ a few
+    * hundred rows) instead of re-scanning and re-aggregating lineitem.
+    * Entries are keyed by session so a stopped session's cache is
+    * simply never reused. */
+  def monthlySeriesCached(s: SparkSession, dir: String): DataFrame =
+    seriesCache.getOrElseUpdate((s, dir), monthlySeries(s, dir).cache())
+
+  /** S2's external half: the reference reads its table straight from
+    * PostgreSQL (`/root/reference/dashboard_nfp.py:67-68`). The Spark
+    * equivalent is a JDBC scan; `partitionColumn` bounds split it into
+    * `numPartitions` parallel range queries so a large external table
+    * loads across the cluster, not through one connection. No JDBC
+    * driver ships in this environment, so tests cover wiring only. */
+  def jdbc(s: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L, upperBound: Long = 0L,
+      numPartitions: Int = 1,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    partitionColumn match {
+      case Some(c) =>
+        s.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, props)
+      case None => s.read.jdbc(url, table, props)
+    }
 }

@@ -27,8 +27,11 @@ object Payroll {
     * 2019/2020, `dashboard_nfp.py:113`). */
   private val CompareYears = Seq(1995, 1996)
 
+  /** Shared monthly series through the S5 session result cache: one
+    * lineitem scan+aggregate per (session, sf dir), not one per
+    * query ([[graft.Tables.monthlySeriesCached]]). */
   private def series(s: SparkSession, dir: String): DataFrame =
-    Tables.monthlySeries(s, dir)
+    Tables.monthlySeriesCached(s, dir)
 
   private val wGlobal = Window.orderBy("month")
 

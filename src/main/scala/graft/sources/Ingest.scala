@@ -39,4 +39,44 @@ object Ingest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("year")
       .parquet(path)
+
+  /** S4 end-to-end declared query: build a deterministic "incoming"
+    * batch (every 10th order re-arrives one day later with status
+    * 'R'), [[upsert]] it into the base snapshot last-write-wins,
+    * [[writeTimeSeries]] the merged snapshot to parquet (year-
+    * partitioned), re-read it, and return the rows — the reference's
+    * whole `etl.py:66-71` load story as one verifiable round trip.
+    * The DuckDB oracle recomputes the same merge relationally, so the
+    * write→read path (not just the merge plan) is hash-checked. */
+  def upsertRoundtrip(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val incoming = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 1))
+      .withColumn("o_orderstatus", lit("R"))
+    val merged = upsert(base, incoming, "o_orderkey", "o_orderdate")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_roundtrip_" +
+      new java.io.File(dir).getName
+    writeTimeSeries(merged, path, "o_orderdate")
+    s.read.parquet(path)
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("ingest_upsert_roundtrip" -> (upsertRoundtrip _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ingest_upsert_roundtrip" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    o_totalprice, o_orderstatus FROM orders),
+        |inc AS (SELECT o_orderkey, o_orderdate + 1 AS o_orderdate,
+        |    o_totalprice, 'R' AS o_orderstatus FROM base WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY o_orderdate DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM inc))
+        |SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM u WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+  )
 }
