@@ -237,12 +237,14 @@ object Dedup {
     * (`zip_with` + filter + size). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val rowsPerBand = NumPerm / Bands
-    // the signature aggregation ends in an exchange, which the
-    // banded/sa/sb branches below share via ReusedExchange
+    // cached: the banded/sa/sb branches would otherwise re-run the
+    // tokenize + signature aggregation three times (ReusedExchange
+    // shares the shuffle but each branch re-merges the aggregate)
     val docs = signatures(
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks")))
+      .cache()
     // The band join carries only (id, band, bucket) — never the
     // signature arrays. Pair dedup then runs on two longs, and the
     // (small) signature table is re-joined broadcast for estimation.

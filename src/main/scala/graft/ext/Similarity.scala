@@ -131,6 +131,74 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val NProbe = 2
+
+  /** Vectors with their coarse-quantizer cell id. The corpus ships a
+    * `label` column (TESTDATA.md) standing in for the offline k-means
+    * assignment a production IVF index trains — the operator shape
+    * (centroid build → probe ranking → in-cell exact search) is
+    * identical with trained centroids. */
+  private def labeledVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** IVF approximate kNN — the other canonical ANN scale path next to
+    * [[lshAnn]]: elementwise-mean centroid per cell (order-independent
+    * decimal mean, so the oracle reproduces it bit-for-bit), rank
+    * cells per query by centroid cosine, probe the top-[[NProbe]]
+    * cells, exact cosine only within probed cells.
+    *
+    * Scale shape: centroids are a tiny broadcast table; the probe
+    * assignment is queries × cells (queries ≪ corpus, cells ≪
+    * corpus); the exact search is an equi-join on the cell id — the
+    * corpus is scanned once and only 1/cells-th of it per query does
+    * any dot-product work. At 100 TB the cell id becomes the table's
+    * partition key and probing prunes whole partitions. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKProbes(s, dir, NProbe)
+
+  /** [[ivfTopK]] with an explicit probe count. With `nprobe` = number
+    * of cells the result is EXACTLY [[bruteForceTopK]] (asserted in
+    * `SimilaritySpec`) — recall degrades smoothly as probes shrink. */
+  private[graft] def ivfTopKProbes(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import graft.functions.Num.davg
+    val vs = labeledVectors(s, dir)
+    val cent = vs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(davg(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("kv"))
+      .select(col("label"), transform(col("kv"), x => x.getField("cx")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+
+    val q = vs.toDF("query_id", "qlabel", "qv", "qnrm")
+      .filter(col("query_id") < NQueries)
+      .drop("qlabel")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "qv", "qnrm", "label")
+
+    val members = vs.toDF("neighbor_id", "label", "nv", "nnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    members.join(broadcast(probes), Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), r4(col("cos")).as("cos"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private val NearDupCos = 0.45
   private val NearBits = 3    // coarse buckets: high recall at low cos
   private val NearTables = 16
@@ -185,6 +253,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_lsh_ann"    -> (lshAnn _),
+    "sim_topk_ivf"        -> (ivfTopK _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
   )
 
@@ -231,6 +300,35 @@ object Similarity {
          |  FROM cand
          |  JOIN n qn ON qn.vec_id = query_id
          |  JOIN n cn ON cn.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |px AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM n),
+         |cm AS (SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,8))) AS DOUBLE) / COUNT(x) AS cx
+         |  FROM px GROUP BY 1, 2),
+         |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM cm GROUP BY 1),
+         |cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+         |probes AS (SELECT query_id, label FROM (
+         |    SELECT q.vec_id AS query_id, c.label,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+         |        c.label ASC) AS prank
+         |    FROM n q CROSS JOIN cn c WHERE q.vec_id < $NQueries)
+         |  WHERE prank <= $NProbe),
+         |p AS (SELECT pr.query_id, m.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, m.v) / (q.nrm * m.nrm) AS cos
+         |  FROM probes pr
+         |  JOIN n m ON m.label = pr.label
+         |  JOIN n q ON q.vec_id = pr.query_id
+         |  WHERE m.vec_id != pr.query_id),
          |r AS (SELECT query_id, neighbor_id, cos,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"range join lost its broadcast:\n$s")
   }
 
+  test("embedding near-dups: candidates via equi-join, never cartesian") {
+    val s = executed(ext.Similarity.embeddingNearDups(spark, sf0001)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair generation degraded to an all-pairs join:\n$s")
+  }
+
+  test("jaccard: no Window operator (parallel ordinal assignment)") {
+    val s = executed(ext.Dedup.jaccardPairs(spark, sf0001)).toString
+    assert(!s.contains("Window"),
+      s"vocabulary ordinal fell back to a global window:\n$s")
+  }
+
+  test("minhash signatures build in one pass (ObjectHashAggregate, no perm explode)") {
+    val s = executed(ext.Dedup.minhashLsh(spark, sf0001)).toString
+    assert(s.contains("ObjectHashAggregate"), s)
+    assert(s.contains("minhash_sketch"), s)
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
