@@ -18,9 +18,12 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(df.columns.nonEmpty, s"$name has no columns")
       df.count() // must execute without throwing
     }
-    // oracle keys must be a subset of query keys
+    // full oracle coverage both ways: every query hash-checked, no
+    // orphaned SQL (the engine promises ZERO rows-only checks)
     val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+    val unoracled = qs.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"query without DuckDB oracle: $unoracled")
   }
 
   test("rollup consistency: sum of quarterly totals == sum of yearly totals") {
