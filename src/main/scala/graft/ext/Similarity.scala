@@ -26,16 +26,27 @@ object Similarity {
   /** Embedding dimensionality (TESTDATA.md: 64-dim float vectors). */
   private val Dim = 64
 
+  private val vecCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** Embeddings cast float→double once; norm precomputed per row.
     * The parquet is one small file → one input partition; repartition
     * so the downstream O(pairs·dim) compute (dots in the pair joins)
-    * spreads across all cores instead of running serially. */
+    * spreads across all cores instead of running serially. Cached +
+    * memoized per (session, dir): all four similarity queries (and
+    * the 2–3 join branches inside each) reuse one in-memory copy
+    * instead of re-reading and re-normalizing per branch. */
+  private def labeledVectors(s: SparkSession, dir: String): DataFrame =
+    vecCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .cache())
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    labeledVectors(s, dir).drop("label")
 
   /** Native codegen'd dot product (index-order fold; see
     * [[graft.functions.DotProduct]]). */
@@ -132,18 +143,6 @@ object Similarity {
   }
 
   private val NProbe = 2
-
-  /** Vectors with their coarse-quantizer cell id. The corpus ships a
-    * `label` column (TESTDATA.md) standing in for the offline k-means
-    * assignment a production IVF index trains — the operator shape
-    * (centroid build → probe ranking → in-cell exact search) is
-    * identical with trained centroids. */
-  private def labeledVectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** IVF approximate kNN — the other canonical ANN scale path next to
     * [[lshAnn]]: elementwise-mean centroid per cell (order-independent
