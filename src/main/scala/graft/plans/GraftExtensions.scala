@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => WindowNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayAgreeCount, SortedIntersectSize}
+import graft.functions.{ArrayAgreeCount, DotProduct, MinHashSketch, SortedIntersectSize}
 
 /** Advisory lint (SURVEY.md §4): a `Window` with an empty partition
   * spec serializes its whole input onto one task — correct, and fine
@@ -65,5 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "array_agree_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayAgreeCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSketch(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
   }
 }

@@ -11,8 +11,21 @@ class ExtensionsSpec extends SparkSpec {
   test("native expressions are registered as SQL functions") {
     val r = spark.sql(
       "SELECT sorted_intersect_size(array(1, 3, 5), array(3, 5, 7)) AS a, " +
-        "array_agree_count(array(1L, 2L), array(1L, 9L)) AS b").head()
-    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+        "array_agree_count(array(1L, 2L), array(1L, 9L)) AS b, " +
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS c").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getDouble(2) == 11.0)
+  }
+
+  test("minhash_sketch aggregates via SQL") {
+    val sig = spark.sql(
+      "SELECT minhash_sketch(t, 4) AS sig FROM VALUES ('a'), ('b'), ('c') v(t)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(_ >= 0L))
+    // must equal the Column-API form
+    import graft.functions.MinHashSketch.minhashSketch
+    val viaCol = Seq("a", "b", "c").toDF("t")
+      .agg(minhashSketch(col("t"), 4)).head().getSeq[Long](0)
+    assert(sig == viaCol)
   }
 
   test("lint flags a global window over raw (non-aggregated) input") {
