@@ -35,6 +35,21 @@ object Dedup {
   private def md5Hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  private val tokCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Distinct (doc_id, tok) rows — the shared input of the Jaccard /
+    * MinHash / SimHash family. Cached + memoized per (session, dir):
+    * five queries re-tokenized the corpus before; now the regex
+    * split + explode + distinct runs once per session. */
+  private def distinctTokens(s: SparkSession, dir: String): DataFrame =
+    tokCache.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+        .cache())
+
   /** Exact dedup: group by content hash, keep the smallest doc_id
     * (deterministic survivor), count copies. At scale this shuffles
     * 16-byte hashes, never the documents themselves. */
@@ -59,10 +74,7 @@ object Dedup {
     * the DuckDB oracle still runs.
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("ts"))
-    val dt = docs.select(col("doc_id"), explode(col("ts")).as("tok")).cache()
+    val dt = distinctTokens(s, dir)
 
     // Global token order: rare tokens first (deterministic tie-break).
     // Ordinals come from monotonically_increasing_id over the sorted
@@ -125,20 +137,25 @@ object Dedup {
     * run interpreted with their tokenizer input re-inlined per
     * element (~70× slower, profiled). Docs under 3 tokens have no
     * shingles and are excluded, mirroring the oracle. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tk = Text.tokens(col("text"))
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .filter(size(tk) >= 3)
-      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-  }
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Text.tokens(col("text"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(size(tk) >= 3)
+        .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+        .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+        .cache() // shared by shingle-Jaccard and winnowing
+    })
 
   private val ShingleT = 0.8
 
@@ -222,9 +239,8 @@ object Dedup {
     * row explosion, no collect_list pivot; the map-side partial
     * combine means the only shuffle carries one 32-long array per
     * document. Returns (doc_id, sig: array&lt;long&gt; ordered by k). */
-  private def signatures(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+  private def signatures(tokenRows: DataFrame): DataFrame =
+    tokenRows
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSketch
         .minhashSketch(col("tok"), NumPerm).as("sig"))
@@ -238,13 +254,9 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val rowsPerBand = NumPerm / Bands
     // cached: the banded/sa/sb branches would otherwise re-run the
-    // tokenize + signature aggregation three times (ReusedExchange
-    // shares the shuffle but each branch re-merges the aggregate)
-    val docs = signatures(
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks")))
-      .cache()
+    // signature aggregation three times (ReusedExchange shares the
+    // shuffle but each branch re-merges the aggregate)
+    val docs = signatures(distinctTokens(s, dir)).cache()
     // The band join carries only (id, band, bucket) — never the
     // signature arrays. Pair dedup then runs on two longs, and the
     // (small) signature table is re-joined broadcast for estimation.
@@ -281,8 +293,7 @@ object Dedup {
     * conditional sums → bit recombination (pure aggregates, map-side
     * combinable). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+    val toks = distinctTokens(s, dir)
       .withColumn("h", md5Hash32(col("tok")))
     val votes = (0 until 32).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
