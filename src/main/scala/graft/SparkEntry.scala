@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Payroll.queries ++
       operators.Relational.queries ++
+      operators.AsOf.queries ++
       ext.Text.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Payroll.oracleSql ++
       operators.Relational.oracleSql ++
+      operators.AsOf.oracleSql ++
       ext.Text.oracleSql ++
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++

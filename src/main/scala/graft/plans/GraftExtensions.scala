@@ -53,6 +53,7 @@ object GlobalWindowLint extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GlobalWindowLint)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName,

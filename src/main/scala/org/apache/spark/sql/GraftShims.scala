@@ -8,4 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for composing custom
+    * logical operators over existing frames). */
+  def logicalPlan(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame —
+    * `Dataset.ofRows` is private[sql]. */
+  def dataFrame(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+/** The custom as-of join operator (LogicalPlan + Strategy + Exec):
+  * fixture semantics, parity with a window-composed equivalent on
+  * real data, and the physical plan shape. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of semantics on a fixture: latest right row at-or-before, per key") {
+    val quotes = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("qk", "qts", "quote")
+    val trades = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (3L, 99L))
+      .toDF("tk", "tts")
+    val got = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts")
+      .select("tk", "tts", "quote").orderBy("tk", "tts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, null),    // before any quote
+      (1L, 10L, "a"),    // equal timestamp matches (<=)
+      (1L, 25L, "b"),    // latest, not first
+      (2L, 14L, null),   // key 2's quote is later
+      (3L, 99L, null)))  // key with no right rows at all
+  }
+
+  test("as-of join matches the window-composed equivalent on events") {
+    val r = AsOf.purchaseAttribution(spark, sf0001)
+    // reference composition: union + per-user window carrying the
+    // last view forward (the plan shape the custom operator replaces)
+    val ev = Tables.events(spark, sf0001)
+    val tagged = ev.filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = tagged
+      .withColumn("view_id", last(
+        when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts", last(
+        when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("view_id"), col("view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+          .as("micros_since_view"))
+      .orderBy("purchase_id")
+    assert(r.collect().map(_.toSeq).toSeq ==
+      composed.collect().map(_.toSeq).toSeq)
+  }
+
+  test("physical plan: AsOfJoinExec with hash exchanges, no nested loop") {
+    val df = AsOf.purchaseAttribution(spark, sf0001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"as-of degraded to a quadratic join:\n$s")
+  }
+}
