@@ -49,6 +49,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("minhash sketch: merge order never changes the signature " +
+      "(partial-aggregation safety)") {
+    // the TypedImperativeAggregate must produce identical signatures
+    // regardless of how rows split across partitions (map-side partial
+    // + merge); compare 1-partition vs many-partition runs on random
+    // token multisets
+    import graft.functions.MinHashSketch.minhashSketch
+    val tokGen = Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d", "ee", "fff", "g", "hh")))
+    for (seed <- 1L to 5L) {
+      val toks = sample(tokGen, seed)
+      val one = toks.toDF("tok").coalesce(1)
+        .agg(minhashSketch(col("tok"), 8)).head().getSeq[Long](0)
+      val many = toks.toDF("tok").repartition(7)
+        .agg(minhashSketch(col("tok"), 8)).head().getSeq[Long](0)
+      assert(one == many, s"seed=$seed")
+    }
+  }
+
+  test("dot product: linearity under scalar multiplication (codegen path)") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 128.0))
+    for (seed <- 1L to 5L) {
+      val a = sample(vecGen, seed)
+      val b = sample(vecGen, seed + 100)
+      val df = Seq((a, b)).toDF("a", "b")
+      import graft.functions.DotProduct.dotProduct
+      val Array(d, d2) = df.select(
+        dotProduct(col("a"), col("b")),
+        dotProduct(transform(col("a"), x => x * 2), col("b")))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      // exact: each term doubles exactly in binary FP, fold order fixed
+      assert(d2 == 2 * d, s"seed=$seed")
+    }
+  }
+
   test("prior peak is monotone non-decreasing along the series") {
     for (seed <- 1L to 10L) {
       val levels = sample(levelsGen, seed)
