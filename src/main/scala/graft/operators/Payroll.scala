@@ -251,11 +251,28 @@ object Payroll {
       .orderBy("drop_month")
   }
 
+  /** Pivot (the OLAP cross-tab the dashboard renders as its month ×
+    * year matrix): one row per year, one column per month. Explicit
+    * pivot values skip Spark's extra distinct-discovery job; the
+    * oracle is the equivalent CASE aggregation. */
+  def pivotYearMonth(s: SparkSession, dir: String): DataFrame = {
+    val wide = series(s, dir)
+      .select(yearOf(col("month")).as("year"), month(col("month")).as("m"),
+        col("emp"))
+      .groupBy("year")
+      .pivot("m", 1 to 12)
+      .agg(sum("emp"))
+    val renamed = (1 to 12).foldLeft(wide)((df, m) =>
+      df.withColumnRenamed(m.toString, f"m$m%02d"))
+    renamed.orderBy("year")
+  }
+
   // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "payroll_pivot_year_month"    -> (pivotYearMonth _),
     "payroll_slice_yearly_avg"    -> (sliceYearlyAvg _),
     "payroll_slice_year_compare"  -> (sliceYearCompare _),
     "payroll_dice_mom_drop"       -> (diceMomDrop _),
@@ -275,6 +292,12 @@ object Payroll {
   private val S = Tables.monthlySeriesSql
 
   val oracleSql: Map[String, String] = Map(
+    "payroll_pivot_year_month" ->
+      s"""WITH series AS ($S)
+         |SELECT year(month) AS year,
+         |  ${(1 to 12).map(m => f"CAST(SUM(CASE WHEN month(month) = $m THEN emp END) AS BIGINT) AS m$m%02d").mkString(",\n  ")}
+         |FROM series GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "payroll_slice_yearly_avg" ->
       s"""WITH series AS ($S)
          |SELECT year(month) AS year, round(avg(emp), 4) AS avg_employment

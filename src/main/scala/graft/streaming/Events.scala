@@ -111,10 +111,26 @@ object Events {
       .dropDuplicates("event_id")
   }
 
+  /** Exact value quantiles per event type (p50/p95/p99) — the latency
+    * /-distribution readout of every event pipeline. Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share the same
+    * (n−1)·p linear-interpolation definition, so the result
+    * hash-matches. At 100 TB swap in `percentile_approx` (t-digest,
+    * one pass, mergeable) — same query shape, bounded memory. */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        r4(percentile(col("value"), lit(0.5))).as("p50"),
+        r4(percentile(col("value"), lit(0.95))).as("p95"),
+        r4(percentile(col("value"), lit(0.99))).as("p99"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_by_type" -> (hourlyByType _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
+    "events_value_quantiles" -> (valueQuantiles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -141,5 +157,12 @@ object Events {
          |  max(ts) + INTERVAL '30 minutes' AS session_end,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "events_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
