@@ -70,6 +70,65 @@ object Multimodal {
     }
   }
 
+  private val TargetW = 32
+  private val TargetH = 32
+  private val FrameBytes = 64
+  private val SampleEvery = 4
+
+  case class ResizedMedia(media_id: Long, out_w: Int, out_h: Int,
+      n_out: Long, checksum: String)
+  case class SampledFrames(media_id: Long, n_frames: Long, n_sampled: Long,
+      checksum: String)
+
+  /** STUB RESIZE — deterministic byte-stride downsample standing in
+    * for an image resize (no codec libs): keep every `stride`-th byte
+    * up to `TargetW*TargetH` output bytes. The checksum (md5 of the
+    * resized payload) makes the byte selection itself verifiable —
+    * the DuckDB oracle re-slices the same bytes. */
+  def resizeStub(row: MediaRow): ResizedMedia = {
+    val n = row.content.length
+    val outLen = math.min(n, TargetW * TargetH)
+    val stride = math.max(1, n / (TargetW * TargetH))
+    val out = new Array[Byte](outLen)
+    var j = 0
+    while (j < outLen) { out(j) = row.content(j * stride); j += 1 }
+    ResizedMedia(row.media_id, TargetW, TargetH, outLen.toLong,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(out))
+  }
+
+  /** STUB FRAME SAMPLER — treats the payload as fixed-size "frames"
+    * and keeps every [[SampleEvery]]-th, the decode-free shape of
+    * video frame sampling. Checksum over the concatenated sampled
+    * frames, oracle-verified. */
+  def frameSampleStub(row: MediaRow): SampledFrames = {
+    val n = row.content.length
+    val nFrames = (n + FrameBytes - 1) / FrameBytes
+    val nSampled = (nFrames + SampleEvery - 1) / SampleEvery
+    val bos = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < nSampled) {
+      val start = j * SampleEvery * FrameBytes
+      bos.write(row.content, start, math.min(FrameBytes, n - start))
+      j += 1
+    }
+    SampledFrames(row.media_id, nFrames.toLong, nSampled.toLong,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(bos.toByteArray))
+  }
+
+  /** Per-partition resize — same iterator→iterator batch shape as
+    * [[extractFeatures]]. */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(_.map(resizeStub)).toDF()
+      .orderBy("media_id")
+  }
+
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(_.map(frameSampleStub)).toDF()
+      .orderBy("media_id")
+  }
+
   /** Feature query surface. The stub's 16-bin byte histogram IS
     * SQL-expressible for this corpus: the text is pure ASCII
     * (verified: octet_length == length for every row), so bin b's
@@ -97,11 +156,39 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> (features _),
-    "mm_meta"     -> (meta _),
+    "mm_features"     -> (features _),
+    "mm_meta"         -> (meta _),
+    "mm_resize"       -> (resize _),
+    "mm_frame_sample" -> (frameSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_resize" ->
+      s"""WITH b AS (SELECT doc_id AS media_id, text,
+        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |SELECT media_id, $TargetW AS out_w, $TargetH AS out_h,
+        |  CAST(least(nb, ${TargetW * TargetH}) AS BIGINT) AS n_out,
+        |  md5(array_to_string(list_transform(
+        |    range(0, least(nb, ${TargetW * TargetH})),
+        |    j -> substr(text,
+        |      CAST(j * greatest(1, nb // ${TargetW * TargetH}) + 1 AS BIGINT),
+        |      1)), '')) AS checksum
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH b AS (SELECT doc_id AS media_id, text,
+        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |SELECT media_id,
+        |  CAST((nb + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames,
+        |  CAST(((nb + ${FrameBytes - 1}) // $FrameBytes + ${SampleEvery - 1})
+        |    // $SampleEvery AS BIGINT) AS n_sampled,
+        |  md5(array_to_string(list_transform(
+        |    range(0, ((nb + ${FrameBytes - 1}) // $FrameBytes + ${SampleEvery - 1})
+        |      // $SampleEvery),
+        |    j -> substr(text, CAST(j * ${SampleEvery * FrameBytes} + 1 AS BIGINT),
+        |      $FrameBytes)), '')) AS checksum
+        |FROM b ORDER BY media_id""".stripMargin,
+
     "mm_features" ->
       """WITH b AS (SELECT doc_id AS media_id, text,
         |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)

@@ -111,6 +111,48 @@ object Events {
       .dropDuplicates("event_id")
   }
 
+  case class AttrEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  case class LastView(view_id: Long, view_ts: java.sql.Timestamp)
+  case class Attribution(purchase_id: Long, user_id: Long,
+      purchase_ts: java.sql.Timestamp, view_id: Option[Long],
+      view_ts: Option[java.sql.Timestamp])
+
+  /** Streaming last-touch attribution — the stream analog of the
+    * batch [[graft.operators.AsOf]] join: per-user state holds only
+    * the latest `view` seen; each `purchase` emits joined to it.
+    * Within a micro-batch the group's rows are sorted by (ts,
+    * event_id) before the state fold (the iterator carries no order
+    * guarantee); state is one tiny record per user.
+    * `AsOfJoinSpec`/`EventsStreamSpec` assert stream ≡ the batch
+    * as-of query. */
+  def attributionStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastView, Attribution](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[AttrEvent], state: GroupState[LastView]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "view") last = Some(LastView(e.event_id, e.ts))
+              else out += Attribution(e.event_id, user, e.ts,
+                last.map(_.view_id), last.map(_.view_ts))
+            }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Exact value quantiles per event type (p50/p95/p99) — the latency
     * /-distribution readout of every event pipeline. Spark's exact
     * `percentile` and DuckDB's `quantile_cont` share the same

@@ -43,6 +43,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution == batch as-of join") {
+    val batch = graft.operators.AsOf.purchaseAttribution(spark, sf0001)
+      .select("purchase_id", "view_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val q = Events.attributionStream(spark, sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("purchase_id", "view_id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = Events.dedupStream(spark, sf0001)
       .writeStream.outputMode("append")
