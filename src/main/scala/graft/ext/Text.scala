@@ -102,6 +102,35 @@ object Text {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  private val TfIdfK = 3
+
+  /** Top-[[TfIdfK]] terms per document by smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`). Ranking compares the ROUNDED
+    * score (then token asc): `ln` can differ between engines in the
+    * last ulp, and ranking on the raw double would let that flip
+    * near-ties — on the 4-decimal value both engines order
+    * identically. Plan shape: one tokenize pass, a vocabulary-sized
+    * df aggregate broadcast back, per-doc window on (doc, score). */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val n = Tables.documents(s, dir).count()
+    val tf = docs.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val df = docs.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf", r4((col("cnt") / col("len")) *
+        (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfIdfK)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprint: md5 of case/whitespace/punct-normalized
     * text — the canonical-form key for exact-after-normalization
     * dedup (a cheap, exact complement to MinHash). */
@@ -119,6 +148,7 @@ object Text {
     "text_token_stats" -> (tokenStats _),
     "text_term_freq"   -> (termFreq _),
     "text_fingerprint" -> (fingerprint _),
+    "text_tfidf_top"   -> (tfidfTop _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +192,21 @@ object Text {
       s"""SELECT doc_id,
          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_top" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |tl AS (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS len FROM tf),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |sc AS (SELECT doc_id, tl.token,
+         |    round((cnt / len) * (ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0), 4)
+         |      AS tfidf
+         |  FROM tl JOIN dfq ON tl.token = dfq.token CROSS JOIN nn),
+         |r AS (SELECT doc_id, token, tfidf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, token, tfidf, rank FROM r
+         |WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin,
   )
 }
