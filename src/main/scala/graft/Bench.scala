@@ -53,15 +53,19 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " " // any control char breaks the JSON line
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A failed query must not read as a (fast) success: its partial
     // wall-time still counts, and an "errors" map names it so the
-    // bench JSON carries the failure. Nonzero exit on any failure.
+    // bench JSON carries the failure (exit stays 0 — the driver
+    // parses the JSON line regardless).
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")

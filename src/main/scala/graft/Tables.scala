@@ -49,19 +49,15 @@ object Tables {
   val monthlySeriesSql: String =
     "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, COUNT(*) AS emp FROM lineitem GROUP BY 1"
 
-  private val seriesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   /** S5 session result cache: the reference memoizes the loaded series
     * per dashboard session (`@st.cache_data`,
     * `/root/reference/dashboard_nfp.py:50`). Spark parity is
     * `df.cache()` on the shared aggregate, memoized per (session, sf
-    * dir) — every payroll query reuses one in-memory copy (≤ a few
-    * hundred rows) instead of re-scanning and re-aggregating lineitem.
-    * Entries are keyed by session so a stopped session's cache is
-    * simply never reused. */
+    * dir) via [[SessionMemo]] — every payroll query reuses one
+    * in-memory copy (≤ a few hundred rows) instead of re-scanning and
+    * re-aggregating lineitem. */
   def monthlySeriesCached(s: SparkSession, dir: String): DataFrame =
-    seriesCache.getOrElseUpdate((s, dir), monthlySeries(s, dir).cache())
+    SessionMemo.cached(s, dir, "monthly_series")(monthlySeries(s, dir))
 
   /** S2's external half: the reference reads its table straight from
     * PostgreSQL (`/root/reference/dashboard_nfp.py:67-68`). The Spark

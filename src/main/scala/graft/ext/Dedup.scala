@@ -35,20 +35,18 @@ object Dedup {
   private def md5Hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  private val tokCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** Distinct (doc_id, tok) rows — the shared input of the Jaccard /
-    * MinHash / SimHash family. Cached + memoized per (session, dir):
-    * five queries re-tokenized the corpus before; now the regex
-    * split + explode + distinct runs once per session. */
+    * MinHash / SimHash family. Cached + memoized per (session, dir)
+    * via [[graft.SessionMemo]]: five queries re-tokenized the corpus
+    * before; now the regex split + explode + distinct runs once per
+    * session. */
   private def distinctTokens(s: SparkSession, dir: String): DataFrame =
-    tokCache.getOrElseUpdate((s, dir),
+    graft.SessionMemo.cached(s, dir, "distinct_tokens") {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(array_distinct(Text.tokens(col("text")))).as("tok"))
-        .cache())
+    }
 
   /** Exact dedup: group by content hash, keep the smallest doc_id
     * (deterministic survivor), count copies. At scale this shuffles
@@ -88,14 +86,17 @@ object Dedup {
       .select(col("tok"), monotonically_increasing_id().as("ord"))
 
     // Per-doc tokens sorted by that order; prefix length |x|-⌈t|x|⌉+1.
-    // Cached: three consumers (prefixes + both verify sides) would
-    // otherwise recompute the tokenize→join→collect_list lineage ~5×.
-    val sorted = dt.join(broadcast(tokOrder), Seq("tok"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("ord"))).as("ords"))
-      .withColumn("n", size(col("ords")))
-      .withColumn("plen", col("n") - ceil(lit(JaccardT) * col("n")).cast("int") + 1)
-      .cache()
+    // Session-memoized: three consumers (prefixes + both verify
+    // sides) would otherwise recompute the tokenize→join→collect_list
+    // lineage ~5×.
+    val sorted = graft.SessionMemo.cached(s, dir, "jaccard_sorted_ords") {
+      dt.join(broadcast(tokOrder), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("ord"))).as("ords"))
+        .withColumn("n", size(col("ords")))
+        .withColumn("plen",
+          col("n") - ceil(lit(JaccardT) * col("n")).cast("int") + 1)
+    }
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
         explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
@@ -137,11 +138,9 @@ object Dedup {
     * run interpreted with their tokenizer input re-inlined per
     * element (~70× slower, profiled). Docs under 3 tokens have no
     * shingles and are excluded, mirroring the oracle. */
-  private val shingleCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir), {
+    // shared by shingle-Jaccard and winnowing
+    graft.SessionMemo.cached(s, dir, "shingle_rows") {
       import org.apache.spark.sql.expressions.Window
       val tk = Text.tokens(col("text"))
       val wDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -154,8 +153,7 @@ object Dedup {
         .filter(col("t2").isNotNull)
         .select(col("doc_id"), col("pos"),
           concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-        .cache() // shared by shingle-Jaccard and winnowing
-    })
+    }
 
   private val ShingleT = 0.8
 
@@ -253,10 +251,12 @@ object Dedup {
     * (`zip_with` + filter + size). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val rowsPerBand = NumPerm / Bands
-    // cached: the banded/sa/sb branches would otherwise re-run the
-    // signature aggregation three times (ReusedExchange shares the
-    // shuffle but each branch re-merges the aggregate)
-    val docs = signatures(distinctTokens(s, dir)).cache()
+    // session-memoized: the banded/sa/sb branches would otherwise
+    // re-run the signature aggregation three times (ReusedExchange
+    // shares the shuffle but each branch re-merges the aggregate)
+    val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
     // The band join carries only (id, band, bucket) — never the
     // signature arrays. Pair dedup then runs on two longs, and the
     // (small) signature table is re-joined broadcast for estimation.

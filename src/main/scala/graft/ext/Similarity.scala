@@ -26,24 +26,22 @@ object Similarity {
   /** Embedding dimensionality (TESTDATA.md: 64-dim float vectors). */
   private val Dim = 64
 
-  private val vecCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** Embeddings cast float→double once; norm precomputed per row.
     * The parquet is one small file → one input partition; repartition
     * so the downstream O(pairs·dim) compute (dots in the pair joins)
     * spreads across all cores instead of running serially. Cached +
-    * memoized per (session, dir): all four similarity queries (and
-    * the 2–3 join branches inside each) reuse one in-memory copy
-    * instead of re-reading and re-normalizing per branch. */
+    * memoized per (session, dir) via [[graft.SessionMemo]]: all four
+    * similarity queries (and the 2–3 join branches inside each) reuse
+    * one in-memory copy instead of re-reading and re-normalizing per
+    * branch. */
   private def labeledVectors(s: SparkSession, dir: String): DataFrame =
-    vecCache.getOrElseUpdate((s, dir),
+    graft.SessionMemo.cached(s, dir, "sim_vectors") {
       Tables.embeddings(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .cache())
+    }
 
   private def vectors(s: SparkSession, dir: String): DataFrame =
     labeledVectors(s, dir).drop("label")

@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * to the oracle. Do not "optimize" into pairwise/vectorized
   * summation: double addition is not associative.
   *
-  * Null semantics: null array → null. Mismatched lengths → null
-  * (`zip_with` padded with null, which nulled the whole fold — kept
-  * for parity). Array elements must be non-null (inputs come from
-  * `transform(embedding, cast)` over non-null vectors).
+  * Null semantics match the replaced fold exactly: null array →
+  * null; mismatched lengths → null (`zip_with` padded with null,
+  * nulling the whole fold); a null ELEMENT on either side → null
+  * (the fold's `acc + null·y` likewise nulled out — this is a
+  * registered SQL function, so arbitrary inputs must not silently
+  * read a null slot as 0.0).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -57,7 +59,11 @@ case class DotProduct(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -73,9 +79,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

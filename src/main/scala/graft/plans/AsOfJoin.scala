@@ -25,6 +25,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * already bucketed), then each co-partition pair streams through ONE
   * forward-only merge scan: O(|L| + |R|) per partition, no buffering
   * beyond a single remembered right row, no row-count blowup.
+  *
+  * Null keys/timestamps never match (DuckDB ASOF semantics). Ties:
+  * when several right rows share the matched (key, ts) the sort's tie
+  * order decides which one is remembered — callers needing a
+  * deterministic pick must make (key, ts) unique per side (true for
+  * the events corpus: no duplicate (user_id, ts) pairs).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -91,22 +97,31 @@ case class AsOfJoinExec(
       li.map { lrow =>
         val lkv = lk.eval(lrow)
         val ltv = lt.eval(lrow)
-        var advance = pending != null
+        // null key or ts never matches (DuckDB ASOF semantics); nulls
+        // sort first under Spark's ordering, so the cursor is not
+        // advanced past live rows by skipping them here
+        var advance = pending != null && lkv != null && ltv != null
         while (advance) {
           val rkv = rk.eval(pending)
-          val kc = keyOrd.compare(rkv, lkv)
-          if (kc < 0 || (kc == 0 && tsOrd.compare(rt.eval(pending), ltv) <= 0)) {
-            // copy: the child iterator may reuse its row buffer; the
-            // key is re-evaluated from the copy for the same reason
-            // (a non-primitive key would point into the old buffer)
-            lastRight = pending.copy()
-            lastRightKey = rk.eval(lastRight)
+          val rtv = rt.eval(pending)
+          if (rkv == null || rtv == null) {
             pending = if (ri.hasNext) ri.next() else null
             advance = pending != null
-          } else advance = false
+          } else {
+            val kc = keyOrd.compare(rkv, lkv)
+            if (kc < 0 || (kc == 0 && tsOrd.compare(rtv, ltv) <= 0)) {
+              // copy: the child iterator may reuse its row buffer; the
+              // key is re-evaluated from the copy for the same reason
+              // (a non-primitive key would point into the old buffer)
+              lastRight = pending.copy()
+              lastRightKey = rk.eval(lastRight)
+              pending = if (ri.hasNext) ri.next() else null
+              advance = pending != null
+            } else advance = false
+          }
         }
-        val matched =
-          lastRight != null && keyOrd.compare(lastRightKey, lkv) == 0
+        val matched = lkv != null && ltv != null && lastRight != null &&
+          keyOrd.compare(lastRightKey, lkv) == 0
         proj(joined(lrow, if (matched) lastRight else nullRight))
       }
     }

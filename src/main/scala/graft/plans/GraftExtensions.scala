@@ -74,8 +74,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSketch(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // numPerms must be a foldable non-null integral literal; fail
+        // with a sensible message rather than a raw cast/NPE
+        val n = exprs.lift(1)
+          .filter(_.foldable).map(_.eval()).collect {
+            case i: Int => i
+            case l: Long => l.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "minhash_sketch(tok, numPerms): numPerms must be an integer literal"))
+        MinHashSketch(exprs(0), n).toAggregateExpression()
+      }))
   }
 }

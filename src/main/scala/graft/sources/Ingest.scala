@@ -56,8 +56,10 @@ object Ingest {
       .withColumn("o_orderdate", date_add(col("o_orderdate"), 1))
       .withColumn("o_orderstatus", lit("R"))
     val merged = upsert(base, incoming, "o_orderkey", "o_orderdate")
+    // per-process path: two concurrent sessions (bench + verify) must
+    // not overwrite each other's snapshot mid-read
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_roundtrip_" +
-      new java.io.File(dir).getName
+      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
     writeTimeSeries(merged, path, "o_orderdate")
     s.read.parquet(path)
       .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")

@@ -26,6 +26,23 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 99L, null)))  // key with no right rows at all
   }
 
+  test("null keys and timestamps never match, never crash") {
+    val quotes = Seq((Some(1L), Some(10L), "a"), (None, Some(5L), "x"),
+      (Some(1L), None, "y"))
+      .toDF("qk", "qts", "quote")
+    val trades = Seq((Some(1L), Some(20L)), (Some(1L), None), (None, Some(20L)))
+      .toDF("tk", "tts")
+    val got = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts")
+      .select("tk", "tts", "quote").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2))).toSet
+    assert(got == Set(
+      (Some(1L), Some(20L), "a"),  // only the non-null quote matches
+      (Some(1L), None, null),      // null left ts -> no match
+      (None, Some(20L), null)))    // null left key -> no match
+  }
+
   test("as-of join matches the window-composed equivalent on events") {
     val r = AsOf.purchaseAttribution(spark, sf0001)
     // reference composition: union + per-user window carrying the

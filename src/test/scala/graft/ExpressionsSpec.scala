@@ -71,11 +71,12 @@ class ExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
   }
 
-  test("dot_product: null input or length mismatch yields null") {
+  test("dot_product: null input, length mismatch, or null ELEMENT yields null") {
     import graft.functions.DotProduct.dotProduct
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
-      (Some(Seq(1.0)), Option.empty[Seq[Double]]),
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0)))),
+      (Some(Seq(Some(1.0))), Option.empty[Seq[Option[Double]]]),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(2.0), Some(3.0)))),
     ).toDF("a", "b")
     df.select(dotProduct(col("a"), col("b"))).collect()
       .foreach(r => assert(r.isNullAt(0)))
