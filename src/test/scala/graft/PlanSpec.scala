@@ -65,6 +65,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(s.contains("minhash_sketch"), s)
   }
 
+  test("pivot plans as one aggregate pass (no per-column aggregates)") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val plan = executed(operators.Payroll.pivotYearMonth(spark, sf0001))
+    // Spark pivots in two aggregate pairs: pre-reduce on (year, m),
+    // then ONE pivotfirst carrying all 12 columns — never an
+    // aggregate per output column (which would be 24+)
+    val aggs = collectWithSubqueries(plan) { case h: HashAggregateExec => h }
+    assert(aggs.size <= 4, s"pivot fragmented into ${aggs.size} aggregates:\n$plan")
+    assert(plan.toString.contains("pivotfirst"), s"no pivot aggregate:\n$plan")
+  }
+
+  test("session memo: same frame instance per key, cleared on demand") {
+    val a = Tables.monthlySeriesCached(spark, sf0001)
+    val b = Tables.monthlySeriesCached(spark, sf0001)
+    assert(a eq b, "memo must return the identical cached frame")
+    SessionMemo.clear(spark)
+    val c = Tables.monthlySeriesCached(spark, sf0001)
+    assert(!(a eq c), "clear() must drop the session's entries")
+    assert(c.count() > 0)
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
