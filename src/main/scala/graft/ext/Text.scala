@@ -102,6 +102,20 @@ object Text {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  /** Corpus vocabulary stats: exact distinct-token count, token
+    * volume, type-token ratio. At 100 TB the exact `COUNT(DISTINCT)`
+    * (a two-phase shuffle on the token) swaps for the mergeable HLL
+    * sketch `approx_count_distinct` — `TextSpec` asserts the sketch
+    * lands within its error bound of this exact query. */
+  def vocabStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(
+        countDistinct(col("token")).as("vocab_size"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("type_token_ratio",
+        r4(col("vocab_size") / col("n_tokens")))
+
   private val TfIdfK = 3
 
   /** Top-[[TfIdfK]] terms per document by smoothed TF-IDF
@@ -149,6 +163,7 @@ object Text {
     "text_term_freq"   -> (termFreq _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf_top"   -> (tfidfTop _),
+    "text_vocab_stats" -> (vocabStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,5 +223,12 @@ object Text {
          |  FROM sc)
          |SELECT doc_id, token, tfidf, rank FROM r
          |WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin,
+
+    "text_vocab_stats" ->
+      s"""WITH tok AS (SELECT unnest($tokSql) AS token FROM documents)
+         |SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_size,
+         |  count(*) AS n_tokens,
+         |  round(count(DISTINCT token) / count(*), 4) AS type_token_ratio
+         |FROM tok""".stripMargin,
   )
 }

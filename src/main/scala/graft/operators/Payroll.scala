@@ -149,6 +149,18 @@ object Payroll {
       .agg(sum("emp").as("total_emp"))
       .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
 
+  /** CUBE over (year, quarter) — completes the grouping-set family
+    * next to [[rollupHierarchy]]: all four aggregation levels
+    * (detail, per-year, per-quarter-across-years, grand total) in ONE
+    * pass over the series; Spark expands grouping sets before the
+    * aggregate, so it stays a single partial+final exchange. */
+  def cubeYearQuarter(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .cube(yearOf(col("month")).as("year"),
+        quarterOf(col("month")).as("quarter"))
+      .agg(sum("emp").as("total_emp"))
+      .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
+
   /** Drill Q1 phase 1 (A4+W5+T1, `dashboard_nfp.py:338-342`): the
     * year with the highest absolute annual gain (argmax, deterministic
     * year tie-break). TakeOrderedAndProject, no full sort. */
@@ -283,6 +295,7 @@ object Payroll {
     "payroll_rollup_decade"       -> (rollupDecade _),
     "payroll_rollup_quarterly_top5" -> (rollupQuarterlyTop5 _),
     "payroll_rollup_hierarchy"    -> (rollupHierarchy _),
+    "payroll_cube_year_quarter"   -> (cubeYearQuarter _),
     "payroll_drill_top_gain_year" -> (drillTopGainYear _),
     "payroll_drill_top_year_months" -> (drillTopYearMonths _),
     "payroll_drill_sharpest_drop" -> (drillSharpestDrop _),
@@ -377,6 +390,13 @@ object Payroll {
          |SELECT year(month) AS year, quarter(month) AS quarter,
          |  CAST(sum(emp) AS BIGINT) AS total_emp
          |FROM series GROUP BY ROLLUP(year(month), quarter(month))
+         |ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""".stripMargin,
+
+    "payroll_cube_year_quarter" ->
+      s"""WITH series AS ($S)
+         |SELECT year(month) AS year, quarter(month) AS quarter,
+         |  CAST(sum(emp) AS BIGINT) AS total_emp
+         |FROM series GROUP BY CUBE(year(month), quarter(month))
          |ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""".stripMargin,
 
     "payroll_drill_top_gain_year" ->

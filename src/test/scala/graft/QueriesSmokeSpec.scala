@@ -43,6 +43,15 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(grand == total)
   }
 
+  test("cube grand total equals series total") {
+    val grand = operators.Payroll.cubeYearQuarter(spark, sf0001)
+      .filter(col("year").isNull && col("quarter").isNull)
+      .select("total_emp").head().getLong(0)
+    val total = Tables.monthlySeries(spark, sf0001)
+      .agg(sum("emp")).head().getLong(0)
+    assert(grand == total)
+  }
+
   test("latest-order dedup: one row per customer, idempotent (S4)") {
     val d = operators.Relational.latestOrderPerCustomer(spark, sf0001)
     assert(d.groupBy("o_custkey").count().filter(col("count") > 1).isEmpty)

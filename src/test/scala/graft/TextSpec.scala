@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Text
+
+class TextSpec extends SparkSpec {
+
+  test("approx_count_distinct (HLL) lands within its bound of the exact vocab") {
+    val exact = Text.vocabStats(spark, sf0001).head().getLong(0)
+    val approx = Tables.documents(spark, sf0001)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .agg(approx_count_distinct(col("token"), 0.05))
+      .head().getLong(0)
+    // rsd 0.05 → generous 3-sigma envelope; the point is the sketch
+    // path (mergeable, constant memory) tracks the exact shuffle path
+    assert(math.abs(approx - exact) <= math.max(3, (exact * 0.15).toLong),
+      s"approx $approx vs exact $exact")
+  }
+
+  test("type-token ratio is in (0, 1]") {
+    val r = Text.vocabStats(spark, sf0001).head()
+    val ratio = r.getDouble(2)
+    assert(ratio > 0 && ratio <= 1.0, r.toString)
+  }
+}
