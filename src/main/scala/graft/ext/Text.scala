@@ -128,7 +128,8 @@ object Text {
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val n = Tables.documents(s, dir).count()
+    // corpus size as a broadcast 1-row frame — no driver-side action
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val tf = docs.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("len", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
@@ -137,8 +138,9 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token").asc)
     tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", r4((col("cnt") / col("len")) *
-        (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)))
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TfIdfK)
       .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))

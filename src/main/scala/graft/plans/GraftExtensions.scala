@@ -26,6 +26,14 @@ object GlobalWindowLint extends Rule[LogicalPlan] {
 
   private def isPreReduced(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
+    // a cached frame hides its lineage behind an InMemoryRelation
+    // leaf; look inside the cached physical plan for an aggregate
+    // (the S5 session cache memoizes exactly such pre-reduced
+    // frames). String match: under AQE the cached plan is an
+    // AdaptiveSparkPlanExec LEAF, so tree collect can't see through
+    // it — its rendering still prints the full plan.
+    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      imr.cachedPlan.toString.contains("Aggregate")
     case other if other.children.size == 1 => isPreReduced(other.children.head)
     case _ => false
   }

@@ -86,6 +86,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(c.count() > 0)
   }
 
+  test("no declared query plans a global window over raw input (lint sweep)") {
+    graft.plans.GlobalWindowLint.flagged.clear()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sf0001).queryExecution.executedPlan // plan only, no run
+      val flags = graft.plans.GlobalWindowLint.flagged
+      assert(flags.isEmpty,
+        s"$name planned a raw-input global window: ${flags}")
+    }
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
