@@ -134,7 +134,22 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Customers with no orders at all, per market segment — the
+    * left-anti (NOT EXISTS) counterpart of the semi-join probe above.
+    * Anti joins at scale shuffle only the probe keys; here the
+    * distinct orderer set builds map-side and the customer scan
+    * streams against it. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_customers_without_orders" -> (customersWithoutOrders _),
     "rel_pricing_summary"     -> (pricingSummary _),
     "rel_revenue_by_region"   -> (revenueByRegion _),
     "rel_top_customers"       -> (topCustomers _),
@@ -145,6 +160,12 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "rel_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  round(${dsumSql("l_quantity")}, 4) AS sum_qty,
