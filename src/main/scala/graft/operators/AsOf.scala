@@ -14,10 +14,16 @@ object AsOf {
   /** `left ASOF LEFT JOIN right ON left.key = right.key AND
     * left.ts >= right.ts` — each left row joined to the latest
     * same-key right row at or before its timestamp; right columns
-    * null when no such row exists. Column names must be disjoint. */
+    * null when no such row exists. Column names must be disjoint.
+    *
+    * `tolerance` (pandas `merge_asof` semantics): when set, a match
+    * additionally requires `left.ts − right.ts <= tolerance`, in the
+    * ts column's internal unit (µs for timestamps, days for dates,
+    * the raw value for integral columns). */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val lp = GraftShims.logicalPlan(left)
     val rp = GraftShims.logicalPlan(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -28,7 +34,7 @@ object AsOf {
     GraftShims.dataFrame(left.sparkSession,
       AsOfJoinPlan(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTs), attr(rp, rightTs)))
+        attr(lp, leftTs), attr(rp, rightTs), tolerance))
   }
 
   /** Attribution query: each purchase event as-of joined to the

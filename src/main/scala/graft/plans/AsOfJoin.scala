@@ -35,7 +35,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,8 +48,8 @@ case class AsOfJoinPlan(
   * (registered via `GraftExtensions.injectPlannerStrategy`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +57,18 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
+
+  /** Numeric view of a ts internal value for the tolerance check
+    * (TimestampType evaluates to Long micros, DateType to Int days,
+    * integral columns to themselves). */
+  private def tsNum(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of tolerance requires an integral/timestamp ts, got $other")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -92,6 +104,7 @@ case class AsOfJoinExec(
       // current left cursor, keyed; both inputs arrive (key, ts)-sorted
       var lastRight: InternalRow = null
       var lastRightKey: Any = null
+      var lastRightTs: Any = null
       var pending: InternalRow = if (ri.hasNext) ri.next() else null
 
       li.map { lrow =>
@@ -115,13 +128,15 @@ case class AsOfJoinExec(
               // (a non-primitive key would point into the old buffer)
               lastRight = pending.copy()
               lastRightKey = rk.eval(lastRight)
+              lastRightTs = rt.eval(lastRight)
               pending = if (ri.hasNext) ri.next() else null
               advance = pending != null
             } else advance = false
           }
         }
         val matched = lkv != null && ltv != null && lastRight != null &&
-          keyOrd.compare(lastRightKey, lkv) == 0
+          keyOrd.compare(lastRightKey, lkv) == 0 &&
+          tolerance.forall(tol => tsNum(ltv) - tsNum(lastRightTs) <= tol)
         proj(joined(lrow, if (matched) lastRight else nullRight))
       }
     }

@@ -26,6 +26,19 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 99L, null)))  // key with no right rows at all
   }
 
+  test("tolerance bounds the match window (merge_asof semantics)") {
+    val quotes = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("qk", "qts", "quote")
+    val trades = Seq((1L, 12L), (1L, 50L), (1L, 103L)).toDF("tk", "tts")
+    val got = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts",
+        tolerance = Some(5L))
+      .select("tts", "quote").orderBy("tts")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (12L, "a"),    // 12 - 10 = 2 <= 5
+      (50L, null),   // 50 - 10 = 40 > 5: stale quote rejected
+      (103L, "b")))  // 103 - 100 = 3 <= 5
+  }
+
   test("null keys and timestamps never match, never crash") {
     val quotes = Seq((Some(1L), Some(10L), "a"), (None, Some(5L), "x"),
       (Some(1L), None, "y"))
