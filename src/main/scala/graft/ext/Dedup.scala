@@ -59,78 +59,107 @@ object Dedup {
 
   private val JaccardT = 0.95
 
-  /** Exact token-set Jaccard ≥ 0.95 via **prefix-filtered similarity
-    * join** (the PPJoin family, Xiao et al.): under a global token
-    * order (ascending document frequency), any pair with J ≥ t must
-    * share a token within each set's first `|x| − ⌈t·|x|⌉ + 1` tokens
-    * — so the candidate join runs on rare prefix tokens only, never
-    * on the full inverted index (whose high-DF tokens pair everything
-    * with everything: the naive index join was 40× slower here and is
-    * quadratic in cluster size at 100 TB). Candidates are then
-    * exact-verified with `array_intersect` on the full sets, so the
-    * result is identical to the naive plan — which is exactly what
-    * the DuckDB oracle still runs.
-    */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val dt = distinctTokens(s, dir)
+  // ---- PPJoin machinery (shared by token- and shingle-Jaccard) ----
 
-    // Global token order: rare tokens first (deterministic tie-break).
-    // Ordinals come from monotonically_increasing_id over the sorted
-    // frame — order-preserving (range partitioning puts ascending keys
-    // in ascending partition ids, and the id is (partition << 33) |
-    // row) and injective, with NO single-partition global window: a
-    // 100 TB vocabulary assigns ordinals fully in parallel. Only the
-    // ORDER of ordinals matters downstream, not density.
-    val tokOrder = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-      .sort(col("df").asc, col("tok").asc)
-      .select(col("tok"), monotonically_increasing_id().as("ord"))
+  /** Per-doc sorted ordinal arrays under a global ascending-DF item
+    * order — the shared first stage of the prefix-filtered similarity
+    * join (the PPJoin family, Xiao et al.). `items` is distinct
+    * (doc_id, item) rows.
+    *
+    * Global item order: rare items first (deterministic tie-break).
+    * Ordinals come from monotonically_increasing_id over the sorted
+    * frame — order-preserving (range partitioning puts ascending keys
+    * in ascending partition ids, and the id is (partition << 33) |
+    * row) and injective, with NO single-partition global window: a
+    * 100 TB vocabulary assigns ordinals fully in parallel. Only the
+    * ORDER of ordinals matters downstream, not density.
+    *
+    * The vocabulary join is SHUFFLE-HASH, not broadcast: a web-scale
+    * vocabulary (Heaps' law still means billions of distinct tokens
+    * at 100 TB) is corpus-derived and unbounded, and the item rows
+    * shuffle by doc_id for the groupBy right after anyway — the extra
+    * shuffle is one hop, a forced broadcast is a driver OOM. */
+  private[graft] def ppSortedOrds(items: DataFrame, t: Double): DataFrame = {
+    val itemOrder = items.groupBy("item").agg(count(lit(1)).as("df"))
+      .sort(col("df").asc, col("item").asc)
+      .select(col("item"), monotonically_increasing_id().as("ord"))
+    items.join(itemOrder.hint("shuffle_hash"), Seq("item"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("ord"))).as("ords"))
+      .withColumn("n", size(col("ords")))
+      .withColumn("plen",
+        col("n") - ceil(lit(t) * col("n")).cast("int") + 1)
+  }
 
-    // Per-doc tokens sorted by that order; prefix length |x|-⌈t|x|⌉+1.
-    // Session-memoized: three consumers (prefixes + both verify
-    // sides) would otherwise recompute the tokenize→join→collect_list
-    // lineage ~5×.
-    val sorted = graft.SessionMemo.cached(s, dir, "jaccard_sorted_ords") {
-      dt.join(broadcast(tokOrder), Seq("tok"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("ord"))).as("ords"))
-        .withColumn("n", size(col("ords")))
-        .withColumn("plen",
-          col("n") - ceil(lit(JaccardT) * col("n")).cast("int") + 1)
-    }
+  /** Candidate pairs: share ≥ 1 item within each set's first
+    * `|x| − ⌈t·|x|⌉ + 1` ordinals (complete for J ≥ t), with the
+    * PPJoin LENGTH filter fused into the join: J(x,y) ≥ t forces
+    * t·|x| ≤ |y| ≤ |x|/t, which prunes the quadratic blowup inside
+    * popular prefix buckets before the distinct. The candidate join
+    * never touches the full inverted index, whose high-DF items pair
+    * everything with everything — one boilerplate item shared by n
+    * docs is n²/2 candidates unguarded, and it lands in the prefix
+    * only for docs so small the length filter already caps the
+    * bucket. Corpus×corpus self-join → shuffle-hash, so the plan
+    * shape is scale-invariant (at sf0.001 Catalyst would
+    * auto-broadcast the prefix side off its cached-size stats; at
+    * 100 TB it can't). */
+  private[graft] def ppCandidates(sorted: DataFrame, t: Double): DataFrame = {
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
         explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
-
-    // Candidate pairs: share >= 1 prefix token (complete for J >= t),
-    // with the PPJoin LENGTH filter fused into the join: J(x,y) >= t
-    // forces t·|x| <= |y| <= |x|/t, which prunes the quadratic blowup
-    // inside popular prefix buckets before the distinct.
     val pa = prefixes.toDF("doc_a", "na", "ord")
-    val pb = prefixes.toDF("doc_b", "nb", "ord")
-    val cand = pa.join(pb,
+    val pb = prefixes.toDF("doc_b", "nb", "ord").hint("shuffle_hash")
+    pa.join(pb,
         pa("ord") === pb("ord") && col("doc_a") < col("doc_b") &&
-          col("nb") >= ceil(lit(JaccardT) * col("na")) &&
-          col("nb") * lit(JaccardT) <= col("na"))
+          col("nb") >= ceil(lit(t) * col("na")) &&
+          col("nb") * lit(t) <= col("na"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
 
-    // Exact verification on the full sets, as int-ord arrays (set ==
-    // set of ords), with the doc→set side BROADCAST: candidates
-    // stream map-side through two hash lookups — no shuffle of the
-    // (candidate × array) rows. Without the hint Catalyst sort-merges
-    // here (array columns defeat its size estimate) and verification
-    // is ~30× slower.
+  /** Exact verification on the full sets, as int-ord arrays (set ==
+    * set of ords), via SHUFFLE-HASH join with the doc→set side as
+    * build: both sides hash-partition on the doc key and each
+    * partition builds a hash table over its slice of the ord-arrays.
+    * No sort of the array side (Catalyst's size estimates are
+    * defeated by array columns, so unhinted it sort-merges — ~30×
+    * slower), and no broadcast of a corpus-derived table (the
+    * ord-arrays ARE the corpus: force-broadcasting them is a driver
+    * OOM at 100 TB, per-partition hash builds are not). The verified
+    * result is identical to the naive inverted-index plan — which is
+    * exactly what the DuckDB oracle still runs. */
+  private def ppVerified(
+      sorted: DataFrame, cand: DataFrame, t: Double): DataFrame = {
     val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
     val da = sets.toDF("doc_a", "ords_a", "na")
     val db = sets.toDF("doc_b", "ords_b", "nb")
-    cand.join(broadcast(da), Seq("doc_a")).join(broadcast(db), Seq("doc_b"))
+    cand.join(da.hint("shuffle_hash"), Seq("doc_a"))
+      .join(db.hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("c", graft.functions.SortedIntersectSize
         .sortedIntersectSize(col("ords_a"), col("ords_b")))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= JaccardT)
+      .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Full PPJoin pipeline with the sorted-ords stage session-memoized
+    * (three consumers — prefixes + both verify sides — would
+    * otherwise recompute the tokenize→join→collect_list lineage ~5×). */
+  private def ppJoinPairs(s: SparkSession, dir: String, items: DataFrame,
+      t: Double, memoKey: String): DataFrame = {
+    val sorted = graft.SessionMemo.cached(s, dir, memoKey)(ppSortedOrds(items, t))
+    ppVerified(sorted, ppCandidates(sorted, t), t)
+  }
+
+  /** Exact token-set Jaccard ≥ 0.95 via the prefix-filtered PPJoin
+    * above (the naive inverted-index join was 40× slower here and is
+    * quadratic in duplicate-cluster size at 100 TB). */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    ppJoinPairs(s, dir,
+      distinctTokens(s, dir).withColumnRenamed("tok", "item"),
+      JaccardT, "jaccard_sorted_ords")
 
   /** Word 3-gram shingle rows (doc_id, pos, shingle), built
     * relationally (posexplode + `lead` over a per-doc window) rather
@@ -159,28 +188,21 @@ object Dedup {
 
   /** n-gram (3-shingle) Jaccard ≥ 0.8 — the word-order-sensitive
     * near-dup detector (token-set Jaccard is order-blind; shingles
-    * catch only genuine passage reuse). Unlike single tokens,
-    * shingles have low document frequency, so the inverted-index
-    * equi-join stays near-linear: each shingle pairs only the handful
-    * of documents containing that exact 3-word sequence. */
-  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), col("sh").as("shingle")).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"))
-    val sa = sizes.toDF("doc_a", "na")
-    val sb = sizes.toDF("doc_b", "nb")
-    inter.join(broadcast(sa), Seq("doc_a")).join(broadcast(sb), Seq("doc_b"))
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= ShingleT)
-      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+    * catch only genuine passage reuse). Shingles usually have low
+    * document frequency, but "usually" is not a scale guarantee: one
+    * boilerplate passage shared by n documents puts its shingles in n
+    * docs and an unguarded inverted-index join emits n²/2 candidates
+    * in that bucket. So this runs through the same PPJoin prefix +
+    * length filter as the token query — under the ascending-DF
+    * shingle order, boilerplate shingles are exactly the ones that
+    * never enter a large doc's prefix (skew-bound asserted in
+    * `DedupSpec`). Result is identical to the naive join, which is
+    * what the DuckDB oracle runs. */
+  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    ppJoinPairs(s, dir,
+      shingleRows(s, dir)
+        .select(col("doc_id"), col("sh").as("item")).distinct(),
+      ShingleT, "shingle_sorted_ords")
 
   private val WinnowW = 4
 
@@ -218,7 +240,7 @@ object Dedup {
     // join stays bounded because each doc contributes only ~|doc|/w
     // distinct fingerprints.
     val a = fp.toDF("doc_a", "fp")
-    val b = fp.toDF("doc_b", "fp")
+    val b = fp.toDF("doc_b", "fp").hint("shuffle_hash")
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
@@ -259,9 +281,13 @@ object Dedup {
     }
     // The band join carries only (id, band, bucket) — never the
     // signature arrays. Pair dedup then runs on two longs, and the
-    // (small) signature table is re-joined broadcast for estimation.
-    // Shipping arrays through the join + array-keyed distinct was the
-    // 100×-slower version of this plan.
+    // signature table re-joins SHUFFLE-HASH for estimation: one
+    // 32-long array per document is still a corpus-sized table, so it
+    // hash-partitions by doc key and builds per-partition (a forced
+    // broadcast dies at 100 TB; unhinted, the array column defeats
+    // Catalyst's size estimate and it sort-merges ~30× slower).
+    // Shipping arrays through the band join + array-keyed distinct
+    // was the 100×-slower version of this plan.
     val banded = docs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
@@ -271,14 +297,15 @@ object Dedup {
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val a = banded.toDF("doc_a", "band", "bucket")
-    val b = banded.toDF("doc_b", "band", "bucket")
+    val b = banded.toDF("doc_b", "band", "bucket").hint("shuffle_hash")
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct() // a pair may collide in several bands
     val sa = docs.toDF("doc_a", "sig_a")
     val sb = docs.toDF("doc_b", "sig_b")
-    pairs.join(broadcast(sa), Seq("doc_a")).join(broadcast(sb), Seq("doc_b"))
+    pairs.join(sa.hint("shuffle_hash"), Seq("doc_a"))
+      .join(sb.hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("est_jaccard",
         graft.functions.ArrayAgreeCount
           .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm))
@@ -322,7 +349,7 @@ object Dedup {
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.byte"))
     val a = banded.toDF("doc_a", "sim_a", "band", "byte")
-    val b = banded.toDF("doc_b", "sim_b", "band", "byte")
+    val b = banded.toDF("doc_b", "sim_b", "band", "byte").hint("shuffle_hash")
     a.join(b, Seq("band", "byte"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

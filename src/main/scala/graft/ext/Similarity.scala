@@ -127,11 +127,20 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .distinct() // union candidates across tables
+    // Re-rank: the query-side vectors broadcast (a query workload is
+    // dimension-sized by construction — the `< NQueries` filter is
+    // pushed inside the broadcast), but the CORPUS vectors re-join
+    // SHUFFLE-HASH: candidates and corpus hash-partition on
+    // neighbor_id and each partition builds over its vector slice.
+    // Force-broadcasting the corpus vector table is a driver OOM at
+    // 100 TB; unhinted, the array column defeats Catalyst's size
+    // estimate and it falls back to a sort-merge of the vectors.
     val qv = vs.toDF("query_id", "qv", "qnrm")
     val cv = vs.toDF("neighbor_id", "cv", "cnrm")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.join(broadcast(qv), Seq("query_id")).join(broadcast(cv), Seq("neighbor_id"))
+    cand.join(broadcast(qv.filter(col("query_id") < NQueries)), Seq("query_id"))
+      .join(cv.hint("shuffle_hash"), Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
@@ -218,14 +227,19 @@ object Similarity {
     val vs = vectors(s, dir)
     val bk = buckets(vs, NearTables, NearBits)
     val a = bk.toDF("vec_a", "t", "sig")
-    val b = bk.toDF("vec_b", "t", "sig")
+    val b = bk.toDF("vec_b", "t", "sig").hint("shuffle_hash")
     val cand = a.join(b, Seq("t", "sig"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct() // a pair may co-bucket in several tables
+    // Verify joins are SHUFFLE-HASH: both vector re-joins key on a
+    // vec id, and the vector table is the corpus itself — broadcast
+    // would OOM the driver at 100 TB, unhinted Catalyst sort-merges
+    // the array side (its size estimates can't see array columns).
     val va = vs.toDF("vec_a", "va", "na")
     val vb = vs.toDF("vec_b", "vb", "nb")
-    cand.join(broadcast(va), Seq("vec_a")).join(broadcast(vb), Seq("vec_b"))
+    cand.join(va.hint("shuffle_hash"), Seq("vec_a"))
+      .join(vb.hint("shuffle_hash"), Seq("vec_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupCos)
       .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))

@@ -134,14 +134,21 @@ object Relational {
       .orderBy("o_custkey")
   }
 
-  /** Customers with no orders at all, per market segment — the
-    * left-anti (NOT EXISTS) counterpart of the semi-join probe above.
-    * Anti joins at scale shuffle only the probe keys; here the
-    * distinct orderer set builds map-side and the customer scan
-    * streams against it. */
+  /** Churned customers — no orders on/after 2000-01-01 — per market
+    * segment: the left-anti (NOT EXISTS) counterpart of the semi-join
+    * probe above. The probe is date-filtered so the query returns rows
+    * at every SF (every sf0.01 customer has *some* order, which made
+    * the unfiltered form pass vacuously); the filter is pushed into
+    * the probe-side scan before the anti join. Anti joins at scale
+    * shuffle only the probe keys; here the recent-orderer set builds
+    * map-side and the customer scan streams against it. */
+  private val ChurnCutoff = "2000-01-01"
+
   def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir).select("o_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(ChurnCutoff))
+      .select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
@@ -161,9 +168,10 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "rel_customers_without_orders" ->
-      """SELECT c_mktsegment, count(*) AS n_customers
+      s"""SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '$ChurnCutoff 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_pricing_summary" ->

@@ -27,15 +27,31 @@ object GlobalWindowLint extends Rule[LogicalPlan] {
   private def isPreReduced(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
     // a cached frame hides its lineage behind an InMemoryRelation
-    // leaf; look inside the cached physical plan for an aggregate
-    // (the S5 session cache memoizes exactly such pre-reduced
-    // frames). String match: under AQE the cached plan is an
-    // AdaptiveSparkPlanExec LEAF, so tree collect can't see through
-    // it — its rendering still prints the full plan.
+    // leaf; walk the cached PHYSICAL plan for an aggregate exec (the
+    // S5 session cache memoizes exactly such pre-reduced frames)
     case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-      imr.cachedPlan.toString.contains("Aggregate")
+      physPreReduced(imr.cachedPlan)
     case other if other.children.size == 1 => isPreReduced(other.children.head)
     case _ => false
+  }
+
+  /** True iff the physical tree contains an aggregate exec. Under AQE
+    * the cached plan is an `AdaptiveSparkPlanExec` LEAF (a plain tree
+    * collect sees nothing below it) and stage reuse wraps subtrees in
+    * `QueryStageExec` leaves — recurse through both explicitly, and
+    * through nested caches (`InMemoryTableScanExec`). A typed walk,
+    * not a `toString` match: any plan whose rendering merely mentions
+    * "Aggregate" (field names, expression ids) must not pass. */
+  private def physPreReduced(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      physPreReduced(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      physPreReduced(q.plan)
+    case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      physPreReduced(t.relation.cachedPlan)
+    case other => other.children.exists(physPreReduced)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

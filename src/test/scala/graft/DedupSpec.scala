@@ -38,6 +38,28 @@ class DedupSpec extends SparkSpec {
     assert(covered >= 0.9)
   }
 
+  test("PPJoin prefix filter bounds a boilerplate-shingle skew bucket") {
+    // 50 docs share ONE high-DF item (the boilerplate) and are
+    // otherwise disjoint (20 unique items each). A naive inverted-
+    // index join emits 50·49/2 = 1225 candidates from that bucket; the
+    // prefix filter admits none: with n=21 and t=0.8 the prefix is the
+    // 5 rarest items, and the shared boilerplate item — the most
+    // frequent in the corpus — sorts last, far outside every prefix.
+    import spark.implicits._
+    val items = (0 until 50).flatMap { d =>
+      ("common" +: (0 until 20).map(j => s"u${d}_$j")).map(it => (d.toLong, it))
+    }.toDF("doc_id", "item")
+    val cand = Dedup.ppCandidates(Dedup.ppSortedOrds(items, 0.8), 0.8).collect()
+    assert(cand.isEmpty,
+      s"prefix filter admitted ${cand.length} candidates from a pure-skew bucket")
+    // positive control: genuine near-dups still surface as candidates
+    val near = (0 until 2).flatMap { d =>
+      ((0 until 20).map(j => s"s$j") :+ s"only$d").map(it => (100L + d, it))
+    }.toDF("doc_id", "item")
+    val c2 = Dedup.ppCandidates(Dedup.ppSortedOrds(near, 0.8), 0.8).collect()
+    assert(c2.length == 1, s"expected the J≈0.91 pair as a candidate, got ${c2.length}")
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 3))

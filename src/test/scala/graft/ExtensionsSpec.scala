@@ -37,6 +37,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(!GlobalWindowLint.flagged.isEmpty)
   }
 
+  test("lint sees through the cache: flags a cached NON-aggregated frame") {
+    // Regression for the toString.contains("Aggregate") version: a
+    // cached raw frame whose rendering happens to mention "Aggregate"
+    // (here via a column literally named so) must still flag.
+    GlobalWindowLint.flagged.clear()
+    val cached = Seq((Date.valueOf("2020-01-01"), 1L), (Date.valueOf("2020-02-01"), 2L))
+      .toDF("d", "AggregateExpressionHolder").cache()
+    try {
+      cached.count() // materialize the cache
+      cached
+        .withColumn("l", lag("AggregateExpressionHolder", 1).over(Window.orderBy("d")))
+        .collect()
+      assert(!GlobalWindowLint.flagged.isEmpty,
+        "cached non-aggregated input under a global window must flag")
+    } finally cached.unpersist()
+  }
+
+  test("lint stays quiet for a CACHED pre-aggregated frame (AQE leaf)") {
+    GlobalWindowLint.flagged.clear()
+    val agg = Seq((Date.valueOf("2020-01-01"), 1L), (Date.valueOf("2020-01-15"), 2L))
+      .toDF("d", "v")
+      .groupBy(date_trunc("month", col("d")).as("m"))
+      .agg(sum("v").as("s"))
+      .cache()
+    try {
+      agg.count() // materialize: cachedPlan is an AdaptiveSparkPlanExec leaf
+      agg.withColumn("l", lag("s", 1).over(Window.orderBy("m"))).collect()
+      assert(GlobalWindowLint.flagged.isEmpty,
+        s"flagged a cached aggregate-fed global window: ${GlobalWindowLint.flagged}")
+    } finally agg.unpersist()
+  }
+
   test("lint stays quiet for windows over pre-aggregated input") {
     val before = {
       GlobalWindowLint.flagged.clear()

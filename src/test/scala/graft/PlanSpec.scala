@@ -96,6 +96,40 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("pair-verify joins: shuffle-hash, zero corpus-derived broadcasts") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // These four plans join corpus-sized tables only (candidates ×
+    // per-doc arrays/signatures/vectors): a BroadcastExchange anywhere
+    // is a forced broadcast of a corpus-derived side — a driver OOM /
+    // 8 GB hard-limit job kill at 100 TB. The verify stage must build
+    // per-partition hash tables instead (ShuffledHashJoin).
+    val corpusOnly = Seq(
+      "dedup_jaccard_pairs"   -> ext.Dedup.jaccardPairs(spark, sf0001),
+      "dedup_minhash_lsh"     -> ext.Dedup.minhashLsh(spark, sf0001),
+      "dedup_shingle_jaccard" -> ext.Dedup.shingleJaccardPairs(spark, sf0001),
+      "dedup_embedding_pairs" -> ext.Similarity.embeddingNearDups(spark, sf0001))
+    corpusOnly.foreach { case (name, df) =>
+      val plan = executed(df)
+      val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+      assert(bx.isEmpty, s"$name broadcasts a corpus-derived table:\n$plan")
+      val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+      assert(shj.nonEmpty, s"$name verify join lost its shuffle-hash shape:\n$plan")
+    }
+    // lshAnn re-ranks with one query-side broadcast (bounded by the
+    // `< NQueries` filter, which must sit INSIDE the broadcast) while
+    // the corpus vector side stays shuffle-hash.
+    val plan = executed(ext.Similarity.lshAnn(spark, sf0001))
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    assert(bx.nonEmpty, "query side should still broadcast")
+    bx.foreach { b =>
+      assert(b.toString.contains("< 10"),
+        s"lshAnn broadcast is not the filtered query side:\n$b")
+    }
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"lshAnn corpus re-rank lost its shuffle-hash shape:\n$plan")
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
