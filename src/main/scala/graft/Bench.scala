@@ -40,6 +40,12 @@ object Bench {
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast("decimal(25,8)")), count(lit(1)))
         .write.mode("overwrite").format("noop").save()
+      // Shuffled-hash join bring-up (codegen + shuffle write/read
+      // machinery): the pair-verify family runs on SHJ, not broadcast.
+      val k = li.select((col("l_orderkey") % 97).as("k"), col("l_partkey"))
+      k.join(k.hint("shuffle_hash"), Seq("k"))
+        .groupBy("k").agg(count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
