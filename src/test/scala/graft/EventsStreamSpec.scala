@@ -22,6 +22,35 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("approx quantiles: certified in-plan AND within rank bound vs raw data") {
+    import org.apache.spark.sql.functions._
+    // the declared query's self-certification must hold everywhere
+    val flags = Events.valueQuantilesApprox(spark, sf0001).collect()
+    assert(flags.nonEmpty && flags.length % 3 == 0)
+    assert(flags.forall(_.getAs[Boolean]("approx_within_bound")),
+      "percentile_approx violated its rank-error bound")
+    // independent check: recompute the rank of each approx value from
+    // the raw rows in memory and compare to the target percentile
+    val pcts = Seq(0.5, 0.95, 0.99)
+    val acc = 1000
+    val apx = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), typedlit(pcts), lit(acc)).as("apxs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val byType = Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((tpe, vals) <- byType; (p, a) <- pcts.zip(apx(tpe))) {
+      val n = vals.length.toDouble
+      val lo = vals.count(_ < a) / n
+      val hi = vals.count(_ <= a) / n
+      val eps = 2.0 / acc + 1e-9 // GK invariant g+Δ ≤ 2εn
+      assert(p >= lo - eps && p <= hi + eps,
+        f"$tpe p=$p: approx $a has rank range [$lo%.4f, $hi%.4f], outside ±$eps")
+    }
+  }
+
   test("stateful per-user totals converge to the batch aggregate") {
     import org.apache.spark.sql.functions._
     val batch = Tables.events(spark, sf0001)
