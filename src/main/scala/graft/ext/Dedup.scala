@@ -259,7 +259,7 @@ object Dedup {
     * row explosion, no collect_list pivot; the map-side partial
     * combine means the only shuffle carries one 32-long array per
     * document. Returns (doc_id, sig: array&lt;long&gt; ordered by k). */
-  private def signatures(tokenRows: DataFrame): DataFrame =
+  private[graft] def signatures(tokenRows: DataFrame): DataFrame =
     tokenRows
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSketch
@@ -314,6 +314,94 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val MaxCcIters = 100
+
+  /** Oracle-reproducible band-bucket keys for the cluster query:
+    * bucket = md5("band,sig[b·8+1],…,sig[b·8+8]"). [[minhashLsh]]
+    * hashes its buckets with xxhash64 (cheaper, and its oracle never
+    * needs the buckets thanks to the pigeonhole argument) — cluster
+    * MEMBERSHIP depends on the actual buckets (a pair below the est
+    * threshold that still shares one band connects its components),
+    * so here the bucket key must be a hash DuckDB computes
+    * identically. */
+  private[graft] def minhashBuckets(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = NumPerm / Bands
+    sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        md5(concat_ws(",",
+          b.cast("string"),
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))).cast("binary"))))
+        .as("bucket"))
+  }
+
+  /** Connected components over a bipartite (doc_id, bucket) graph via
+    * iterative min-label propagation ("hash-to-min" style): every
+    * round each bucket takes the min label of its members and every
+    * doc takes the min label of its buckets, to fixpoint. Returns one
+    * row per doc: (doc_id, cluster_rep = component-min doc_id,
+    * cluster_size).
+    *
+    * 100 TB shape: each round is two key-partitioned shuffles (by
+    * bucket, then by doc) of (id, label) longs — never the documents
+    * — and the round count is the component diameter in doc-hops
+    * (near-dup clusters are band-bucket near-cliques: 2–3 rounds).
+    * Lineage is truncated per round with `localCheckpoint` (swap for
+    * reliable `checkpoint` on a real cluster); convergence is
+    * detected by the monotone label-sum reaching a fixpoint — one
+    * tiny aggregate per round, no row-diff join. Output is LINEAR in
+    * corpus size where the `dedup_*_pairs` queries are quadratic in
+    * duplicate-cluster size — the form a pipeline can actually act
+    * on (keep rep, drop the rest). */
+  private[graft] def clustersFromBuckets(buckets: DataFrame): DataFrame = {
+    var rep = buckets.select("doc_id").distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var lastSum = labelSum(rep)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxCcIters) {
+      val bmin = buckets.join(rep.hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy("bucket").agg(min("rep").as("bmin"))
+      val newRep = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
+        .groupBy("doc_id").agg(min("bmin").as("prop"))
+        .join(rep.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), least(col("rep"), col("prop")).as("rep"))
+        .localCheckpoint()
+      val s = labelSum(newRep)
+      converged = s.compareTo(lastSum) == 0 // labels only ever decrease
+      lastSum = s
+      rep = newRep
+      iters += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $MaxCcIters rounds")
+    val sizes = rep.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    rep.join(sizes.hint("shuffle_hash"), Seq("rep"))
+      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Cluster-representative dedup — the usable form of near-dup
+    * detection at scale: instead of emitting candidate PAIRS
+    * (quadratic in duplicate-cluster size: one million-copy
+    * boilerplate page is ~5·10¹¹ pair rows), emit each doc's
+    * connected-component representative over the MinHash band
+    * buckets, linear in corpus size. Two docs land in one cluster iff
+    * they are joined by a chain of shared band buckets — the same
+    * candidate graph [[minhashLsh]] pairs from. Oracle: DuckDB
+    * recursive CTE reachability over the identical md5-derived
+    * buckets. */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
+    clustersFromBuckets(minhashBuckets(docs))
+  }
+
   /** 32-bit SimHash per document: each distinct token votes ±1 on
     * every bit of its hash ([[md5Hash32]] — oracle-reproducible); the
     * sketch sign-thresholds the vote vector. Computed as explode → 32
@@ -365,6 +453,7 @@ object Dedup {
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_clusters"      -> (clusters _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
   )
@@ -391,6 +480,30 @@ object Dedup {
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |mh AS (SELECT doc_id, kk.k AS k,
+         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+         |bb AS (SELECT doc_id, md5(CAST(r.b AS VARCHAR) || ',' ||
+         |      array_to_string(list_transform(
+         |        list_slice(sig, r.b * ${NumPerm / Bands} + 1, (r.b + 1) * ${NumPerm / Bands}),
+         |        x -> CAST(x AS VARCHAR)), ',')) AS bucket
+         |  FROM sigs, range(0, $Bands) r(b)),
+         |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bb a JOIN bb b ON a.bucket = b.bucket),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM sigs
+         |  UNION
+         |  SELECT e.dst AS doc_id, reach.r
+         |  FROM reach JOIN edges e ON e.src = reach.doc_id),
+         |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.doc_id""".stripMargin,
 
     "dedup_winnow_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

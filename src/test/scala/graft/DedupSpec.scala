@@ -60,6 +60,42 @@ class DedupSpec extends SparkSpec {
     assert(c2.length == 1, s"expected the J≈0.91 pair as a candidate, got ${c2.length}")
   }
 
+  test("dedup_clusters: a 5-copy document set collapses to one rep of size 5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "the same exact duplicated text body")) ++
+        Seq((10L, "an entirely different document about something else"),
+          (11L, "yet another unrelated piece of text written here"))
+      ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val out = Dedup.clustersFromBuckets(
+      Dedup.minhashBuckets(Dedup.signatures(toks))).collect()
+    val byDoc = out.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byDoc.size == 7)
+    (0 until 5).foreach { i =>
+      assert(byDoc(i.toLong) == (0L, 5L),
+        s"doc $i: expected rep 0 size 5, got ${byDoc(i.toLong)}")
+    }
+    assert(byDoc(10L) == (10L, 1L) && byDoc(11L) == (11L, 1L),
+      "unrelated docs must stay singleton clusters")
+  }
+
+  test("dedup_clusters covers every minhash-LSH pair in one component") {
+    // pair (a, b) in minhashLsh ⇒ a, b share a band bucket ⇒ same rep
+    val reps = ext.Dedup.clusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 3))
