@@ -150,52 +150,115 @@ object Similarity {
   }
 
   private val NProbe = 2
+  private val KCells = 8
+  private val KmIters = 5
+
+  /** 60-bit md5 hash (first 15 hex digits as base-16 int) — computed
+    * identically by DuckDB, used to seed the k-means init. */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic Lloyd k-means over the corpus vectors — the IVF
+    * build step. Init is an md5-seeded random partition
+    * (`md5(vec_id) mod k`); each of the [[KmIters]] rounds recomputes
+    * centroids as order-independent DECIMAL elementwise means and
+    * reassigns every vector to its max-cosine centroid (smallest cell
+    * id on ties). Everything is replayable: the init hash, the
+    * decimal means, and the index-order dot folds are computed
+    * identically by DuckDB, so the oracle unrolls the same
+    * iterations and lands on the same model bit-for-bit.
+    *
+    * Scale shape: the per-round driver sync is k × dim doubles (the
+    * classic k-means-on-Spark shape — MLlib does the same); the mean
+    * is one map-side-combined aggregation over (corpus × dim) rows;
+    * the reassignment ships centroids as LITERALS into a map-side
+    * argmax projection — no join, no shuffle. A fixed iteration
+    * budget, not convergence detection: deterministic cost, and Lloyd
+    * improves monotonically so a bounded build is the production
+    * norm. Returns (final assignment (vec_id, cell), final centroids
+    * (cell, cv, cnrm)). */
+  private[graft] def kmeansModel(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {
+    import graft.functions.Num.davg
+    val vs = vectors(s, dir)
+    var assign = vs.select(col("vec_id"),
+      pmod(md5Hash60(col("vec_id").cast("string")), lit(KCells))
+        .cast("int").as("cell"))
+    var cents: Seq[(Int, Seq[Double], Double)] = Nil
+    for (_ <- 0 until KmIters) {
+      val rows = vs.join(assign, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(davg(col("x")).as("cx"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+        val cv = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        var ss = 0.0
+        cv.foreach(x => ss += x * x) // index-order fold == list_dot_product
+        (cell, cv, math.sqrt(ss))
+      }.sortBy(_._1)
+      assign = assignToNearest(vs, cents)
+    }
+    (assign, cents)
+  }
+
+  /** Map-side nearest-centroid assignment: each centroid is a literal
+    * array in a codegen'd dot; the argmax is a struct `array_max` on
+    * (cos, −cell) — max cosine, then smallest cell id. One projection
+    * over the corpus, no shuffle. */
+  private def assignToNearest(vs: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)]): DataFrame = {
+    val scored = array(cents.map { case (c, cv, cnrm) =>
+      struct(
+        (dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cnrm))).as("cos"),
+        lit(-c).as("negc"))
+    }: _*)
+    vs.select(col("vec_id"),
+      (-array_max(scored).getField("negc")).cast("int").as("cell"))
+  }
 
   /** IVF approximate kNN — the other canonical ANN scale path next to
-    * [[lshAnn]]: elementwise-mean centroid per cell (order-independent
-    * decimal mean, so the oracle reproduces it bit-for-bit), rank
-    * cells per query by centroid cosine, probe the top-[[NProbe]]
-    * cells, exact cosine only within probed cells.
+    * [[lshAnn]]: cells come from the deterministic [[kmeansModel]]
+    * build (no reliance on pre-existing labels — a real corpus is
+    * unlabeled), queries rank cells by centroid cosine and probe the
+    * top-[[NProbe]], exact cosine runs only within probed cells.
     *
     * Scale shape: centroids are a tiny broadcast table; the probe
     * assignment is queries × cells (queries ≪ corpus, cells ≪
     * corpus); the exact search is an equi-join on the cell id — the
-    * corpus is scanned once and only 1/cells-th of it per query does
-    * any dot-product work. At 100 TB the cell id becomes the table's
-    * partition key and probing prunes whole partitions. */
+    * corpus is scanned once and only the probed fraction per query
+    * does any dot-product work. At 100 TB the cell id becomes the
+    * table's partition key and probing prunes whole partitions. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKProbes(s, dir, NProbe)
 
-  /** [[ivfTopK]] with an explicit probe count. With `nprobe` = number
+  /** [[ivfTopK]] with an explicit probe count. With `nprobe` ≥ number
     * of cells the result is EXACTLY [[bruteForceTopK]] (asserted in
     * `SimilaritySpec`) — recall degrades smoothly as probes shrink. */
   private[graft] def ivfTopKProbes(
       s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    import graft.functions.Num.davg
-    val vs = labeledVectors(s, dir)
-    val cent = vs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(davg(col("x")).as("cx"))
-      .groupBy("label")
-      .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("kv"))
-      .select(col("label"), transform(col("kv"), x => x.getField("cx")).as("cv"))
-      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    import s.implicits._
+    val vs = vectors(s, dir)
+    val (assign, cents) = kmeansModel(s, dir)
+    val centDF = cents.toDF("cell", "cv", "cnrm")
 
-    val q = vs.toDF("query_id", "qlabel", "qv", "qnrm")
+    val q = vs.toDF("query_id", "qv", "qnrm")
       .filter(col("query_id") < NQueries)
-      .drop("qlabel")
     val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("label").asc)
-    val probes = q.crossJoin(broadcast(cent))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centDF))
       .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
-      .select("query_id", "qv", "qnrm", "label")
+      .select("query_id", "qv", "qnrm", "cell")
 
-    val members = vs.toDF("neighbor_id", "label", "nv", "nnrm")
+    // assignment is corpus-sized → shuffle-hash, never broadcast
+    val members = vs.toDF("neighbor_id", "nv", "nnrm")
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+        .hint("shuffle_hash"), Seq("neighbor_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    members.join(broadcast(probes), Seq("label"))
+    members.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -286,6 +349,36 @@ object Similarity {
        |                  THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS BIGINT) AS sig
        |  FROM n CROSS JOIN planes p GROUP BY 1, 2)""".stripMargin
 
+  /** Unrolled deterministic-k-means oracle CTEs mirroring
+    * [[kmeansModel]] bit-for-bit: `a0` is the md5-seeded
+    * random-partition init; per round i, `cn{i}` recomputes decimal
+    * elementwise-mean centroids from assignment `a{i}` and `a{i+1}`
+    * reassigns by max cosine with the smallest-cell tie-break. */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |a0 AS (SELECT vec_id,
+         |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $k AS INTEGER) AS cell
+         |  FROM n)""".stripMargin
+    val its = (0 until iters).map { i =>
+      s"""px$i AS (SELECT a.cell, unnest(range(0, len(n.v))) AS pos, unnest(n.v) AS x
+         |  FROM n JOIN a$i a USING (vec_id)),
+         |cm$i AS (SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,8))) AS DOUBLE) / COUNT(x) AS cx
+         |  FROM px$i GROUP BY 1, 2),
+         |cn$i AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM (SELECT cell, list(cx ORDER BY pos) AS cv FROM cm$i GROUP BY 1)),
+         |a${i + 1} AS (SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell, row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+         |        c.cell ASC) AS rr
+         |    FROM n CROSS JOIN cn$i c) WHERE rr = 1)""".stripMargin
+    }
+    (init +: its).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -319,25 +412,19 @@ object Similarity {
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_ivf" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |px AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM n),
-         |cm AS (SELECT label, pos,
-         |    CAST(SUM(CAST(x AS DECIMAL(25,8))) AS DOUBLE) / COUNT(x) AS cx
-         |  FROM px GROUP BY 1, 2),
-         |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM cm GROUP BY 1),
-         |cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
-         |probes AS (SELECT query_id, label FROM (
-         |    SELECT q.vec_id AS query_id, c.label,
+      s"""WITH ${kmeansOracleCtes(KCells, KmIters)},
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
          |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
-         |        c.label ASC) AS prank
-         |    FROM n q CROSS JOIN cn c WHERE q.vec_id < $NQueries)
+         |        c.cell ASC) AS prank
+         |    FROM n q CROSS JOIN cn${KmIters - 1} c WHERE q.vec_id < $NQueries)
          |  WHERE prank <= $NProbe),
          |p AS (SELECT pr.query_id, m.vec_id AS neighbor_id,
          |    list_dot_product(q.v, m.v) / (q.nrm * m.nrm) AS cos
          |  FROM probes pr
-         |  JOIN n m ON m.label = pr.label
+         |  JOIN a$KmIters am ON am.cell = pr.cell
+         |  JOIN n m ON m.vec_id = am.vec_id
          |  JOIN n q ON q.vec_id = pr.query_id
          |  WHERE m.vec_id != pr.query_id),
          |r AS (SELECT query_id, neighbor_id, cos,
