@@ -15,7 +15,9 @@ import graft.functions.Num.r4
   *     join (the correctness oracle for the approximate methods)
   *  4. MinHash + LSH banding — the 100 TB path: candidate pairs via
   *     band-bucket equi-join, no pairwise work outside buckets
-  *  5. SimHash — 32-bit sketch + Hamming-ball candidate pairing
+  *  5. SimHash — 60-bit sketch + banded Hamming-ball pairing
+  *  6. cluster-representative output — connected components over the
+  *     band buckets, linear where pair output is quadratic
   *
   * All sketches hash with md5 (via codegen'd `functions._`
   * expressions or the one-pass [[graft.functions.MinHashSketch]]
@@ -30,10 +32,6 @@ object Dedup {
     * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`. */
   private def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
-  /** 32-bit variant (first 8 hex digits) — enough for per-bit votes. */
-  private def md5Hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Distinct (doc_id, tok) rows — the shared input of the Jaccard /
     * MinHash / SimHash family. Cached + memoized per (session, dir)
@@ -354,7 +352,13 @@ object Dedup {
     * corpus size where the `dedup_*_pairs` queries are quadratic in
     * duplicate-cluster size — the form a pipeline can actually act
     * on (keep rep, drop the rest). */
-  private[graft] def clustersFromBuckets(buckets: DataFrame): DataFrame = {
+  private[graft] def clustersFromBuckets(bucketsIn: DataFrame): DataFrame = {
+    // Materialize the bucket graph ONCE: every round joins it twice,
+    // and its lineage may be a whole candidate-generation pipeline
+    // (the embedding variant feeds the verified near-dup pairs in) —
+    // recomputing that per round multiplies the round cost by the
+    // pipeline cost. localCheckpoint here, persist on a real cluster.
+    val buckets = bucketsIn.localCheckpoint()
     var rep = buckets.select("doc_id").distinct()
       .withColumn("rep", col("doc_id"))
       .localCheckpoint()
@@ -402,18 +406,26 @@ object Dedup {
     clustersFromBuckets(minhashBuckets(docs))
   }
 
-  /** 32-bit SimHash per document: each distinct token votes ±1 on
-    * every bit of its hash ([[md5Hash32]] — oracle-reproducible); the
-    * sketch sign-thresholds the vote vector. Computed as explode → 32
+  private val SimBits = 60        // md5Hash60 — oracle-reproducible
+  private val SimBands = 6        // 10-bit bands → 1024 buckets each
+  private val SimBandBits = SimBits / SimBands
+  private val SimHammingT = 5     // ≤ SimBands − 1 ⇒ pigeonhole holds
+
+  /** 60-bit SimHash per document: each distinct token votes ±1 on
+    * every bit of its hash ([[md5Hash60]] — oracle-reproducible); the
+    * sketch sign-thresholds the vote vector. Computed as explode → 60
     * conditional sums → bit recombination (pure aggregates, map-side
-    * combinable). */
+    * combinable). 60 bits (up from 32 in round 2, per the round-2
+    * plan audit): band buckets go from corpus/256 to corpus/1024 and
+    * the Hamming ball is far more selective at web scale — the sketch
+    * still rides one BIGINT. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = distinctTokens(s, dir)
-      .withColumn("h", md5Hash32(col("tok")))
-    val votes = (0 until 32).map { i =>
+      .withColumn("h", md5Hash60(col("tok")))
+    val votes = (0 until SimBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
     }
-    val sketch = (0 until 32).map { i =>
+    val sketch = (0 until SimBits).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
     toks.groupBy("doc_id")
@@ -422,28 +434,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup candidate pairs: Hamming distance ≤ 3 of 32,
-    * found by banding the sketch into 4 bytes (a pair within distance
-    * 3 must agree on ≥ 1 byte — pigeonhole), joining per byte-band,
-    * then verifying with `bit_count(xor)`. */
+  /** SimHash near-dup candidate pairs: Hamming distance ≤
+    * [[SimHammingT]] of [[SimBits]], found by banding the sketch into
+    * [[SimBands]] 10-bit bands (a pair within distance 5 must agree
+    * on ≥ 1 of 6 bands — pigeonhole), joining per band, then
+    * verifying with `bit_count(xor)`. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sk = simhash(s, dir)
-    val bandStructs = (0 until 4).map { bnd =>
+    val mask = (1L << SimBandBits) - 1
+    val bandStructs = (0 until SimBands).map { bnd =>
       struct(lit(bnd).as("band"),
-        shiftrightunsigned(col("simhash"), bnd * 8).bitwiseAND(lit(0xFFL))
-          .as("byte"))
+        shiftrightunsigned(col("simhash"), bnd * SimBandBits).bitwiseAND(lit(mask))
+          .as("bandkey"))
     }
     val banded = sk.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.byte"))
-    val a = banded.toDF("doc_a", "sim_a", "band", "byte")
-    val b = banded.toDF("doc_b", "sim_b", "band", "byte").hint("shuffle_hash")
-    a.join(b, Seq("band", "byte"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bandkey"))
+    val a = banded.toDF("doc_a", "sim_a", "band", "bandkey")
+    val b = banded.toDF("doc_b", "sim_b", "band", "bandkey").hint("shuffle_hash")
+    a.join(b, Seq("band", "bandkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= SimHammingT)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -529,11 +543,11 @@ object Dedup {
       s"""WITH dt AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
          |h AS (SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM dt),
+         |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dt),
          |v AS (SELECT doc_id, ii.i AS i,
          |    CASE WHEN SUM(CASE WHEN ((h >> ii.i) & 1) = 1 THEN 1 ELSE -1 END) > 0
          |         THEN CAST(1 AS BIGINT) << ii.i ELSE CAST(0 AS BIGINT) END AS bit
-         |  FROM h, range(0, 32) ii(i) GROUP BY doc_id, ii.i)
+         |  FROM h, range(0, $SimBits) ii(i) GROUP BY doc_id, ii.i)
          |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
          |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
@@ -541,16 +555,16 @@ object Dedup {
       s"""WITH dt AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
          |h AS (SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM dt),
+         |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dt),
          |v AS (SELECT doc_id, ii.i AS i,
          |    CASE WHEN SUM(CASE WHEN ((h >> ii.i) & 1) = 1 THEN 1 ELSE -1 END) > 0
          |         THEN CAST(1 AS BIGINT) << ii.i ELSE CAST(0 AS BIGINT) END AS bit
-         |  FROM h, range(0, 32) ii(i) GROUP BY doc_id, ii.i),
+         |  FROM h, range(0, $SimBits) ii(i) GROUP BY doc_id, ii.i),
          |sk AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM v GROUP BY 1)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingT
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_exact" ->

@@ -286,7 +286,20 @@ object Similarity {
     * The DuckDB oracle replicates the buckets exactly (md5-seeded
     * planes), so this is hash-checked, not rows-only; recall vs the
     * all-pairs scan is additionally asserted in `SimilaritySpec`. */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    verifiedNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
+
+  /** Verified near-dup pairs, session-memoized (S5): the pair query
+    * and [[embeddingClusters]] share one materialization of the
+    * candidate-generate-and-verify pipeline. `PlanSpec` asserts the
+    * join shapes on [[buildNearDupPairs]] — the exact builder that
+    * fills this cache. */
+  private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "embedding_neardup_pairs") {
+      buildNearDupPairs(s, dir)
+    }
+
+  private[graft] def buildNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
     val bk = buckets(vs, NearTables, NearBits)
     val a = bk.toDF("vec_a", "t", "sig")
@@ -306,7 +319,32 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupCos)
       .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding near-dup CLUSTERS — the linear-output form of
+    * [[embeddingNearDups]], mirroring `dedup_clusters` on the text
+    * side: connected components over the VERIFIED pair graph via the
+    * shared min-label propagation, emitting (vec_id, cluster_rep,
+    * cluster_size) for every vector (singletons included via a
+    * per-vector self bucket).
+    *
+    * Components run over verified pairs, not raw LSH buckets: at
+    * [[NearBits]] = 3 a bucket holds ~1/8 of the corpus, so the raw
+    * bucket graph is one giant component by construction — the
+    * cosine-verified edges are the semantically meaningful graph. The
+    * edge list is the pair query's output (bounded by real near-dup
+    * density); the component output is one row per vector. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedNearDupPairs(s, dir).select("vec_a", "vec_b")
+    val pairKey = concat_ws(",",
+      col("vec_a").cast("string"), col("vec_b").cast("string"))
+    val bk = pairs.select(col("vec_a").as("doc_id"), pairKey.as("bucket"))
+      .union(pairs.select(col("vec_b").as("doc_id"), pairKey.as("bucket")))
+      .union(vectors(s, dir).select(col("vec_id").as("doc_id"),
+        concat_ws(":", lit("self"), col("vec_id").cast("string")).as("bucket")))
+    Dedup.clustersFromBuckets(bk)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
   }
 
   /** Exact all-pairs near-dup scan — the recall oracle for
@@ -329,6 +367,7 @@ object Similarity {
     "sim_topk_lsh_ann"    -> (lshAnn _),
     "sim_topk_ivf"        -> (ivfTopK _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
+    "dedup_embedding_clusters" -> (embeddingClusters _),
   )
 
   /** Shared oracle CTE prefix: vectors + norms, and the md5-seeded
@@ -446,5 +485,27 @@ object Similarity {
          |  JOIN n nb ON nb.vec_id = vec_b)
          |SELECT vec_a, vec_b, round(cos, 4) AS cos
          |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE ${lshOracleCtes(NearTables, NearBits)},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+         |  WHERE a.vec_id < b.vec_id),
+         |p AS (SELECT vec_a, vec_b
+         |  FROM cand
+         |  JOIN n na ON na.vec_id = vec_a
+         |  JOIN n nb ON nb.vec_id = vec_b
+         |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $NearDupCos),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |  UNION ALL SELECT vec_b, vec_a FROM p),
+         |reach AS (
+         |  SELECT vec_id, vec_id AS r FROM n
+         |  UNION
+         |  SELECT e.dst AS vec_id, reach.r
+         |  FROM reach JOIN edges e ON e.src = reach.vec_id),
+         |rep AS (SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT r.vec_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.vec_id""".stripMargin,
   )
 }

@@ -123,8 +123,13 @@ object Text {
     * score (then token asc): `ln` can differ between engines in the
     * last ulp, and ranking on the raw double would let that flip
     * near-ties — on the 4-decimal value both engines order
-    * identically. Plan shape: one tokenize pass, a vocabulary-sized
-    * df aggregate broadcast back, per-doc window on (doc, score). */
+    * identically. Plan shape: one tokenize pass; the vocabulary-sized
+    * df aggregate re-joins SHUFFLE-HASH (a web-scale vocabulary is
+    * corpus-derived and unbounded — Heaps' law still means billions
+    * of distinct tokens at 100 TB, so a forced broadcast is a driver
+    * OOM; the tf rows hash-partition by token either way); the 1-row
+    * corpus count is the only broadcast. Per-doc window on (doc,
+    * score). */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -137,7 +142,7 @@ object Text {
       .groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df.hint("shuffle_hash"), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", r4((col("cnt") / col("len")) *
         (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)))

@@ -98,7 +98,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
-    assert(p.forall(_.getAs[Int]("hamming") <= 3))
+    assert(p.forall(_.getAs[Int]("hamming") <= 5))
   }
 
   test("simhash is deterministic across runs") {

@@ -99,6 +99,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("pair-verify joins: shuffle-hash, zero corpus-derived broadcasts") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // Clear the session memo: the CacheManager substitutes any
+    // matching cached fragment (e.g. the memoized pair table) into a
+    // freshly built plan, which would hide the join shapes under an
+    // InMemoryRelation leaf.
+    SessionMemo.clear(spark)
     // These four plans join corpus-sized tables only (candidates ×
     // per-doc arrays/signatures/vectors): a BroadcastExchange anywhere
     // is a forced broadcast of a corpus-derived side — a driver OOM /
@@ -108,7 +113,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "dedup_jaccard_pairs"   -> ext.Dedup.jaccardPairs(spark, sf0001),
       "dedup_minhash_lsh"     -> ext.Dedup.minhashLsh(spark, sf0001),
       "dedup_shingle_jaccard" -> ext.Dedup.shingleJaccardPairs(spark, sf0001),
-      "dedup_embedding_pairs" -> ext.Similarity.embeddingNearDups(spark, sf0001))
+      // the pair pipeline is session-memoized (S5); assert on the
+      // builder that fills the cache — same code, visible plan
+      "dedup_embedding_pairs" -> ext.Similarity.buildNearDupPairs(spark, sf0001))
     corpusOnly.foreach { case (name, df) =>
       val plan = executed(df)
       val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }

@@ -37,6 +37,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding clusters: pairs share a rep, non-paired vectors stay singleton") {
+    val reps = Similarity.embeddingClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(reps.size.toLong == nVecs, "clusters must cover every vector")
+    val pairs = Similarity.embeddingNearDups(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(reps(a)._1 == reps(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    reps.filterNot(kv => paired(kv._1)).foreach { case (v, (rep, size)) =>
+      assert(rep == v && size == 1L, s"non-paired vector $v not a singleton")
+    }
+  }
+
   test("IVF with all cells probed is EXACTLY brute force") {
     val exact = Similarity.bruteForceTopK(spark, sf0001).collect().map(_.toSeq)
     val full = Similarity.ivfTopKProbes(spark, sf0001, 10).collect().map(_.toSeq)
