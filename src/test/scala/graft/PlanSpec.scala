@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"lshAnn corpus re-rank lost its shuffle-hash shape:\n$plan")
   }
 
+  test("bucketed co-located join: zero shuffle below the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = executed(sources.Ingest.bucketedColocatedJoin(spark, sf0001))
+    val smj = collectWithSubqueries(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join of bucketed tables:\n$plan")
+    val shufflesBelow = smj.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+    assert(shufflesBelow.isEmpty,
+      s"bucketed join still shuffles its inputs:\n$plan")
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
