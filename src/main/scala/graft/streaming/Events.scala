@@ -168,6 +168,52 @@ object Events {
         r4(percentile(col("value"), lit(0.99))).as("p99"))
       .orderBy("event_type")
 
+  /** Purchase←view pairs within a 1-hour lookback: the shared
+    * transform of the batch interval join and the stream-stream join.
+    * Equi-join on user_id carrying the time-range predicate — at
+    * scale both sides shuffle once on the user key and the range
+    * filter runs inside the join, never as a post-join explosion. */
+  private def viewPurchasePairs(purchases: DataFrame, views: DataFrame): DataFrame =
+    purchases.join(views,
+      purchases("user_id") === views("v_user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("view_ts") <= col("purchase_ts"))
+
+  private def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+
+  private def viewsOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+
+  /** Batch form (oracled): per purchase, how many views the user made
+    * in the preceding hour and when the last one was. */
+  def purchaseViewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    viewPurchasePairs(purchasesOf(ev), viewsOf(ev))
+      .groupBy("purchase_id", "user_id", "purchase_ts")
+      .agg(count(lit(1)).as("n_views_1h"), max("view_ts").as("last_view_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** Stream-stream interval join: both sides watermarked, the range
+    * condition bounds how long each side's state lives (a view can
+    * only match purchases up to 1 h later, so the store evicts it at
+    * watermark − 1 h) — the canonical unbounded-join-with-bounded-
+    * state shape. Emits the raw joined pairs in append mode;
+    * `EventsStreamSpec` asserts they equal the batch pairs. */
+  def purchaseViewStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def raw() = fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    val p = purchasesOf(raw()).withWatermark("purchase_ts", "2 hours")
+    val v = viewsOf(raw()).withWatermark("view_ts", "2 hours")
+    viewPurchasePairs(p, v)
+      .select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+  }
+
   private val ApproxPcts = Seq(0.5, 0.95, 0.99)
   private val ApproxAcc = 1000
 
@@ -218,6 +264,7 @@ object Events {
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_quantiles_approx" -> (valueQuantilesApprox _),
+    "events_purchase_view_join" -> (purchaseViewJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +308,14 @@ object Events {
          |FROM (SELECT event_type, count(*) AS n_values FROM events GROUP BY 1)
          |CROSS JOIN (VALUES (0.5), (0.95), (0.99)) p(pctl)
          |ORDER BY event_type, pctl""".stripMargin,
+
+    "events_purchase_view_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  count(*) AS n_views_1h, max(v.ts) AS last_view_ts
+        |FROM events p
+        |JOIN events v ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
   )
 }

@@ -72,6 +72,38 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join (pair level)") {
+    import org.apache.spark.sql.functions._
+    // batch truth: raw purchase×view pairs within the 1h lookback
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .join(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user_id"), col("ts").as("view_ts")),
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+          col("view_ts") <= col("purchase_ts"))
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val q = streaming.Events.purchaseViewStream(spark, sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pv_join_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pv_join_out")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream pairs ${streamed.size} != batch pairs ${batch.size}")
+      assert(batch.nonEmpty, "fixture has no purchase-view pairs")
+    } finally q.stop()
+  }
+
   test("streaming attribution == batch as-of join") {
     val batch = graft.operators.AsOf.purchaseAttribution(spark, sf0001)
       .select("purchase_id", "view_id").collect()
