@@ -177,7 +177,20 @@ object Similarity {
     * improves monotonically so a bounded build is the production
     * norm. Returns (final assignment (vec_id, cell), final centroids
     * (cell, cv, cnrm)). */
+  /** (session, dir)-memoized model — an IVF index is built once and
+    * queried many times; re-invoking the query must not re-run Lloyd.
+    * The assignment frame is cached, the centroid literals are tiny. */
+  private val kmeansMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[(Int, Seq[Double], Double)])]
+
   private[graft] def kmeansModel(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Double], Double)]) =
+    kmeansMemo.getOrElseUpdate((s, dir), {
+      val (assign, cents) = buildKmeans(s, dir)
+      (assign.cache(), cents)
+    })
+
+  private def buildKmeans(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {
     import graft.functions.Num.davg
     val vs = vectors(s, dir)
