@@ -137,6 +137,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"lshAnn corpus re-rank lost its shuffle-hash shape:\n$plan")
   }
 
+  test("tfidf: vocabulary df joins shuffle-hash; only the 1-row count broadcasts") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val plan = executed(ext.Text.tfidfTop(spark, sf0001))
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    assert(bx.size == 1, s"expected exactly the n_docs broadcast:\n$plan")
+    assert(bx.head.toString.contains("n_docs"),
+      s"the broadcast is not the 1-row corpus count:\n${bx.head}")
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"vocabulary df join lost its shuffle-hash shape:\n$plan")
+  }
+
   test("bucketed co-located join: zero shuffle below the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
