@@ -495,6 +495,11 @@ object Dedup {
          |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Connectivity via STAR edges (member ↔ bucket-min), not bucket
+    // cliques: identical components, but the recursion's join fan-out
+    // per (doc, label) row drops from cluster size to ~#bands — the
+    // clique form made the reachability join O(size³) for a large
+    // duplicate cluster and ran for hours at sf0.1.
     "dedup_clusters" ->
       s"""WITH RECURSIVE dt AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
@@ -507,8 +512,10 @@ object Dedup {
          |        list_slice(sig, r.b * ${NumPerm / Bands} + 1, (r.b + 1) * ${NumPerm / Bands}),
          |        x -> CAST(x AS VARCHAR)), ',')) AS bucket
          |  FROM sigs, range(0, $Bands) r(b)),
-         |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-         |  FROM bb a JOIN bb b ON a.bucket = b.bucket),
+         |bmin AS (SELECT bucket, min(doc_id) AS m FROM bb GROUP BY 1),
+         |edges0 AS (SELECT DISTINCT b.doc_id AS src, bm.m AS dst
+         |  FROM bb b JOIN bmin bm USING (bucket) WHERE b.doc_id != bm.m),
+         |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
          |reach AS (
          |  SELECT doc_id, doc_id AS r FROM sigs
          |  UNION
