@@ -66,6 +66,42 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Streaming S4 sink: drive the same last-write-wins [[upsert]]
+    * from a stream via `foreachBatch` — each micro-batch merges into
+    * the parquet snapshot and the result replaces it with a
+    * write-to-`.next`-then-swap (the snapshot directory is never
+    * half-written, and re-running a batch is idempotent because the
+    * merge is keyed). This is the streaming face of the reference's
+    * `ON CONFLICT DO UPDATE` loop: state lives in the snapshot, not
+    * the state store, so the sink survives restarts with no
+    * checkpointed aggregation. At scale the snapshot is partitioned
+    * and only touched partitions rewrite; here it swaps whole for the
+    * bench corpus. */
+  def upsertSink(stream: DataFrame, path: String, key: String, version: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val existing =
+          if (new java.io.File(path).exists) s.read.parquet(path)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val next = path + ".next"
+        upsert(existing, batch, key, version)
+          .write.mode(SaveMode.Overwrite).parquet(next)
+        // swap AFTER the merged write fully materialized (it read the
+        // old snapshot): delete old, move next into place
+        deleteRecursively(new java.io.File(path))
+        if (!new java.io.File(next).renameTo(new java.io.File(path)))
+          throw new java.io.IOException(s"snapshot swap failed: $next -> $path")
+        ()
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   private val BucketN = 8
 
   /** Bucketed co-located join — the at-scale layout technique the

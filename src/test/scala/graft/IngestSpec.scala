@@ -44,6 +44,31 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("streaming foreachBatch upsert sink converges to the batch merge") {
+    import graft.streaming.Events
+    val path = Files.createTempDirectory("graft_upsert_sink").toString + "/snap"
+    // stream the events files; last-write-wins per user keyed by the
+    // (unique) event_id as the version — the final snapshot must hold
+    // each user's max-event_id row
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(Events.rawSchema)
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .parquet(s"$sf0001/events*.parquet")
+      .select("user_id", "event_id", "value")
+    val q = Ingest.upsertSink(stream, path, "user_id", "event_id").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val snap = spark.read.parquet(path)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id"), col("m.value")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(snap == batch, s"sink snapshot (${snap.size} users) != batch merge (${batch.size})")
+  }
+
   test("jdbc wrapper wires the partitioned reader (no driver in this env)") {
     val e = intercept[Exception] {
       Tables.jdbc(spark, "jdbc:postgresql://nohost/db", "tbl",
