@@ -23,6 +23,7 @@ object SparkEntry {
       ext.Text.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
+      ext.Curation.queries ++
       ext.Multimodal.queries ++
       sources.Ingest.queries ++
       streaming.Events.queries
@@ -37,6 +38,7 @@ object SparkEntry {
       ext.Text.oracleSql ++
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++
+      ext.Curation.oracleSql ++
       ext.Multimodal.oracleSql ++
       sources.Ingest.oracleSql ++
       streaming.Events.oracleSql

@@ -403,7 +403,11 @@ object Dedup {
     val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    clustersFromBuckets(minhashBuckets(docs))
+    // memoized: Curation.pipeline re-reads the cluster map, and the
+    // CC fixpoint (several shuffle rounds) must not re-run per query
+    graft.SessionMemo.cached(s, dir, "minhash_clusters") {
+      clustersFromBuckets(minhashBuckets(docs))
+    }
   }
 
   private val SimBits = 60        // md5Hash60 — oracle-reproducible
@@ -461,6 +465,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DuckDB CTE chain ending in `rep (doc_id, cluster_rep)` and
+    * `cs (cluster_rep, cluster_size)` — the [[clusters]] semantics as
+    * reusable oracle SQL (MinHash band buckets → star edges →
+    * recursive reachability). Shared by the `dedup_clusters` oracle
+    * and the `pipeline_curation` oracle in [[Curation]]. */
+  private[ext] val clustersCteSql: String =
+    s"""dt AS (SELECT DISTINCT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |mh AS (SELECT doc_id, kk.k AS k,
+       |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+       |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+       |bb AS (SELECT doc_id, md5(CAST(r.b AS VARCHAR) || ',' ||
+       |      array_to_string(list_transform(
+       |        list_slice(sig, r.b * ${NumPerm / Bands} + 1, (r.b + 1) * ${NumPerm / Bands}),
+       |        x -> CAST(x AS VARCHAR)), ',')) AS bucket
+       |  FROM sigs, range(0, $Bands) r(b)),
+       |bmin AS (SELECT bucket, min(doc_id) AS m FROM bb GROUP BY 1),
+       |edges0 AS (SELECT DISTINCT b.doc_id AS src, bm.m AS dst
+       |  FROM bb b JOIN bmin bm USING (bucket) WHERE b.doc_id != bm.m),
+       |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM sigs
+       |  UNION
+       |  SELECT e.dst AS doc_id, reach.r
+       |  FROM reach JOIN edges e ON e.src = reach.doc_id),
+       |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+       |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
@@ -501,28 +534,7 @@ object Dedup {
     // clique form made the reachability join O(size³) for a large
     // duplicate cluster and ran for hours at sf0.1.
     "dedup_clusters" ->
-      s"""WITH RECURSIVE dt AS (SELECT DISTINCT doc_id,
-         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
-         |mh AS (SELECT doc_id, kk.k AS k,
-         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
-         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
-         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
-         |bb AS (SELECT doc_id, md5(CAST(r.b AS VARCHAR) || ',' ||
-         |      array_to_string(list_transform(
-         |        list_slice(sig, r.b * ${NumPerm / Bands} + 1, (r.b + 1) * ${NumPerm / Bands}),
-         |        x -> CAST(x AS VARCHAR)), ',')) AS bucket
-         |  FROM sigs, range(0, $Bands) r(b)),
-         |bmin AS (SELECT bucket, min(doc_id) AS m FROM bb GROUP BY 1),
-         |edges0 AS (SELECT DISTINCT b.doc_id AS src, bm.m AS dst
-         |  FROM bb b JOIN bmin bm USING (bucket) WHERE b.doc_id != bm.m),
-         |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS r FROM sigs
-         |  UNION
-         |  SELECT e.dst AS doc_id, reach.r
-         |  FROM reach JOIN edges e ON e.src = reach.doc_id),
-         |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
-         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+      s"""WITH RECURSIVE $clustersCteSql
          |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
          |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.doc_id""".stripMargin,
 

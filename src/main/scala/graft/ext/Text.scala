@@ -21,19 +21,19 @@ object Text {
   /** Whitespace tokenization — the shared primitive. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+  private[ext] val tokSql = "string_split_regex(trim(text), '\\s+')"
 
   // tiny per-language function-word lists for the n-gram/stopword
   // language-ID heuristic (public-knowledge word lists)
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in")
-  private val stopDe = Seq("der", "die", "das", "und", "ist")
-  private val stopFr = Seq("le", "la", "et", "les", "des")
-  private val stopEs = Seq("el", "los", "de", "y", "las")
+  private[ext] val stopEn = Seq("the", "a", "of", "and", "to", "in")
+  private[ext] val stopDe = Seq("der", "die", "das", "und", "ist")
+  private[ext] val stopFr = Seq("le", "la", "et", "les", "des")
+  private[ext] val stopEs = Seq("el", "los", "de", "y", "las")
 
-  private def hitRatio(toks: Column, words: Seq[String]): Column =
+  private[ext] def hitRatio(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*))) / size(toks)
 
-  private def hitRatioSql(words: Seq[String]): String = {
+  private[ext] def hitRatioSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(toks, t -> list_contains($lst, t))) / len(toks)"
   }

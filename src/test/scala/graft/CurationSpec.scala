@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, Text}
+
+/** Curation operators: deterministic sampling + the end-to-end
+  * pipeline. The samplers' whole value proposition is replayability,
+  * so the tests recompute the hash decisions independently (JVM
+  * MessageDigest, not Spark) and re-run queries to assert identical
+  * output.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Independent recomputation of docHash60: first 15 md5 hex digits
+    * of (key || doc_id) as a long. */
+  private def jvmHash60(key: String, docId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key$docId".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("hashBernoulli matches an independent JVM md5 recomputation") {
+    val got = Curation.hashBernoulli(spark, sf0001)
+      .select("doc_id", "sample_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = all.map(id => id -> jvmHash60("sample:", id) % 100)
+      .filter(_._2 < 20).toMap
+    assert(got == expect, s"sample of ${got.size} != expected ${expect.size}")
+    assert(got.nonEmpty && got.size < all.length)
+  }
+
+  test("hashBernoulli is stable across re-execution (no rand())") {
+    val a = Curation.hashBernoulli(spark, sf0001).collect().toSeq
+    val b = Curation.hashBernoulli(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+
+  test("hashBernoulli plan is map-only: no hash-partition exchange, no broadcast") {
+    val plan = Curation.hashBernoulli(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"sampler should not shuffle by key:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"sampler should not broadcast:\n$plan")
+  }
+
+  test("stratifiedSample equals the one-window reference form") {
+    val twoPhase = Curation.stratifiedSample(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val h = conv(substring(md5(concat(lit("strat:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val oneWindow = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang")).withColumn("h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 25)
+      .select("lang", "doc_id", "rk")
+      .orderBy("lang", "rk")
+      .collect().map(_.toSeq).toSeq
+    assert(twoPhase == oneWindow)
+  }
+
+  test("stratifiedSample fills every language's quota exactly") {
+    val counts = Curation.stratifiedSample(spark, sf0001)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every sf0.001 stratum has >= 64 docs, so all quotas fill
+    assert(counts.keySet == Set("en", "de", "fr", "es", "zh"))
+    assert(counts.values.forall(_ == 25L), counts.toString)
+  }
+
+  test("stratifiedSample never ranks a whole stratum on one task") {
+    val plan = Curation.stratifiedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // phase 1 must window over (lang, salt) — the salted slices —
+    // before any per-lang window sees data
+    val firstWindow = plan.split("\n").filter(_.contains("Window"))
+      .lastOption.getOrElse("") // physical plans print leaves last
+    assert(firstWindow.contains("salt"),
+      s"phase-1 window should partition by (lang, salt):\n$plan")
+  }
+
+  test("pipeline_curation output satisfies every gate it composes") {
+    SessionMemo.clear(spark)
+    val out = Curation.pipeline(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+
+    // budget gate: the curate-hash decision holds for every kept doc
+    assert(ids.forall(id => jvmHash60("curate:", id) % 100 < 50))
+
+    // dedup gate: every kept doc is its cluster's representative
+    val reps = Dedup.clusters(spark, sf0001)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(reps))
+
+    // quality + language gates: cross-check against the declared
+    // text queries (same definitions, independent plans)
+    val qualityOk = Text.quality(spark, sf0001)
+      .filter(col("quality_ok")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val predEn = Text.langId(spark, sf0001)
+      .filter(col("pred_lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(qualityOk))
+    assert(ids.subsetOf(predEn))
+
+    // and maximal: no doc passing all four gates is missing
+    val expect = (qualityOk & predEn & reps)
+      .filter(id => jvmHash60("curate:", id) % 100 < 50)
+    assert(ids == expect)
+  }
+
+  test("pipeline_curation joins the cluster map shuffle-hash, never broadcast") {
+    SessionMemo.clear(spark)
+    val plan = Curation.pipeline(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"reps join should be shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"corpus-derived cluster map must not broadcast:\n$plan")
+  }
+}
