@@ -66,36 +66,131 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Hash-partition count for generically-keyed snapshots (time-series
+    * snapshots pass `year(...)` instead — see [[upsertSink]]). */
+  private val SnapParts = 16
+
+  /** Default snapshot partitioner: a stable hash bucket of the key.
+    * Any deterministic key→bucket function works; calendar-keyed
+    * snapshots should pass `year(_)` so merges align with the
+    * [[writeTimeSeries]] layout. */
+  def defaultPartition(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(k), lit(SnapParts))
+
   /** Streaming S4 sink: drive the same last-write-wins [[upsert]]
-    * from a stream via `foreachBatch` — each micro-batch merges into
-    * the parquet snapshot and the result replaces it with a
-    * write-to-`.next`-then-swap (the snapshot directory is never
-    * half-written, and re-running a batch is idempotent because the
-    * merge is keyed). This is the streaming face of the reference's
-    * `ON CONFLICT DO UPDATE` loop: state lives in the snapshot, not
-    * the state store, so the sink survives restarts with no
-    * checkpointed aggregation. At scale the snapshot is partitioned
-    * and only touched partitions rewrite; here it swaps whole for the
-    * bench corpus. */
-  def upsertSink(stream: DataFrame, path: String, key: String, version: String)
+    * from a stream via `foreachBatch`. The snapshot is a parquet
+    * directory partitioned by `__part = partitionOf(key)`; each
+    * micro-batch merges ONLY the partitions its keys touch
+    * (`etl.py:66-71`'s `ON CONFLICT DO UPDATE` touches only
+    * conflicting rows — at 100 TB a whole-snapshot rewrite per batch
+    * is O(corpus), a partition-scoped one is O(batch)). Untouched
+    * partition directories are never opened, moved, or rewritten.
+    *
+    * Crash safety: the merge stages to `path + ".next"` (complete iff
+    * Spark's `_SUCCESS` marker landed), then [[swapStaged]] promotes
+    * each staged partition after displacing the live one into
+    * `path + ".old"`. [[recoverSnapshot]] runs before every merge and
+    * finishes an interrupted swap (a complete `.next` is re-promoted,
+    * a displaced `.old` partition is restored, an incomplete `.next`
+    * is discarded) — at no point is the only copy of a partition
+    * deleted before its replacement is in place. Re-running a batch
+    * is idempotent because the merge is keyed. */
+  def upsertSink(stream: DataFrame, path: String, key: String, version: String,
+      partitionOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = defaultPartition)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val existing =
-          if (new java.io.File(path).exists) s.read.parquet(path)
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        val next = path + ".next"
-        upsert(existing, batch, key, version)
-          .write.mode(SaveMode.Overwrite).parquet(next)
-        // swap AFTER the merged write fully materialized (it read the
-        // old snapshot): delete old, move next into place
-        deleteRecursively(new java.io.File(path))
-        if (!new java.io.File(next).renameTo(new java.io.File(path)))
-          throw new java.io.IOException(s"snapshot swap failed: $next -> $path")
-        ()
+      (batch: DataFrame, _: Long) => mergeBatch(batch, path, key, version, partitionOf)
     }
+
+  /** One micro-batch of the sink: recover, stage, swap. */
+  private[graft] def mergeBatch(batch: DataFrame, path: String, key: String,
+      version: String,
+      partitionOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = defaultPartition)
+      : Unit =
+    if (stageMerge(batch, path, key, version, partitionOf)) swapStaged(path)
+
+  /** Recover any interrupted swap, then write the merged form of every
+    * partition the batch touches to `path + ".next"`. Returns false
+    * (nothing staged) for an empty batch. */
+  private[graft] def stageMerge(batch: DataFrame, path: String, key: String,
+      version: String,
+      partitionOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = defaultPartition)
+      : Boolean = {
+    recoverSnapshot(path)
+    val s = batch.sparkSession
+    val keyed = batch.withColumn("__part", partitionOf(col(key)).cast("int"))
+    keyed.persist()
+    try {
+      // distinct partition values: bounded by the partition count (16
+      // buckets / #years), never by batch size — safe to collect
+      val touched = keyed.select("__part").distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return false
+      val live = new java.io.File(path)
+      val existing =
+        if (hasChildren(live))
+          s.read.parquet(path)
+            .filter(col("__part").isin(touched: _*)) // partition-pruned scan
+            .select(keyed.columns.map(col): _*)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], keyed.schema)
+      upsert(existing, keyed, key, version)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__part").parquet(path + ".next")
+      true
+    } finally { keyed.unpersist(); () }
+  }
+
+  /** Promote every staged partition in `path + ".next"` (which MUST
+    * be complete — `_SUCCESS` present): displace the live partition
+    * directory into `path + ".old"`, rename the staged one in, then
+    * drop `.old` and `.next`. Idempotent — re-running after a crash
+    * at any point resumes where it stopped, because a partition is
+    * only displaced while its replacement still sits in `.next`. */
+  private[graft] def swapStaged(path: String): Unit = {
+    val next = new java.io.File(path + ".next")
+    require(new java.io.File(next, "_SUCCESS").exists,
+      s"refusing to swap an incomplete stage: $next")
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    live.mkdirs(); old.mkdirs()
+    for (p <- Option(next.listFiles).getOrElse(Array.empty)
+         if p.isDirectory && p.getName.startsWith("__part=")) {
+      val livePart = new java.io.File(live, p.getName)
+      if (livePart.exists) rename(livePart, new java.io.File(old, p.getName))
+      rename(p, livePart)
+    }
+    deleteRecursively(old)
+    deleteRecursively(next)
+  }
+
+  /** Startup/pre-batch recovery: finish or roll back an interrupted
+    * swap so the snapshot is whole before the next merge reads it. */
+  private[graft] def recoverSnapshot(path: String): Unit = {
+    val next = new java.io.File(path + ".next")
+    val old = new java.io.File(path + ".old")
+    if (new java.io.File(next, "_SUCCESS").exists) {
+      // the staged merge fully materialized — its partitions supersede
+      // both live and displaced ones; finish the swap
+      swapStaged(path)
+    } else {
+      // incomplete stage: restore any partition displaced into .old
+      // whose live copy is missing, then discard the leftovers
+      for (p <- Option(old.listFiles).getOrElse(Array.empty) if p.isDirectory) {
+        val livePart = new java.io.File(path, p.getName)
+        if (!livePart.exists) { new java.io.File(path).mkdirs(); rename(p, livePart) }
+      }
+      if (next.exists) deleteRecursively(next)
+      if (old.exists) deleteRecursively(old)
+    }
+  }
+
+  private def hasChildren(dir: java.io.File): Boolean =
+    dir.isDirectory && Option(dir.listFiles).exists(_.nonEmpty)
+
+  private def rename(from: java.io.File, to: java.io.File): Unit = {
+    java.nio.file.Files.move(from.toPath, to.toPath)
+    ()
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -69,6 +69,77 @@ class IngestSpec extends SparkSpec {
     assert(snap == batch, s"sink snapshot (${snap.size} users) != batch merge (${batch.size})")
   }
 
+  private def snapRows(path: String) =
+    spark.read.parquet(path).orderBy("month")
+      .select("month", "emp").as[(Date, Long)].collect().toSeq
+
+  private def partFiles(path: String, part: String) =
+    new java.io.File(path, part).listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+
+  test("merge rewrites only the year partitions the batch touches") {
+    val snap = Files.createTempDirectory("graft_inc").toString + "/snap"
+    val byYear = (c: org.apache.spark.sql.Column) => year(c)
+    Ingest.mergeBatch(series(("2020-01-01", 1L, 1L), ("2021-01-01", 2L, 1L)),
+      snap, "month", "ingest_v", byYear)
+    val before2020 = partFiles(snap, "__part=2020")
+    val before2021 = partFiles(snap, "__part=2021")
+    Thread.sleep(5) // make an mtime-equal rewrite detectable
+    Ingest.mergeBatch(series(("2021-01-01", 22L, 2L), ("2021-02-01", 30L, 2L)),
+      snap, "month", "ingest_v", byYear)
+    assert(partFiles(snap, "__part=2020") == before2020,
+      "untouched partition files must be byte-identical (same name/length/mtime)")
+    assert(partFiles(snap, "__part=2021") != before2021,
+      "touched partition must have been rewritten")
+    assert(snapRows(snap) == Seq(
+      (Date.valueOf("2020-01-01"), 1L),
+      (Date.valueOf("2021-01-01"), 22L),
+      (Date.valueOf("2021-02-01"), 30L)))
+  }
+
+  test("snapshot swap survives a crash between the two renames") {
+    val snap = Files.createTempDirectory("graft_crash").toString + "/snap"
+    val byYear = (c: org.apache.spark.sql.Column) => year(c)
+    Ingest.mergeBatch(series(("2020-01-01", 1L, 1L), ("2021-01-01", 2L, 1L)),
+      snap, "month", "ingest_v", byYear)
+    // stage a second batch that touches only 2021, then simulate the
+    // worst crash point: the live partition is displaced into .old but
+    // the staged replacement was never renamed in — no live 2021 copy
+    assert(Ingest.stageMerge(series(("2021-01-01", 22L, 2L)),
+      snap, "month", "ingest_v", byYear))
+    val oldDir = new java.io.File(snap + ".old"); oldDir.mkdirs()
+    Files.move(new java.io.File(snap, "__part=2021").toPath,
+      new java.io.File(oldDir, "__part=2021").toPath)
+    Ingest.recoverSnapshot(snap) // what the next batch (or restart) runs first
+    assert(snapRows(snap) == Seq(
+      (Date.valueOf("2020-01-01"), 1L),
+      (Date.valueOf("2021-01-01"), 22L)),
+      "recovery must promote the complete staged merge")
+    assert(!new java.io.File(snap + ".next").exists)
+    assert(!new java.io.File(snap + ".old").exists)
+  }
+
+  test("an incomplete stage is discarded and a displaced partition restored") {
+    val snap = Files.createTempDirectory("graft_rollback").toString + "/snap"
+    val byYear = (c: org.apache.spark.sql.Column) => year(c)
+    Ingest.mergeBatch(series(("2020-01-01", 1L, 1L), ("2021-01-01", 2L, 1L)),
+      snap, "month", "ingest_v", byYear)
+    // fake a crash mid-write: a .next with no _SUCCESS marker, plus a
+    // partition displaced into .old with no live copy
+    val next = new java.io.File(snap + ".next", "__part=2021"); next.mkdirs()
+    Files.write(new java.io.File(next, "part-junk.parquet").toPath, Array[Byte](1, 2))
+    val oldDir = new java.io.File(snap + ".old"); oldDir.mkdirs()
+    Files.move(new java.io.File(snap, "__part=2020").toPath,
+      new java.io.File(oldDir, "__part=2020").toPath)
+    Ingest.recoverSnapshot(snap)
+    assert(snapRows(snap) == Seq(
+      (Date.valueOf("2020-01-01"), 1L),
+      (Date.valueOf("2021-01-01"), 2L)),
+      "recovery must restore the displaced partition and drop the junk stage")
+    assert(!new java.io.File(snap + ".next").exists)
+    assert(!new java.io.File(snap + ".old").exists)
+  }
+
   test("jdbc wrapper wires the partitioned reader (no driver in this env)") {
     val e = intercept[Exception] {
       Tables.jdbc(spark, "jdbc:postgresql://nohost/db", "tbl",
