@@ -13,14 +13,34 @@ object SessionMemo {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
+  /** Session-keyed teardown hooks: operators that hold state OUTSIDE
+    * this memo (the IVF k-means model cache, bucketed layout tables)
+    * register a release action here so [[clear]] is the ONE hygiene
+    * entry point a long-lived process calls between tenants. */
+  private val cleanups = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), () => Unit]
+
   def cached(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, name), build.cache())
 
-  /** Unpersist and forget every entry belonging to `s`. */
-  def clear(s: SparkSession): Unit =
+  /** Register (or replace) a named teardown action run by [[clear]].
+    * Idempotent per (session, name): re-registering overwrites. */
+  def registerCleanup(s: SparkSession, name: String)(f: () => Unit): Unit = {
+    cleanups.put((s, name), f); ()
+  }
+
+  /** Unpersist and forget every entry belonging to `s`, then run (and
+    * drop) every cleanup hook registered against `s`. After this the
+    * session holds no graft-cached frames, models, or layout tables. */
+  def clear(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach { k =>
       memo.remove(k).foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
     }
+    cleanups.keys.filter(_._1 eq s).foreach { k =>
+      cleanups.remove(k).foreach(f =>
+        try f() catch { case _: Throwable => () })
+    }
+  }
 }

@@ -352,16 +352,33 @@ object Dedup {
     * corpus size where the `dedup_*_pairs` queries are quadratic in
     * duplicate-cluster size — the form a pipeline can actually act
     * on (keep rep, drop the rest). */
+  /** `localCheckpoint` + the persistent-RDD ids it pinned, so callers
+    * can release exactly those blocks once a successor materializes
+    * (a checkpointed frame's lineage is truncated — its blocks must
+    * outlive every consumer, but not the whole session). */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+  }
+
+  private def release(s: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+
+  private val ccInstance = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def clustersFromBuckets(bucketsIn: DataFrame): DataFrame = {
+    val sess = bucketsIn.sparkSession
     // Materialize the bucket graph ONCE: every round joins it twice,
     // and its lineage may be a whole candidate-generation pipeline
     // (the embedding variant feeds the verified near-dup pairs in) —
     // recomputing that per round multiplies the round cost by the
     // pipeline cost. localCheckpoint here, persist on a real cluster.
-    val buckets = bucketsIn.localCheckpoint()
-    var rep = buckets.select("doc_id").distinct()
-      .withColumn("rep", col("doc_id"))
-      .localCheckpoint()
+    val (buckets, bucketIds) = checkpointTracked(bucketsIn)
+    var (rep, repIds) = checkpointTracked(
+      buckets.select("doc_id").distinct().withColumn("rep", col("doc_id")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
     var lastSum = labelSum(rep)
@@ -370,23 +387,35 @@ object Dedup {
     while (!converged && iters < MaxCcIters) {
       val bmin = buckets.join(rep.hint("shuffle_hash"), Seq("doc_id"))
         .groupBy("bucket").agg(min("rep").as("bmin"))
-      val newRep = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
-        .groupBy("doc_id").agg(min("bmin").as("prop"))
-        .join(rep.hint("shuffle_hash"), Seq("doc_id"))
-        .select(col("doc_id"), least(col("rep"), col("prop")).as("rep"))
-        .localCheckpoint()
+      val (newRep, newIds) = checkpointTracked(
+        buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
+          .groupBy("doc_id").agg(min("bmin").as("prop"))
+          .join(rep.hint("shuffle_hash"), Seq("doc_id"))
+          .select(col("doc_id"), least(col("rep"), col("prop")).as("rep")))
       val s = labelSum(newRep)
       converged = s.compareTo(lastSum) == 0 // labels only ever decrease
       lastSum = s
+      // newRep materialized above (eager checkpoint + labelSum) and no
+      // longer reads the prior round: release its blocks NOW so
+      // executor storage stays O(1) in the round count, not O(rounds)
+      release(sess, repIds)
       rep = newRep
+      repIds = newIds
       iters += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $MaxCcIters rounds")
     val sizes = rep.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
-    rep.join(sizes.hint("shuffle_hash"), Seq("rep"))
-      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
-      .orderBy("doc_id")
+    val (out, outIds) = checkpointTracked(
+      rep.join(sizes.hint("shuffle_hash"), Seq("rep"))
+        .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
+        .orderBy("doc_id"))
+    // the result stands alone now — drop the loop's working set; the
+    // result's own blocks release on SessionMemo.clear
+    release(sess, bucketIds ++ repIds)
+    graft.SessionMemo.registerCleanup(sess,
+      s"cc_checkpoint:${ccInstance.incrementAndGet()}")(() => release(sess, outIds))
+    out
   }
 
   /** Cluster-representative dedup — the usable form of near-dup

@@ -179,7 +179,11 @@ object Similarity {
     * (cell, cv, cnrm)). */
   /** (session, dir)-memoized model — an IVF index is built once and
     * queried many times; re-invoking the query must not re-run Lloyd.
-    * The assignment frame is cached, the centroid literals are tiny. */
+    * The assignment frame is cached, the centroid literals are tiny.
+    * Evicted by `SessionMemo.clear(s)` via a registered cleanup hook
+    * (drops the entry AND unpersists the assignment frame), so a
+    * long-lived process that cycles sessions leaks neither cached
+    * blocks nor session references. */
   private val kmeansMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, Seq[(Int, Seq[Double], Double)])]
 
@@ -187,8 +191,17 @@ object Similarity {
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) =
     kmeansMemo.getOrElseUpdate((s, dir), {
       val (assign, cents) = buildKmeans(s, dir)
+      graft.SessionMemo.registerCleanup(s, s"ivf_kmeans:$dir") { () =>
+        kmeansMemo.remove((s, dir)).foreach { case (df, _) =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+      }
       (assign.cache(), cents)
     })
+
+  /** Test probe: is an IVF model memoized for (s, dir)? */
+  private[graft] def kmeansMemoized(s: SparkSession, dir: String): Boolean =
+    kmeansMemo.contains((s, dir))
 
   private def buildKmeans(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {

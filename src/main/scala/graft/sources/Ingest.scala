@@ -215,11 +215,14 @@ object Ingest {
   def bucketedColocatedJoin(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import graft.functions.Num._
+    sweepStaleBucketDirs(s)
     val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + ProcessHandle.current().pid()
     val oT = s"graft_b_orders_$suffix"
     val cT = s"graft_b_customer_$suffix"
     if (!s.catalog.tableExists(oT)) {
+      graft.SessionMemo.registerCleanup(s, "bucketed_tables")(() =>
+        dropBucketedTables(s))
       graft.Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .repartition(BucketN, col("o_custkey"))
@@ -244,6 +247,38 @@ object Ingest {
       .agg(count(lit(1)).as("n_orders"),
         r4(dsum(col("o_totalprice"))).as("total_price"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Drop every `graft_b_*` layout table this session owns (managed
+    * tables — the drop removes the warehouse directories too). Runs
+    * automatically on `SessionMemo.clear(s)` via the cleanup hook
+    * registered at creation; callable directly for explicit teardown. */
+  def dropBucketedTables(s: org.apache.spark.sql.SparkSession): Unit =
+    s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_b_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Remove `graft_b_*_<pid>` warehouse directories left by DEAD
+    * processes (a crashed bench/verify JVM can't drop its own tables;
+    * without this sweep each run strands two directories forever —
+    * the warehouse held 54 such leftovers before this landed). Live
+    * processes' directories are untouched, so concurrent bench +
+    * verify JVMs stay isolated. */
+  private[graft] def sweepStaleBucketDirs(s: org.apache.spark.sql.SparkSession): Unit = {
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val wh =
+      if (whConf.contains(":/")) new java.io.File(new java.net.URI(whConf).getPath)
+      else new java.io.File(whConf)
+    val self = ProcessHandle.current().pid()
+    for (d <- Option(wh.listFiles).getOrElse(Array.empty)
+         if d.isDirectory && d.getName.startsWith("graft_b_")) {
+      val pid = d.getName.substring(d.getName.lastIndexOf('_') + 1)
+      val alive = pid.forall(_.isDigit) && pid.nonEmpty && {
+        val p = pid.toLong
+        p == self || ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+      }
+      if (!alive) deleteRecursively(d)
+    }
   }
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =

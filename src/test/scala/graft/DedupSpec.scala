@@ -83,6 +83,28 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must stay singleton clusters")
   }
 
+  test("connected components releases prior-round checkpoints (bounded storage)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a path graph (bucket i = {doc i, doc i+1}) forces MANY propagation
+    // rounds — exactly the regime where unreleased per-round checkpoints
+    // would stack up executor storage
+    val n = 24
+    val buckets = (0 until n).flatMap(i =>
+      Seq((i.toLong, s"b$i"), ((i + 1).toLong, s"b$i")))
+      .toDF("doc_id", "bucket")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.clustersFromBuckets(buckets).collect()
+    assert(out.forall(_.getLong(1) == 0L), "path graph is one component, rep 0")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // many rounds ran; only the checkpointed RESULT may remain pinned
+    assert(after - before <= 1,
+      s"persistent RDD count grew by ${after - before} — per-round checkpoints leaked")
+    SessionMemo.clear(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "SessionMemo.clear must release the result checkpoint too")
+  }
+
   test("dedup_clusters covers every minhash-LSH pair in one component") {
     // pair (a, b) in minhashLsh ⇒ a, b share a band bucket ⇒ same rep
     val reps = ext.Dedup.clusters(spark, sf0001).collect()

@@ -150,6 +150,29 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("bucketed layout tables drop on clear and stale dirs are swept") {
+    val r1 = Ingest.bucketedColocatedJoin(spark, sf0001).collect()
+    assert(r1.nonEmpty)
+    val mine = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_b_"))
+    assert(mine.length == 2, s"expected the two layout tables, got ${mine.toSeq}")
+    // a leftover directory from a dead process must be swept on next use
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val stale = new java.io.File(wh, "graft_b_orders_fake_999999999")
+    stale.mkdirs()
+    // SessionMemo.clear runs the registered hook: tables + dirs gone
+    SessionMemo.clear(spark)
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.startsWith("graft_b_")), "clear must drop the layout tables")
+    assert(mine.forall(t => !new java.io.File(wh, t).exists),
+      "managed-table drop must remove the warehouse directories")
+    // re-run recreates the layout (and the sweep removed the stale dir)
+    val r2 = Ingest.bucketedColocatedJoin(spark, sf0001).collect()
+    assert(r2.map(_.toSeq).toSeq == r1.map(_.toSeq).toSeq)
+    assert(!stale.exists, "stale dead-pid directory must be swept")
+  }
+
   test("time-series writer partitions by year and prunes on read") {
     val dir = Files.createTempDirectory("graft_ts").toString
     Ingest.writeTimeSeries(Tables.monthlySeries(spark, sf0001), dir)

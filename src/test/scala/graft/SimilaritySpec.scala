@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkSpec {
       "nprobe = all cells must reduce IVF to the exact search")
   }
 
+  test("SessionMemo.clear evicts the memoized IVF k-means model") {
+    val (assign, _) = Similarity.kmeansModel(spark, sf0001)
+    assert(Similarity.kmeansMemoized(spark, sf0001))
+    assert(assign.storageLevel.useMemory, "assignment frame should be cached")
+    SessionMemo.clear(spark)
+    assert(!Similarity.kmeansMemoized(spark, sf0001),
+      "clear must drop the model entry")
+    assert(assign.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clear must unpersist the assignment frame")
+    // the query rebuilds transparently after eviction
+    assert(Similarity.ivfTopK(spark, sf0001).count() > 0)
+    assert(Similarity.kmeansMemoized(spark, sf0001))
+  }
+
   test("IVF at nprobe=2 keeps nontrivial recall") {
     val exact = Similarity.bruteForceTopK(spark, sf0001)
       .select("query_id", "neighbor_id").collect()
