@@ -334,24 +334,6 @@ object Dedup {
         .as("bucket"))
   }
 
-  /** Connected components over a bipartite (doc_id, bucket) graph via
-    * iterative min-label propagation ("hash-to-min" style): every
-    * round each bucket takes the min label of its members and every
-    * doc takes the min label of its buckets, to fixpoint. Returns one
-    * row per doc: (doc_id, cluster_rep = component-min doc_id,
-    * cluster_size).
-    *
-    * 100 TB shape: each round is two key-partitioned shuffles (by
-    * bucket, then by doc) of (id, label) longs — never the documents
-    * — and the round count is the component diameter in doc-hops
-    * (near-dup clusters are band-bucket near-cliques: 2–3 rounds).
-    * Lineage is truncated per round with `localCheckpoint` (swap for
-    * reliable `checkpoint` on a real cluster); convergence is
-    * detected by the monotone label-sum reaching a fixpoint — one
-    * tiny aggregate per round, no row-diff join. Output is LINEAR in
-    * corpus size where the `dedup_*_pairs` queries are quadratic in
-    * duplicate-cluster size — the form a pipeline can actually act
-    * on (keep rep, drop the rest). */
   /** `localCheckpoint` + the persistent-RDD ids it pinned, so callers
     * can release exactly those blocks once a successor materializes
     * (a checkpointed frame's lineage is truncated — its blocks must
@@ -369,42 +351,108 @@ object Dedup {
 
   private val ccInstance = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-round wall seconds of the most recent CC run — a profiler /
+    * test probe (the round count bounds assertion lives in DedupSpec). */
+  private[graft] case class CcStats(rounds: Int, secs: Seq[Double])
+  @volatile private[graft] var lastCcStats: CcStats = CcStats(0, Nil)
+
+  /** Is the edge list a proper star forest — every source node has
+    * exactly ONE parent, and no parent is itself a source? (Both
+    * checks are needed: a node with two root parents passes the
+    * chain check but silently splits its component.) Two small jobs
+    * over (long, long) edges. */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.groupBy("u").agg(count(lit(1)).as("c")).where(col("c") > 1).isEmpty &&
+      e.select("v").join(e.select(col("u").as("v")).distinct()
+        .hint("shuffle_hash"), Seq("v"), "left_semi").isEmpty
+
+  /** Connected components over a bipartite (doc_id, bucket) graph.
+    * Returns one row per doc: (doc_id, cluster_rep = component-min
+    * doc_id, cluster_size).
+    *
+    * Algorithm: star-contract each bucket to edges (member →
+    * bucket-min member), then alternate LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): large-star re-points every neighbor LARGER than a node
+    * at the minimum of its closed neighborhood; small-star re-points
+    * the node and its SMALLER neighbors at that minimum. The
+    * alternation contracts path length multiplicatively, converging
+    * in O(log d) rounds where plain min-label propagation needs O(d)
+    * rounds on diameter-d components — chained near-dups (doc A ~ B ~
+    * C ... sharing successive band buckets) are exactly the long-path
+    * regime, and at 100 TB the round count is the serial bottleneck.
+    *
+    * 100 TB shape: every round shuffles only (long, long) edges —
+    * never documents; edge count never grows (large-star emits
+    * exactly one edge per input edge, small-star at most one per edge
+    * plus one per center). Lineage is truncated per round with
+    * `localCheckpoint` (swap for reliable `checkpoint` on a real
+    * cluster) and the prior round's blocks are released as soon as
+    * the next materializes, so executor storage is O(1) in rounds.
+    * Convergence is the star-forest test (unique parent + no chains),
+    * checked on the just-checkpointed edges. At the fixpoint each
+    * component is one star rooted at its minimum member — both
+    * transforms preserve connectivity, so the roots ARE the
+    * component minima. Output is LINEAR in corpus size where the
+    * `dedup_*_pairs` queries are quadratic in duplicate-cluster size
+    * — the form a pipeline can actually act on (keep rep, drop the
+    * rest). */
   private[graft] def clustersFromBuckets(bucketsIn: DataFrame): DataFrame = {
     val sess = bucketsIn.sparkSession
-    // Materialize the bucket graph ONCE: every round joins it twice,
-    // and its lineage may be a whole candidate-generation pipeline
-    // (the embedding variant feeds the verified near-dup pairs in) —
-    // recomputing that per round multiplies the round cost by the
-    // pipeline cost. localCheckpoint here, persist on a real cluster.
+    // Materialize the bucket graph ONCE — its lineage may be a whole
+    // candidate-generation pipeline (the embedding variant feeds the
+    // verified near-dup pairs in), which must not re-run per access.
     val (buckets, bucketIds) = checkpointTracked(bucketsIn)
-    var (rep, repIds) = checkpointTracked(
-      buckets.select("doc_id").distinct().withColumn("rep", col("doc_id")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
-    var lastSum = labelSum(rep)
-    var converged = false
+    val universe = buckets.select("doc_id").distinct()
+    // star contraction: every bucket member points at the bucket min;
+    // singleton-bucket docs drop out here and return via `universe`
+    val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("v"))
+    var (edges, edgeIds) = checkpointTracked(
+      buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
+        .select(col("doc_id").as("u"), col("v"))
+        .where(col("u") =!= col("v")).distinct())
+    var converged = isStarForest(edges)
     var iters = 0
+    val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (!converged && iters < MaxCcIters) {
-      val bmin = buckets.join(rep.hint("shuffle_hash"), Seq("doc_id"))
-        .groupBy("bucket").agg(min("rep").as("bmin"))
-      val (newRep, newIds) = checkpointTracked(
-        buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
-          .groupBy("doc_id").agg(min("bmin").as("prop"))
-          .join(rep.hint("shuffle_hash"), Seq("doc_id"))
-          .select(col("doc_id"), least(col("rep"), col("prop")).as("rep")))
-      val s = labelSum(newRep)
-      converged = s.compareTo(lastSum) == 0 // labels only ever decrease
-      lastSum = s
-      // newRep materialized above (eager checkpoint + labelSum) and no
-      // longer reads the prior round: release its blocks NOW so
-      // executor storage stays O(1) in the round count, not O(rounds)
-      release(sess, repIds)
-      rep = newRep
-      repIds = newIds
+      val t0 = System.nanoTime()
+      // large-star: m = min of the closed neighborhood of u; every
+      // neighbor v > u re-points at m. Output orientation stays
+      // first > second (v > u >= m), and |output| = |edges| exactly
+      // (one row per symmetric orientation with v > u).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(nbrMin.hint("shuffle_hash"), Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: all edges now point small; each center u and its
+      // smaller neighbors re-point at the neighborhood min m.
+      val sm = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(sm.hint("shuffle_hash"), Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .union(sm.where(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+      val (newEdges, newIds) = checkpointTracked(ss)
+      converged = isStarForest(newEdges)
+      roundSecs += (System.nanoTime() - t0) / 1e9
+      // newEdges materialized (eager checkpoint) — release the prior
+      // round NOW so executor storage stays O(1) in the round count
+      release(sess, edgeIds)
+      edges = newEdges
+      edgeIds = newIds
       iters += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $MaxCcIters rounds")
+    lastCcStats = CcStats(iters, roundSecs.toSeq)
+    // star forest: edges = (member → component-min root); singletons
+    // re-enter as their own rep via the left join on the universe
+    val rep = universe
+      .join(edges.toDF("doc_id", "r").hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("r"), col("doc_id")).as("rep"))
     val sizes = rep.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
     val (out, outIds) = checkpointTracked(
       rep.join(sizes.hint("shuffle_hash"), Seq("rep"))
@@ -412,7 +460,7 @@ object Dedup {
         .orderBy("doc_id"))
     // the result stands alone now — drop the loop's working set; the
     // result's own blocks release on SessionMemo.clear
-    release(sess, bucketIds ++ repIds)
+    release(sess, bucketIds ++ edgeIds)
     graft.SessionMemo.registerCleanup(sess,
       s"cc_checkpoint:${ccInstance.incrementAndGet()}")(() => release(sess, outIds))
     out

@@ -360,18 +360,21 @@ object Similarity {
     * cosine-verified edges are the semantically meaningful graph. The
     * edge list is the pair query's output (bounded by real near-dup
     * density); the component output is one row per vector. */
-  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedNearDupPairs(s, dir).select("vec_a", "vec_b")
-    val pairKey = concat_ws(",",
-      col("vec_a").cast("string"), col("vec_b").cast("string"))
-    val bk = pairs.select(col("vec_a").as("doc_id"), pairKey.as("bucket"))
-      .union(pairs.select(col("vec_b").as("doc_id"), pairKey.as("bucket")))
-      .union(vectors(s, dir).select(col("vec_id").as("doc_id"),
-        concat_ws(":", lit("self"), col("vec_id").cast("string")).as("bucket")))
-    Dedup.clustersFromBuckets(bk)
-      .withColumnRenamed("doc_id", "vec_id")
-      .orderBy("vec_id")
-  }
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized like the text-side cluster map: the CC fixpoint must
+    // not re-run per invocation (Curation-style consumers re-read it)
+    graft.SessionMemo.cached(s, dir, "embedding_clusters") {
+      val pairs = verifiedNearDupPairs(s, dir).select("vec_a", "vec_b")
+      val pairKey = concat_ws(",",
+        col("vec_a").cast("string"), col("vec_b").cast("string"))
+      val bk = pairs.select(col("vec_a").as("doc_id"), pairKey.as("bucket"))
+        .union(pairs.select(col("vec_b").as("doc_id"), pairKey.as("bucket")))
+        .union(vectors(s, dir).select(col("vec_id").as("doc_id"),
+          concat_ws(":", lit("self"), col("vec_id").cast("string")).as("bucket")))
+      Dedup.clustersFromBuckets(bk)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    }
 
   /** Exact all-pairs near-dup scan — the recall oracle for
     * [[embeddingNearDups]], used only by `SimilaritySpec` (O(n²);

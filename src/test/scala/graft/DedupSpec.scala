@@ -96,6 +96,11 @@ class DedupSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = Dedup.clustersFromBuckets(buckets).collect()
     assert(out.forall(_.getLong(1) == 0L), "path graph is one component, rep 0")
+    // large-star/small-star contracts the path multiplicatively: a
+    // 24-hop chain must close in O(log n) rounds, where plain
+    // min-label propagation needs O(n) (~12+ here)
+    assert(Dedup.lastCcStats.rounds <= 6,
+      s"expected O(log n) rounds on a path graph, got ${Dedup.lastCcStats.rounds}")
     val after = spark.sparkContext.getPersistentRDDs.size
     // many rounds ran; only the checkpointed RESULT may remain pinned
     assert(after - before <= 1,
