@@ -8,16 +8,20 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * No real image/audio codecs exist in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic fake. Everything
-  * around it — the (id, content, meta) schema, the iterator→iterator
-  * per-partition batch shape (the Scala analogue of `mapInPandas`),
-  * the fixed-width feature output — is the real engineering surface
-  * and is tested. Swapping the stub for a JNI/codec call changes no
-  * plan shape.
+  * Image payloads (PNG/BMP/GIF/JPEG) decode for REAL through the
+  * pure-JVM `javax.imageio` stack ([[decodeImage]]); payloads with no
+  * readable image format fall back to [[decodeStub]], a
+  * clearly-marked deterministic fake that also stands in for codecs
+  * the JVM lacks (video/audio). Everything around the decode — the
+  * (id, content, meta) schema, the iterator→iterator per-partition
+  * batch shape (the Scala analogue of `mapInPandas`), the fixed-width
+  * feature output — is the same either way: swapping in a JNI codec
+  * changes no plan shape.
   *
   * The `documents.text` bytes stand in for media payloads (the corpus
-  * has no binary table; TESTDATA.md).
+  * has no binary table; TESTDATA.md), so corpus rows take the stub
+  * path and stay byte-reproducible by the DuckDB oracle; the real
+  * decode path is unit-tested on synthetic BMP/PNG bytes.
   */
 object Multimodal {
 
@@ -38,11 +42,57 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB DECODER — deterministic fake standing in for an image
-    * decode (`???`-equivalent; no codec libs in this container).
-    * "Dimensions" derive from payload length; "features" are a
-    * 16-bin byte histogram normalized to mass 1. Replace the body
-    * with a real codec without touching the operator shape. */
+  /** REAL image decode for payloads the pure-JVM `javax.imageio`
+    * stack can read (PNG / BMP / GIF / JPEG — no native libs
+    * required), falling back to [[decodeStub]] for everything else
+    * (this corpus's payloads are text bytes, so they take the stub
+    * path and the oracle SQL stays byte-reproducible). Dimensions are
+    * the decoded raster's; features are a 16-bin LUMINANCE histogram
+    * normalized to mass 1 — the decoded analogue of the stub's byte
+    * histogram. A cheap magic-number sniff gates the ImageIO probe so
+    * non-image payloads never pay reader-lookup cost. */
+  def decode(row: MediaRow): MediaFeatures =
+    (if (looksLikeImage(row.content)) decodeImage(row) else None)
+      .getOrElse(decodeStub(row))
+
+  /** PNG / BMP / GIF / JPEG magic numbers. */
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))
+
+  private[graft] def decodeImage(row: MediaRow): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+      catch { case _: Exception => null } // corrupt payload → stub fallback
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val hist = new Array[Double](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum >> 4) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(1.0, (w.toLong * h).toDouble)
+      MediaFeatures(row.media_id, w, h, row.content.length.toLong,
+        hist.map(_ / total))
+    }
+  }
+
+  /** STUB DECODER — deterministic fake for payloads with no readable
+    * image format (and the documented `???` stand-in for codecs the
+    * JVM lacks, e.g. video/audio). "Dimensions" derive from payload
+    * length; "features" are a 16-bin byte histogram normalized to
+    * mass 1. */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.content
     val hist = new Array[Double](16)
@@ -65,8 +115,9 @@ object Multimodal {
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir).mapPartitions { rows =>
-      // per-partition setup for a real codec would go here
-      rows.map(decodeStub)
+      // per-partition setup for heavier codecs would go here;
+      // ImageIO's reader registry is JVM-global and thread-safe
+      rows.map(decode)
     }
   }
 

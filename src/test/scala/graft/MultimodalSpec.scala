@@ -13,6 +13,46 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features.length == 16)
   }
 
+  private def imageBytes(fmt: String, w: Int, h: Int)
+      (paint: java.awt.image.BufferedImage => Unit): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    paint(im)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real decode: a synthetic BMP reports raster dims and luminance histogram") {
+    // 8x8 all-black → every pixel lands in luminance bin 0
+    val black = imageBytes("bmp", 8, 8)(_ => ())
+    val f = Multimodal.decode(Multimodal.MediaRow(1L, black, "s"))
+    assert(f.width == 8 && f.height == 8)
+    assert(f.n_bytes == black.length.toLong)
+    assert(math.abs(f.features(0) - 1.0) < 1e-9 && f.features.drop(1).forall(_ == 0.0))
+    // all-white PNG → top bin
+    val white = imageBytes("png", 5, 3) { im =>
+      (0 until 3).foreach(y => (0 until 5).foreach(x => im.setRGB(x, y, 0xFFFFFF)))
+    }
+    val g = Multimodal.decode(Multimodal.MediaRow(2L, white, "s"))
+    assert(g.width == 5 && g.height == 3)
+    assert(math.abs(g.features(15) - 1.0) < 1e-9)
+  }
+
+  test("non-image payloads fall back to the stub (oracle-reproducible path)") {
+    def same(a: Multimodal.MediaFeatures, b: Multimodal.MediaFeatures) =
+      a.media_id == b.media_id && a.width == b.width && a.height == b.height &&
+        a.n_bytes == b.n_bytes && a.features.sameElements(b.features)
+    val row = Multimodal.MediaRow(3L, "plain text payload".getBytes("UTF-8"), "s")
+    assert(!Multimodal.looksLikeImage(row.content))
+    assert(same(Multimodal.decode(row), Multimodal.decodeStub(row)))
+    // a corrupt payload WITH an image magic number still falls back
+    val corrupt = Multimodal.MediaRow(4L,
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3), "s")
+    assert(Multimodal.looksLikeImage(corrupt.content))
+    assert(same(Multimodal.decode(corrupt), Multimodal.decodeStub(corrupt)))
+  }
+
   test("feature extraction runs distributed, one row per media item") {
     val n = Tables.documents(spark, sf0001).count()
     val feats = Multimodal.extractFeatures(spark, sf0001)
