@@ -63,8 +63,9 @@ object Tables {
     * PostgreSQL (`/root/reference/dashboard_nfp.py:67-68`). The Spark
     * equivalent is a JDBC scan; `partitionColumn` bounds split it into
     * `numPartitions` parallel range queries so a large external table
-    * loads across the cluster, not through one connection. No JDBC
-    * driver ships in this environment, so tests cover wiring only. */
+    * loads across the cluster, not through one connection. Executed
+    * end-to-end in tests against embedded Derby (which ships with
+    * Spark): write → plain read → 4-way partitioned range read. */
   def jdbc(s: SparkSession, url: String, table: String,
       partitionColumn: Option[String] = None,
       lowerBound: Long = 0L, upperBound: Long = 0L,

@@ -140,7 +140,7 @@ class IngestSpec extends SparkSpec {
     assert(!new java.io.File(snap + ".old").exists)
   }
 
-  test("jdbc wrapper wires the partitioned reader (no driver in this env)") {
+  test("jdbc wrapper wires the partitioned reader (driver lookup path)") {
     val e = intercept[Exception] {
       Tables.jdbc(spark, "jdbc:postgresql://nohost/db", "tbl",
         partitionColumn = Some("id"), lowerBound = 0L, upperBound = 100L,
@@ -148,6 +148,30 @@ class IngestSpec extends SparkSpec {
     }
     // resolution fails at driver lookup — proves the reader path runs
     assert(e.getMessage != null)
+  }
+
+  test("jdbc round-trip through embedded Derby matches the parquet path") {
+    // the reference's actual source is a Postgres table
+    // (dashboard_nfp.py:59-68); Derby ships with Spark, so the SAME
+    // reader code path executes end-to-end here
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = s"jdbc:derby:memory:graft_${ProcessHandle.current().pid()};create=true"
+    val src = Tables.monthlySeries(spark, sf0001)
+    src.write.format("jdbc")
+      .option("url", url).option("dbtable", "series").save()
+    val expected = src.orderBy("month")
+      .as[(Date, Long)].collect().toSeq
+    val plain = Tables.jdbc(spark, url, "series")
+      .orderBy("month").as[(Date, Long)].collect().toSeq
+    assert(plain == expected, "unpartitioned JDBC read must match the aggregate")
+    // partitioned range read: 4 parallel connections, same rows
+    val (lo, hi) = (expected.map(_._2).min, expected.map(_._2).max)
+    val ranged = Tables.jdbc(spark, url, "series",
+      partitionColumn = Some("emp"), lowerBound = lo, upperBound = hi + 1,
+      numPartitions = 4)
+    assert(ranged.rdd.getNumPartitions == 4)
+    assert(ranged.orderBy("month").as[(Date, Long)].collect().toSeq == expected,
+      "partitioned JDBC read must return exactly the same rows")
   }
 
   test("bucketed layout tables drop on clear and stale dirs are swept") {
