@@ -337,7 +337,7 @@ object Payroll {
          |s2 AS (SELECT month, emp,
          |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS mom_pct
          |  FROM q4 WINDOW w AS (PARTITION BY year(month) ORDER BY month))
-         |SELECT month, monthname(month) AS month_name, round(mom_pct, 4) AS mom_pct
+         |SELECT month, CASE month(month) WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March' WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October' WHEN 11 THEN 'November' WHEN 12 THEN 'December' END AS month_name, round(mom_pct, 4) AS mom_pct
          |FROM s2 WHERE mom_pct IS NOT NULL ORDER BY month""".stripMargin,
 
     "payroll_dice_q4_avg_by_month" ->
@@ -346,7 +346,7 @@ object Payroll {
          |s2 AS (SELECT month,
          |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS mom_pct
          |  FROM q4 WINDOW w AS (PARTITION BY year(month) ORDER BY month))
-         |SELECT monthname(month) AS month_name,
+         |SELECT CASE month(month) WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March' WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October' WHEN 11 THEN 'November' WHEN 12 THEN 'December' END AS month_name,
          |  round(${davgSql("mom_pct")}, 4) AS avg_mom_pct
          |FROM s2 WHERE mom_pct IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -370,7 +370,7 @@ object Payroll {
 
     "payroll_rollup_decade" ->
       s"""WITH series AS ($S)
-         |SELECT CAST(CAST(floor(year(month) / 10) * 10 AS BIGINT) AS VARCHAR) || 's' AS decade,
+         |SELECT CAST(CAST(floor(year(month) / 10) * 10 AS BIGINT) AS STRING) || 's' AS decade,
          |  round(avg(emp), 4) AS avg_employment
          |FROM series GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -382,7 +382,7 @@ object Payroll {
          |  round((total_emp - lag(total_emp) OVER w) / lag(total_emp) OVER w * 100, 4) AS qoq_pct
          |  FROM q WINDOW w AS (ORDER BY year, quarter))
          |SELECT year, quarter, total_emp, qoq_pct,
-         |  CAST(year AS VARCHAR) || '-Q' || CAST(quarter AS VARCHAR) AS quarter_label
+         |  CAST(year AS STRING) || '-Q' || CAST(quarter AS STRING) AS quarter_label
          |FROM g ORDER BY year, quarter LIMIT 5""".stripMargin,
 
     "payroll_rollup_hierarchy" ->
@@ -416,14 +416,14 @@ object Payroll {
          |g AS (SELECT year, CAST(total_emp - lag(total_emp) OVER (ORDER BY year) AS BIGINT) AS annual_gain FROM y),
          |top AS (SELECT year FROM g WHERE annual_gain IS NOT NULL
          |  ORDER BY annual_gain DESC, year ASC LIMIT 1)
-         |SELECT month, monthname(month) AS month_name, emp FROM series
+         |SELECT month, CASE month(month) WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March' WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October' WHEN 11 THEN 'November' WHEN 12 THEN 'December' END AS month_name, emp FROM series
          |WHERE year(month) = (SELECT year FROM top) ORDER BY month""".stripMargin,
 
     "payroll_drill_sharpest_drop" ->
       s"""WITH series AS ($S),
          |g AS (SELECT month, CAST(emp - lag(emp) OVER (ORDER BY month) AS BIGINT) AS mom_gain
          |  FROM series)
-         |SELECT month, strftime(month, '%B %Y') AS month_label, mom_gain
+         |SELECT month, CASE month(month) WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March' WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October' WHEN 11 THEN 'November' WHEN 12 THEN 'December' END || ' ' || CAST(year(month) AS STRING) AS month_label, mom_gain
          |FROM g WHERE mom_gain IS NOT NULL
          |ORDER BY mom_gain ASC, month ASC LIMIT 1""".stripMargin,
 

@@ -306,7 +306,7 @@ object Events {
     "events_value_quantiles_approx" ->
       s"""SELECT event_type, p.pctl, n_values, TRUE AS approx_within_bound
          |FROM (SELECT event_type, count(*) AS n_values FROM events GROUP BY 1)
-         |CROSS JOIN (VALUES (0.5), (0.95), (0.99)) p(pctl)
+         |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (0.95), (0.99)) p(pctl)
          |ORDER BY event_type, pctl""".stripMargin,
 
     "events_purchase_view_join" ->

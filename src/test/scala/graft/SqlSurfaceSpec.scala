@@ -1,33 +1,75 @@
 package graft
 
-/** The `spark.sql` face of the engine: the ANSI-dialect oracle texts
-  * (the subset that avoids DuckDB-only functions) must run unchanged
-  * through Spark SQL over temp views and produce row-for-row the same
-  * results as the DataFrame plans. This is the "a user can type SQL
-  * at it" guarantee — and a standing check that the oracle SQL really
-  * is the portable-ANSI description of each query, not a
-  * DuckDB-flavored approximation.
+/** The `spark.sql` face of the engine: every oracle text whose SQL is
+  * portable ANSI (no DuckDB-only routines) must run UNCHANGED through
+  * Spark SQL over temp views and produce row-for-row the same results
+  * as the DataFrame plans. This is the "a user can type SQL at it"
+  * guarantee — and a standing check that the oracle SQL really is the
+  * portable-ANSI description of each query, not a DuckDB-flavored
+  * approximation.
+  *
+  * The suite enumerates ALL of `SparkEntry.oracleSql` and subtracts an
+  * explicit, reason-tagged exclusion list — a new query is SQL-checked
+  * by default, and excluding it requires naming the DuckDB-only
+  * construct that forces it.
   */
 class SqlSurfaceSpec extends SparkSpec {
 
-  private val cases: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
-      org.apache.spark.sql.DataFrame)] = Seq(
-    "rel_pricing_summary" -> (operators.Relational.pricingSummary _),
-    "rel_revenue_by_region" -> (operators.Relational.revenueByRegion _),
-    "rel_latest_order_per_customer" -> (operators.Relational.latestOrderPerCustomer _),
-    "rel_customers_without_orders" -> (operators.Relational.customersWithoutOrders _),
-    "events_hourly_by_type" -> (streaming.Events.hourlyByType _),
-    "events_purchase_view_join" -> (streaming.Events.purchaseViewJoin _),
+  /** Oracles that CANNOT run through Spark SQL, and the DuckDB-only
+    * construct that forces the exclusion. */
+  private val duckdbOnly: Map[String, String] = Map(
+    // md5()-derived integers: DuckDB casts hex STRINGS to ints;
+    // Spark needs conv()/unhex, so the shared-text form can't exist
+    "dedup_clusters" -> "recursive CTE reachability + hex-string casts",
+    "dedup_embedding_clusters" -> "recursive CTE reachability + list comprehension",
+    "dedup_embedding_pairs" -> "list_transform/list_dot_product",
+    "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
+    "dedup_jaccard_pairs" -> "unnest() lateral",
+    "dedup_shingle_jaccard" -> "string_split_regex",
+    "dedup_simhash" -> "unnest() lateral",
+    "dedup_simhash_pairs" -> "unnest() lateral",
+    "dedup_winnow_pairs" -> "string_split_regex",
+    "events_asof_attribution" -> "epoch_us() timestamp arithmetic",
+    "events_json_kv" -> "json_extract_string",
+    "events_value_quantiles" -> "quantile_cont (Spark: percentile)",
+    "mm_features" -> "octet_length(CAST AS BLOB) + regexp_extract_all/len",
+    "mm_frame_sample" -> "list_transform byte slicing",
+    "mm_meta" -> "octet_length(CAST AS BLOB)",
+    "mm_resize" -> "list_transform byte slicing",
+    "payroll_recovery" -> "non-equality correlated scalar subqueries",
+    "pipeline_curation" -> "recursive CTE cluster map + hex-string casts",
+    "sample_hash_bernoulli" -> "hex-string CAST to BIGINT",
+    "sample_stratified" -> "hex-string CAST to BIGINT",
+    "sim_topk_bruteforce" -> "list_dot_product",
+    "sim_topk_ivf" -> "list comprehension k-means unroll",
+    "sim_topk_lsh_ann" -> "list_dot_product",
+    "text_fingerprint" -> "hex-digit CAST to INT",
+    "text_langid" -> "string_split_regex",
+    "text_quality" -> "string_split_regex",
+    "text_term_freq" -> "unnest() lateral",
+    "text_tfidf_top" -> "unnest() lateral",
+    "text_token_stats" -> "string_split_regex",
+    "text_vocab_stats" -> "unnest() lateral",
   )
 
-  test("ANSI oracle texts run through spark.sql with identical results") {
-    Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+  test("every ANSI-portable oracle text runs through spark.sql with identical results") {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sf0001/$t.parquet").createOrReplaceTempView(t)
     }
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
-    cases.foreach { case (name, fn) =>
+
+    val unknown = duckdbOnly.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unknown.isEmpty, s"exclusions for undeclared queries: $unknown")
+    val portable = SparkEntry.oracleSql.keys.toSeq.sorted
+      .filterNot(duckdbOnly.contains)
+    // half the declared surface speaks portable ANSI; a regression
+    // here means an oracle text drifted DuckDB-only
+    assert(portable.size >= 30, s"portable surface shrank to ${portable.size}")
+
+    portable.foreach { name =>
       val viaSql = spark.sql(SparkEntry.oracleSql(name)).collect().map(_.toSeq)
-      val viaDf = fn(spark, sf0001).collect().map(_.toSeq)
+      val viaDf = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq)
       assert(viaSql.length == viaDf.length,
         s"$name: SQL rows ${viaSql.length} != DataFrame rows ${viaDf.length}")
       viaSql.zip(viaDf).zipWithIndex.foreach { case ((a, b), i) =>
