@@ -163,11 +163,46 @@ object Text {
       .orderBy("doc_id")
   }
 
+  private val CmsEps = 0.001   // over-estimate ≤ ε·N with prob 1−δ
+  private val CmsConf = 0.99   // 1−δ
+  private val CmsSeed = 42
+
+  /** Count–min sketch heavy hitters — the sketch form of [[termFreq]]
+    * for 100 TB: token counts live in a fixed d×w counter grid built
+    * in one `treeAggregate` pass (map-side partial sketches merge
+    * pairwise; the driver holds kilobytes, never the vocabulary —
+    * where the exact groupBy shuffles one row per distinct token,
+    * unbounded as the vocabulary grows). Like the self-certifying
+    * `percentile_approx` query, the sketch is CERTIFIED in-plan: for
+    * each exact top-20 term the CMS point estimate must satisfy the
+    * one-sided guarantee exact ≤ est ≤ exact + ε·N (a count-min
+    * sketch never under-counts; it over-counts by at most ε·N at the
+    * declared confidence). The oracle expects TRUE, so a broken
+    * sketch hash-mismatches. Only the exact counts and the
+    * certification are output — the estimates themselves are
+    * engine-specific. The 20-term collect is bounded by the top-k
+    * size, not the corpus. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val cms = toks.stat.countMinSketch("token", CmsEps, CmsConf, CmsSeed)
+    val top = termFreq(s, dir)
+    val terms = top.select("token").collect().map(_.getString(0))
+    val est = terms.map(t => t -> cms.estimateCount(t)).toMap
+    val slack = math.ceil(CmsEps * cms.totalCount()).toLong
+    top
+      .withColumn("est", element_at(typedlit(est), col("token")))
+      .withColumn("within_bound",
+        col("est") >= col("n") && col("est") <= col("n") + lit(slack))
+      .select(col("token"), col("n"), col("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
     "text_token_stats" -> (tokenStats _),
     "text_term_freq"   -> (termFreq _),
+    "text_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf_top"   -> (tfidfTop _),
     "text_vocab_stats" -> (vocabStats _),
@@ -207,6 +242,14 @@ object Text {
 
     "text_term_freq" ->
       s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($tokSql) AS token FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    // the sketch estimates are engine-specific; the oracle checks the
+    // exact counts and that every estimate landed inside the CMS
+    // guarantee — the Spark side emits FALSE (hash mismatch) otherwise
+    "text_cms_heavy_hitters" ->
+      s"""SELECT token, count(*) AS n, TRUE AS within_bound
          |FROM (SELECT unnest($tokSql) AS token FROM documents)
          |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 

@@ -43,6 +43,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_topk_bruteforce" -> "list_dot_product",
     "sim_topk_ivf" -> "list comprehension k-means unroll",
     "sim_topk_lsh_ann" -> "list_dot_product",
+    "text_cms_heavy_hitters" -> "unnest() lateral",
     "text_fingerprint" -> "hex-digit CAST to INT",
     "text_langid" -> "string_split_regex",
     "text_quality" -> "string_split_regex",

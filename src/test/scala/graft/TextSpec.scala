@@ -17,6 +17,17 @@ class TextSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("count-min sketch certifies every top-20 term inside its bound") {
+    val rows = graft.ext.Text.cmsHeavyHitters(spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getBoolean(2)),
+      "a CMS estimate escaped [exact, exact + eps*N] — sketch broken")
+    // the certified counts are the exact top-20
+    val exact = graft.ext.Text.termFreq(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == exact)
+  }
+
   test("type-token ratio is in (0, 1]") {
     val r = Text.vocabStats(spark, sf0001).head()
     val ratio = r.getDouble(2)
