@@ -160,6 +160,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed join still shuffles its inputs:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // Sessions.builder enables runtime bloom-filter join pruning; at
+    // real scale the default size thresholds admit any fact-dim shuffle
+    // join — at toy scale we lower them (and suppress broadcast, which
+    // already prunes) to prove the injection fires under our config.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val s = j.queryExecution.optimizedPlan.toString
+      assert(s.contains("might_contain"),
+        s"no bloom filter injected into the fact side:\n$s")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
