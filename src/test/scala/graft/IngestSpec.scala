@@ -140,6 +140,28 @@ class IngestSpec extends SparkSpec {
     assert(!new java.io.File(snap + ".old").exists)
   }
 
+  test("recovery is idempotent and the sink keeps merging afterwards") {
+    val snap = Files.createTempDirectory("graft_idem").toString + "/snap"
+    val byYear = (c: org.apache.spark.sql.Column) => year(c)
+    Ingest.mergeBatch(series(("2020-01-01", 1L, 1L), ("2021-01-01", 2L, 1L)),
+      snap, "month", "ingest_v", byYear)
+    // crash right after staging (nothing promoted)
+    assert(Ingest.stageMerge(series(("2021-01-01", 22L, 2L)),
+      snap, "month", "ingest_v", byYear))
+    Ingest.recoverSnapshot(snap)
+    Ingest.recoverSnapshot(snap) // second recovery must be a no-op
+    assert(snapRows(snap) == Seq(
+      (Date.valueOf("2020-01-01"), 1L),
+      (Date.valueOf("2021-01-01"), 22L)))
+    // the sink continues normally on the recovered snapshot
+    Ingest.mergeBatch(series(("2022-01-01", 5L, 3L)),
+      snap, "month", "ingest_v", byYear)
+    assert(snapRows(snap) == Seq(
+      (Date.valueOf("2020-01-01"), 1L),
+      (Date.valueOf("2021-01-01"), 22L),
+      (Date.valueOf("2022-01-01"), 5L)))
+  }
+
   test("jdbc wrapper wires the partitioned reader (driver lookup path)") {
     val e = intercept[Exception] {
       Tables.jdbc(spark, "jdbc:postgresql://nohost/db", "tbl",
