@@ -258,12 +258,52 @@ object Events {
       .orderBy("event_type", "pctl")
   }
 
+  private val CmsEps = 0.001
+  private val CmsConf = 0.99
+  private val CmsSeed = 42
+  private val TopUsers = 20
+
+  /** One-pass count–min sketch over the user key — a fixed d×w
+    * counter grid built by `treeAggregate` (map-side partials merge
+    * pairwise; the driver holds kilobytes, never the user universe). */
+  private[graft] def userCms(df: DataFrame): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch("user_id", CmsEps, CmsConf, CmsSeed)
+
+  /** Count–min heavy hitters over the event stream's user key,
+    * certified in-plan like [[valueQuantilesApprox]]: every exact
+    * top-20 user count must satisfy exact ≤ est ≤ exact + ε·N (a CMS
+    * never under-counts), and only the exact counts plus the
+    * certification flag are output — the oracle expects TRUE.
+    *
+    * This is also the STREAMING sketch story: CMS is linear (counters
+    * add), so per-micro-batch partial sketches merged with
+    * `mergeInPlace` equal the one-shot batch sketch EXACTLY (same
+    * seed/depth/width) — `EventsStreamSpec` asserts bit-equal
+    * estimates between the micro-batch merge and this batch build.
+    * At 100 TB/day the sketch is the only heavy-hitter state a
+    * streaming job needs to keep. */
+  def cmsHeavyUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id")
+    val cms = userCms(ev)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc).limit(TopUsers)
+    val users = top.select("user_id").collect().map(_.getLong(0)) // top-k-bounded
+    val est = users.map(u => u -> cms.estimateCount(java.lang.Long.valueOf(u))).toMap
+    val slack = math.ceil(CmsEps * cms.totalCount()).toLong
+    top
+      .withColumn("est", element_at(typedlit(est), col("user_id")))
+      .withColumn("within_bound",
+        col("est") >= col("n") && col("est") <= col("n") + lit(slack))
+      .select(col("user_id"), col("n"), col("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_by_type" -> (hourlyByType _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_quantiles_approx" -> (valueQuantilesApprox _),
+    "events_cms_heavy_users" -> (cmsHeavyUsers _),
     "events_purchase_view_join" -> (purchaseViewJoin _),
   )
 
@@ -291,6 +331,12 @@ object Events {
          |  max(ts) + INTERVAL '30 minutes' AS session_end,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // sketch estimates are engine-specific; the oracle checks the exact
+    // counts and that every estimate landed inside the CMS guarantee
+    "events_cms_heavy_users" ->
+      """SELECT user_id, count(*) AS n, TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 20""".stripMargin,
 
     "events_value_quantiles" ->
       """SELECT event_type,

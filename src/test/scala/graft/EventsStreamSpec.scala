@@ -22,6 +22,42 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("micro-batch partial CMS sketches merge to the one-shot batch sketch exactly") {
+    import org.apache.spark.sql.functions._
+    // CMS is linear: counters add, so merged per-batch partials must be
+    // BIT-EQUAL to the single-pass build (same seed/depth/width)
+    val batchSketch = Events.userCms(
+      Tables.events(spark, sf0001).select("user_id"))
+    var merged: org.apache.spark.util.sketch.CountMinSketch = null
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = spark.readStream.schema(Events.rawSchema)
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .parquet(s"$sf0001/events*.parquet")
+      .select("user_id")
+      .writeStream.outputMode("append").foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val part = Events.userCms(b)
+          if (merged == null) merged = part else merged.mergeInPlace(part)
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(merged != null)
+    assert(merged.totalCount() == batchSketch.totalCount())
+    val users = Tables.events(spark, sf0001).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.foreach { u =>
+      val boxed = java.lang.Long.valueOf(u)
+      assert(merged.estimateCount(boxed) == batchSketch.estimateCount(boxed),
+        s"user $u: merged estimate != batch estimate — sketch merge broken")
+    }
+    // and the declared query's certification holds (top-k capped by
+    // the distinct-user count on this tiny corpus)
+    val rows = Events.cmsHeavyUsers(spark, sf0001).collect()
+    assert(rows.length == math.min(20, users.length))
+    assert(rows.forall(_.getBoolean(2)),
+      "a CMS estimate escaped [exact, exact + eps*N] — sketch broken")
+  }
+
   test("approx quantiles: certified in-plan AND within rank bound vs raw data") {
     import org.apache.spark.sql.functions._
     // the declared query's self-certification must hold everywhere
