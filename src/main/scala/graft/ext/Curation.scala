@@ -120,13 +120,73 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  private val ShardBudget  = 4096L // tokens per output shard
+  private val ShardBucketW = 100L  // docs per prefix-sum bucket
+
+  /** Token-budget sharding — the sequence-packing prelude of a
+    * training pipeline: assign documents, in doc_id order, to
+    * contiguous shards of ~[[ShardBudget]] tokens via a DISTRIBUTED
+    * PREFIX SUM. The textbook formulation — one running total `OVER
+    * (ORDER BY doc_id)` — is the textbook bottleneck: a global
+    * window puts the whole corpus on one task. Here the scan is the
+    * classic two-phase parallel-prefix shape:
+    *
+    *  1. bucket-level token totals, bucket = `doc_id div W` (a
+    *     deterministic range split — no sampling, unlike
+    *     `repartitionByRange`, so re-execution is bit-stable);
+    *     cumulated into exclusive per-bucket offsets driver-side —
+    *     the sync is one long per bucket (the k-means-centroid
+    *     shape; W scales so bucket count ~ √corpus)
+    *  2. a PARTITIONED window cumsum within each bucket, shifted by
+    *     the broadcast bucket offset — no partition ever holds more
+    *     than W rows
+    *
+    * The result is independent of W; the oracle is the naive
+    * global-window cumsum in DuckDB. */
+  def tokenShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id").cast("long") / ShardBucketW).cast("long").as("bucket"))
+    // phase 1: per-bucket totals -> exclusive running offsets (the
+    // collect is bucket-count-sized, never corpus-sized)
+    val sums = docs.groupBy("bucket").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (b, t) => val o = acc; acc += t; (b, o) }
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("bucket", "offset")
+    // phase 2: within-bucket cumsum + offset; shard = which budget
+    // block the doc's token range STARTS in
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("start",
+        col("offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start") / lit(ShardBudget)).as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash_bernoulli" -> (hashBernoulli _),
     "sample_stratified"     -> (stratifiedSample _),
+    "pack_token_shards"     -> (tokenShards _),
     "pipeline_curation"     -> (pipeline _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // one-window form: the oracle states the SEMANTICS (a single
+    // global running total); the Spark side's two-phase parallel
+    // prefix must reproduce it exactly
+    "pack_token_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${Text.tokSql}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(start / $ShardBudget.0) AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "sample_hash_bernoulli" ->
       s"""SELECT doc_id, lang, ${docHash60Sql("sample:")} % 100 AS sample_bucket
          |FROM documents

@@ -117,6 +117,34 @@ class CurationSpec extends SparkSpec {
     assert(ids == expect)
   }
 
+  test("token shards: two-phase prefix sum equals the one-window running total") {
+    val twoPhase = Curation.tokenShards(spark, sf0001).collect().map(_.toSeq).toSeq
+    // reference: the naive single global window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start") / lit(4096L)).as("shard"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(twoPhase == naive)
+    // shards are contiguous, non-decreasing, and start at 0
+    val shards = twoPhase.map(_(2).asInstanceOf[Long])
+    assert(shards.head == 0L)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 || b > a })
+    assert(shards.zip(shards.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("token shards plan: window is bucket-partitioned, never global") {
+    val plan = Curation.tokenShards(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"prefix-sum window lost its bucket partitioning:\n$plan")
+  }
+
   test("pipeline_curation joins the cluster map shuffle-hash, never broadcast") {
     SessionMemo.clear(spark)
     val plan = Curation.pipeline(spark, sf0001)
