@@ -24,6 +24,37 @@ class SeriesFilesSpec extends SparkSpec {
     assert(clean.map(_.getLong(1)).toSeq == Seq(100L, 200L))
   }
 
+  test("parquet schema evolution: mergeSchema unions landed generations") {
+    import org.apache.spark.sql.functions._
+    // generation 1 lands (month, emp); generation 2 adds a revision
+    // column — the additive-evolution case a long-lived landing zone
+    // hits. mergeSchema unions the generations; old rows read the new
+    // column as NULL; an explicit-schema read pins the contract.
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val s = spark
+    import s.implicits._
+    Seq(("2020-01-01", 100L)).toDF("month", "emp")
+      .withColumn("month", to_date(col("month")))
+      .write.parquet(s"$dir/gen1")
+    Seq(("2020-02-01", 200L, 2L)).toDF("month", "emp", "revision")
+      .withColumn("month", to_date(col("month")))
+      .write.parquet(s"$dir/gen2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen1", s"$dir/gen2")
+      .orderBy("month")
+    assert(merged.schema.fieldNames.contains("revision"))
+    val rows = merged.select("emp", "revision").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((100L, -1L), (200L, 2L)))
+    // explicit schema (the S3 discipline): old-contract readers are
+    // unaffected by the added column
+    val pinned = spark.read
+      .schema("month DATE, emp BIGINT")
+      .parquet(s"$dir/gen1", s"$dir/gen2").orderBy("month")
+    assert(pinned.schema.fieldNames.toSeq == Seq("month", "emp"))
+    assert(pinned.count() == 2)
+  }
+
   test("JSON landing parses and feeds the upsert load step") {
     val dir = write("series.json",
       """{"month":"2020-01-01","emp":100}
