@@ -143,11 +143,17 @@ object Curation {
     *
     * The result is independent of W; the oracle is the naive
     * global-window cumsum in DuckDB. */
-  def tokenShards(s: SparkSession, dir: String): DataFrame = {
+  def tokenShards(s: SparkSession, dir: String): DataFrame =
+    tokenShards(s, dir, ShardBucketW)
+
+  /** Bucket width is a pure parallelism knob — [[CurationSpec]]
+    * property-checks that the output is identical for any width. */
+  private[graft] def tokenShards(s: SparkSession, dir: String,
+      bucketW: Long): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
-        (col("doc_id").cast("long") / ShardBucketW).cast("long").as("bucket"))
+        (col("doc_id").cast("long") / bucketW).cast("long").as("bucket"))
     // phase 1: per-bucket totals -> exclusive running offsets (the
     // collect is bucket-count-sized, never corpus-sized)
     val sums = docs.groupBy("bucket").agg(sum("n_tokens").as("t"))

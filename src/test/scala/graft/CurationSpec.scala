@@ -138,6 +138,16 @@ class CurationSpec extends SparkSpec {
     assert(shards.zip(shards.tail).forall { case (a, b) => b >= a })
   }
 
+  test("token shards are invariant under the prefix-sum bucket width") {
+    val ref = Curation.tokenShards(spark, sf0001, 100L)
+      .collect().map(_.toSeq).toSeq
+    // widths spanning one-doc buckets to one-bucket-holds-everything
+    Seq(1L, 7L, 64L, 1000000L).foreach { w =>
+      val alt = Curation.tokenShards(spark, sf0001, w).collect().map(_.toSeq).toSeq
+      assert(alt == ref, s"bucket width $w changed the shard assignment")
+    }
+  }
+
   test("token shards plan: window is bucket-partitioned, never global") {
     val plan = Curation.tokenShards(spark, sf0001)
       .queryExecution.optimizedPlan.toString
