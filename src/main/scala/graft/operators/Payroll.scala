@@ -161,6 +161,28 @@ object Payroll {
       .agg(sum("emp").as("total_emp"))
       .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general member of the grouping-set
+    * family next to [[rollupHierarchy]] (ROLLUP) and
+    * [[cubeYearQuarter]] (CUBE): independent year-level and
+    * quarter-level margins plus the grand total in ONE aggregation
+    * pass (Spark expands the sets before a single partial+final
+    * exchange), with a grouping-id column disambiguating grouping
+    * NULLs from data NULLs. */
+  def groupingSetsYearQuarter(s: SparkSession, dir: String): DataFrame = {
+    val yq = series(s, dir).select(
+      yearOf(col("month")).as("year"),
+      quarterOf(col("month")).as("quarter"), col("emp"))
+    yq.groupingSets(
+        Seq(Seq(col("year")), Seq(col("quarter")), Seq.empty),
+        col("year"), col("quarter"))
+      .agg(
+        (grouping(col("year")) * 2 + grouping(col("quarter")))
+          .cast("long").as("gid"),
+        sum("emp").as("total_emp"))
+      .select("year", "quarter", "gid", "total_emp")
+      .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
+  }
+
   /** Drill Q1 phase 1 (A4+W5+T1, `dashboard_nfp.py:338-342`): the
     * year with the highest absolute annual gain (argmax, deterministic
     * year tie-break). TakeOrderedAndProject, no full sort. */
@@ -296,6 +318,7 @@ object Payroll {
     "payroll_rollup_quarterly_top5" -> (rollupQuarterlyTop5 _),
     "payroll_rollup_hierarchy"    -> (rollupHierarchy _),
     "payroll_cube_year_quarter"   -> (cubeYearQuarter _),
+    "payroll_grouping_sets"       -> (groupingSetsYearQuarter _),
     "payroll_drill_top_gain_year" -> (drillTopGainYear _),
     "payroll_drill_top_year_months" -> (drillTopYearMonths _),
     "payroll_drill_sharpest_drop" -> (drillSharpestDrop _),
@@ -397,6 +420,16 @@ object Payroll {
          |SELECT year(month) AS year, quarter(month) AS quarter,
          |  CAST(sum(emp) AS BIGINT) AS total_emp
          |FROM series GROUP BY CUBE(year(month), quarter(month))
+         |ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""".stripMargin,
+
+    "payroll_grouping_sets" ->
+      s"""WITH series AS ($S),
+         |yq AS (SELECT year(month) AS year, quarter(month) AS quarter, emp
+         |  FROM series)
+         |SELECT year, quarter,
+         |  CAST(2 * grouping(year) + grouping(quarter) AS BIGINT) AS gid,
+         |  CAST(sum(emp) AS BIGINT) AS total_emp
+         |FROM yq GROUP BY GROUPING SETS ((year), (quarter), ())
          |ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""".stripMargin,
 
     "payroll_drill_top_gain_year" ->

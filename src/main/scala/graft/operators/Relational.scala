@@ -155,7 +155,32 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-segment customer-value quartiles (NTILE) — the "segment your
+    * customers into value tiers" OLAP window. The NTILE window is
+    * PARTITIONED by market segment: a global NTILE is one task
+    * ranking every customer at 100 TB, the same trap as a global
+    * running total. Revenue is an exact decimal sum, so the ranking
+    * is order-independent; c_custkey breaks ties deterministically.
+    * Only ordering customers (one row each, post-aggregate) — never
+    * order lines — go through the window. */
+  def customerValueQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num._
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val rev = Tables.orders(s, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(dsumExact(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+    rev.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        r4(sum(col("revenue")).cast("double")).as("segment_revenue"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_customer_value_ntile" -> (customerValueQuartiles _),
     "rel_customers_without_orders" -> (customersWithoutOrders _),
     "rel_pricing_summary"     -> (pricingSummary _),
     "rel_revenue_by_region"   -> (revenueByRegion _),
@@ -167,6 +192,18 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_customer_value_ntile" ->
+      s"""WITH rev AS (SELECT c_custkey, c_mktsegment,
+         |    ${graft.functions.Num.dsumExactSql("o_totalprice")} AS revenue
+         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         |q AS (SELECT c_mktsegment, revenue,
+         |    ntile(4) OVER (PARTITION BY c_mktsegment
+         |      ORDER BY revenue DESC, c_custkey ASC) AS quartile
+         |  FROM rev)
+         |SELECT c_mktsegment, quartile, count(*) AS n_customers,
+         |  round(CAST(sum(revenue) AS DOUBLE), 4) AS segment_revenue
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "rel_customers_without_orders" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer c

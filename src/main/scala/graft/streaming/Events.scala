@@ -258,6 +258,26 @@ object Events {
       .orderBy("event_type", "pctl")
   }
 
+  private val HistW = 50.0  // bucket width; values land in [0, 500)
+  private val HistBins = 10
+
+  /** Equi-width value histogram per event type — the binning
+    * companion of the quantile queries (a dashboard's latency/value
+    * distribution panel). Expressed as pure floor arithmetic
+    * (portable to any engine, unlike `width_bucket`); the aggregate
+    * is map-side combinable, so the shuffle carries one row per
+    * (type, bucket) — bins × types, never events. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / HistW), lit(HistBins - 1L)).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * HistW).as("lo"),
+        ((col("bucket") + 1) * HistW).as("hi"), col("n"))
+      .orderBy("event_type", "bucket")
+
   private val CmsEps = 0.001
   private val CmsConf = 0.99
   private val CmsSeed = 42
@@ -303,6 +323,7 @@ object Events {
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
     "events_value_quantiles_approx" -> (valueQuantilesApprox _),
+    "events_value_histogram" -> (valueHistogram _),
     "events_cms_heavy_users" -> (cmsHeavyUsers _),
     "events_purchase_view_join" -> (purchaseViewJoin _),
   )
@@ -331,6 +352,14 @@ object Events {
          |  max(ts) + INTERVAL '30 minutes' AS session_end,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "events_value_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+        |  CAST(least(floor(value / 50.0), 9) * 50.0 AS DOUBLE) AS lo,
+        |  CAST((least(floor(value / 50.0), 9) + 1) * 50.0 AS DOUBLE) AS hi,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
 
     // sketch estimates are engine-specific; the oracle checks the exact
     // counts and that every estimate landed inside the CMS guarantee
