@@ -285,6 +285,37 @@ object Payroll {
       .orderBy("drop_month")
   }
 
+  /** Rolling 3-month statistics over the monthly series — the moving-
+    * average smoothing + z-score anomaly screen every time-series OLAP
+    * dashboard layers on a `pct_change` view (the reference stops at
+    * LAG-arithmetic; a rolling frame is the natural next window shape:
+    * `ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`).
+    *
+    * Determinism discipline: the window carries only EXACT integer
+    * sums (Σx, Σx², n) and derives mean/stddev/z from them in double —
+    * the same IEEE expression tree the oracle runs, so no
+    * accumulation-order noise and no engine-specific Welford paths.
+    * `sd3`/`z` are null until the frame is full (n = 3), mirroring
+    * pandas `rolling(3).std()`. The window is global over the
+    * pre-reduced calendar-grain series (lint-compliant — the frame is
+    * ≤ #months rows at any corpus size). */
+  def rollingStats(s: SparkSession, dir: String): DataFrame = {
+    val w3 = wGlobal.rowsBetween(-2, Window.currentRow)
+    val n  = count(lit(1)).over(w3)
+    val s1 = sum(col("emp")).over(w3).cast("double")
+    val s2 = sum(col("emp") * col("emp")).over(w3).cast("double")
+    val ma = s1 / n
+    val sd = sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0)))
+    val z  = (col("emp") - ma) / sd
+    series(s, dir)
+      .withColumn("ma3", r4(ma))
+      .withColumn("sd3", when(n === 3, r4(sd)))
+      .withColumn("z", when(n === 3 && sd > 0, r4(z)))
+      .withColumn("outlier", when(n === 3 && sd > 0, abs(z) > 1.5))
+      .select("month", "emp", "ma3", "sd3", "z", "outlier")
+      .orderBy("month")
+  }
+
   /** Pivot (the OLAP cross-tab the dashboard renders as its month ×
     * year matrix): one row per year, one column per month. Explicit
     * pivot values skip Spark's extra distinct-discovery job; the
@@ -323,6 +354,7 @@ object Payroll {
     "payroll_drill_top_year_months" -> (drillTopYearMonths _),
     "payroll_drill_sharpest_drop" -> (drillSharpestDrop _),
     "payroll_recovery"            -> (recovery _),
+    "payroll_rolling_stats"       -> (rollingStats _),
   )
 
   private val S = Tables.monthlySeriesSql
@@ -345,6 +377,26 @@ object Payroll {
          |WHERE year(month) IN (${CompareYears.mkString(", ")})
          |  AND month(month) BETWEEN 3 AND 12
          |ORDER BY month""".stripMargin,
+
+    // the window carries exact integer sums; mean/stddev/z re-derive in
+    // double through the IDENTICAL expression tree as the Spark side
+    "payroll_rolling_stats" ->
+      s"""WITH series AS ($S),
+         |w AS (SELECT month, emp,
+         |  count(*) OVER win AS n,
+         |  CAST(sum(emp) OVER win AS DOUBLE) AS s1,
+         |  CAST(sum(emp * emp) OVER win AS DOUBLE) AS s2
+         |  FROM series
+         |  WINDOW win AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT month, emp, n, s1 / n AS ma,
+         |  CASE WHEN n >= 2 THEN
+         |    sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END AS sd
+         |  FROM w)
+         |SELECT month, emp, round(ma, 4) AS ma3,
+         |  CASE WHEN n = 3 THEN round(sd, 4) END AS sd3,
+         |  CASE WHEN n = 3 AND sd > 0 THEN round((emp - ma) / sd, 4) END AS z,
+         |  CASE WHEN n = 3 AND sd > 0 THEN abs((emp - ma) / sd) > 1.5 END AS outlier
+         |FROM d ORDER BY month""".stripMargin,
 
     "payroll_dice_mom_drop" ->
       s"""WITH series AS ($S),

@@ -179,7 +179,44 @@ object Relational {
       .orderBy("c_mktsegment", "quartile")
   }
 
+  /** Per-group correlation + least-squares fit of extended price on
+    * quantity — the "is this measure linear in that one" OLAP
+    * diagnostic. Built from ONE-PASS sufficient statistics (n, Σx, Σy,
+    * Σx², Σy², Σxy) rather than `corr`/`regr_slope` built-ins: the
+    * built-ins accumulate co-moments in doubles, so their last ulps
+    * depend on partition merge order and differ between engines; the
+    * moment sums here go through the exact DECIMAL(25,8) path (order-
+    * independent, identical in DuckDB) and the closed forms re-derive
+    * corr/slope/intercept in double through the identical IEEE
+    * expression tree on both sides. Plan shape: a single partial+final
+    * hash aggregate over the fact scan — the same one-shuffle cost as
+    * any [[pricingSummary]]-style aggregate, at any scale. */
+  def priceRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val m = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsumExact(x).as("sx"), dsumExact(y).as("sy"),
+        dsumExact(x * x).as("sxx"), dsumExact(y * y).as("syy"),
+        dsumExact(x * y).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN  = nD * d("sxy") - d("sx") * d("sy")
+    val varxN = nD * d("sxx") - d("sx") * d("sx")
+    val varyN = nD * d("syy") - d("sy") * d("sy")
+    val slope = covN / varxN
+    m.select(
+        col("l_returnflag"), col("n"),
+        r4(covN / sqrt(varxN * varyN)).as("corr"),
+        r4(slope).as("slope"),
+        r4((d("sy") - slope * d("sx")) / nD).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_price_regression" -> (priceRegression _),
     "rel_customer_value_ntile" -> (customerValueQuartiles _),
     "rel_customers_without_orders" -> (customersWithoutOrders _),
     "rel_pricing_summary"     -> (pricingSummary _),
@@ -192,6 +229,29 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact decimal moment sums; corr/slope/intercept re-derived in
+    // double through the IDENTICAL expression tree as the Spark side
+    "rel_price_regression" ->
+      s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         |    ${dsumExactSql("l_quantity")} AS sx,
+         |    ${dsumExactSql("l_extendedprice")} AS sy,
+         |    ${dsumExactSql("l_quantity * l_quantity")} AS sxx,
+         |    ${dsumExactSql("l_extendedprice * l_extendedprice")} AS syy,
+         |    ${dsumExactSql("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY 1),
+         |d AS (SELECT l_returnflag, n,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM m)
+         |SELECT l_returnflag, n,
+         |  round((nd * sxyd - sxd * syd) /
+         |    sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 4) AS corr,
+         |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) AS slope,
+         |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+         |    / nd, 4) AS intercept
+         |FROM d ORDER BY l_returnflag""".stripMargin,
+
     "rel_customer_value_ntile" ->
       s"""WITH rev AS (SELECT c_custkey, c_mktsegment,
          |    ${graft.functions.Num.dsumExactSql("o_totalprice")} AS revenue

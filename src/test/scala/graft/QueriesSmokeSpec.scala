@@ -56,4 +56,49 @@ class QueriesSmokeSpec extends SparkSpec {
     val d = operators.Relational.latestOrderPerCustomer(spark, sf0001)
     assert(d.groupBy("o_custkey").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("rolling stats match a driver-side recomputation") {
+    val series = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect().map(_.getLong(1))
+    val got = operators.Payroll.rollingStats(spark, sf0001).collect()
+    assert(got.length == series.length)
+    got.zipWithIndex.foreach { case (row, i) =>
+      val w = series.slice(math.max(0, i - 2), i + 1)
+      val n = w.length
+      val s1 = w.sum.toDouble
+      val s2 = w.map(x => x * x).sum.toDouble
+      val ma = s1 / n
+      assert(math.abs(row.getDouble(2) - ma) < 1e-3, s"ma3 at row $i")
+      if (n == 3) {
+        val sd = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+        assert(math.abs(row.getDouble(3) - sd) < 1e-3, s"sd3 at row $i")
+        if (sd > 0) {
+          val z = (series(i) - ma) / sd
+          assert(math.abs(row.getDouble(4) - z) < 1e-3, s"z at row $i")
+          assert(row.getBoolean(5) == (math.abs(z) > 1.5), s"outlier at $i")
+        }
+      } else assert(row.isNullAt(3) && row.isNullAt(4) && row.isNullAt(5))
+    }
+  }
+
+  test("regression closed form tracks Spark's co-moment built-ins") {
+    val got = operators.Relational.priceRegression(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val ref = Tables.lineitem(spark, sf0001).groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("i"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    got.foreach { r =>
+      val (c, s, i) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c) < 1e-3, s"corr ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - s) < 1e-2, s"slope ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - i) < 1.0,
+        s"intercept ${r.getString(0)}: ${r.getDouble(4)} vs $i")
+      assert(math.abs(r.getDouble(2)) <= 1.0, "corr out of [-1, 1]")
+    }
+  }
 }
