@@ -173,7 +173,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  private val DecontamN = 5   // token-shingle width
+  private val EvalMod   = 37L // eval split: doc_id % EvalMod == 0
+
+  /** 60-bit hashes of the doc's [[DecontamN]]-token shingles (empty
+    * when the doc is shorter than one shingle — `sequence` would
+    * otherwise run DESCENDING for a negative span). */
+  private def ngramHashes(t: Column): Column =
+    when(size(t) >= DecontamN,
+      transform(sequence(lit(1), size(t) - (DecontamN - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(t, i, lit(DecontamN)))
+          .cast("binary")), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+
+  /** Benchmark decontamination — the pipeline stage every serious
+    * training-data run performs between dedup and packing: flag any
+    * training document sharing a [[DecontamN]]-token shingle with the
+    * held-out eval split (here a deterministic `doc_id % EvalMod`
+    * slice standing in for the benchmark suite). Matching is on
+    * 60-bit shingle hashes, so the contamination join carries one
+    * long per distinct (doc, shingle) — never text. The eval n-gram
+    * set joins SHUFFLE-HASH under the corpus-derived-side discipline;
+    * against a real (bounded, benchmark-sized) suite the same plan
+    * broadcasts it. Output: every training doc with its distinct-
+    * shingle hit count and the keep/drop flag. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      ngramHashes(Text.tokens(col("text"))).as("ngs"))
+    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+    // per-doc hash dedup happens map-side (array_distinct) — the
+    // (doc, shingle) distinct needs NO shuffle; only the cross-doc
+    // eval-set distinct aggregates
+    val evalNg = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(array_distinct(col("ngs"))).as("h")).distinct()
+    val trainNg = train
+      .select(col("doc_id"), explode(array_distinct(col("ngs"))).as("h"))
+    val hits = trainNg.join(evalNg.hint("shuffle_hash"), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_ngrams"))
+    train.select("doc_id")
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("n_hit_ngrams", coalesce(col("n_hit_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_hit_ngrams") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_decontaminate" -> (decontaminate _),
     "sample_hash_bernoulli" -> (hashBernoulli _),
     "sample_stratified"     -> (stratifiedSample _),
     "pack_token_shards"     -> (tokenShards _),
@@ -181,6 +226,24 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, ${Text.tokSql} AS toks FROM documents),
+         |ng AS (SELECT doc_id, unnest(
+         |    [CAST(concat('0x', substr(md5(array_to_string(
+         |       toks[i:i + ${DecontamN - 1}], ' ')), 1, 15)) AS BIGINT)
+         |     for i in range(1, greatest(len(toks) - ${DecontamN - 2}, 1))]) AS h
+         |  FROM d),
+         |evng AS (SELECT DISTINCT h FROM ng WHERE doc_id % $EvalMod = 0),
+         |trng AS (SELECT DISTINCT doc_id, h FROM ng
+         |  WHERE doc_id % $EvalMod <> 0),
+         |hits AS (SELECT doc_id, count(*) AS n_hit_ngrams
+         |  FROM trng JOIN evng USING (h) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(hits.n_hit_ngrams, 0) AS n_hit_ngrams,
+         |  coalesce(hits.n_hit_ngrams, 0) > 0 AS contaminated
+         |FROM d LEFT JOIN hits USING (doc_id)
+         |WHERE d.doc_id % $EvalMod <> 0
+         |ORDER BY doc_id""".stripMargin,
+
     // one-window form: the oracle states the SEMANTICS (a single
     // global running total); the Spark side's two-phase parallel
     // prefix must reproduce it exactly

@@ -197,7 +197,41 @@ object Text {
       .select(col("token"), col("n"), col("within_bound"))
   }
 
+  /** Unigram language-model scoring — quality scoring v2: per-doc
+    * cross-entropy (nats/token) and perplexity under the corpus's own
+    * add-one-smoothed unigram model, the classic cheap "how unusual is
+    * this document" screen a pretraining pipeline runs between the
+    * [[quality]] heuristics and anything neural.
+    *
+    * Two passes over one tokenization: (1) the vocabulary-sized term-
+    * frequency aggregate (map-side combined, like [[termFreq]]);
+    * (2) tokens re-join their log-probs SHUFFLE-HASH (the model table
+    * IS the vocabulary — corpus-derived and unbounded, same no-
+    * broadcast rule as [[tfidfTop]]) and reduce per doc. Determinism:
+    * each token's log-prob is rounded to 4 decimals FIRST, making it
+    * an exact decimal; the per-doc mean then runs through the exact
+    * decimal-sum path, so accumulation order cannot shift the result
+    * and both engines derive xent/ppl from the identical double. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = tf.agg(sum("cnt").as("n_corpus"), count(lit(1)).as("vocab"))
+    val logp = tf.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log((col("cnt") + 1.0) / (col("n_corpus") + col("vocab"))), 4)
+          .cast("decimal(25,8)").as("logp4"))
+    val mean = sum(col("logp4")).cast("double") / count(lit(1))
+    tok.join(logp.hint("shuffle_hash"), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(-mean).as("xent_nats"),
+        r4(exp(-mean)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"    -> (lmScore _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
     "text_token_stats" -> (tokenStats _),
@@ -209,6 +243,23 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-token log-probs round to exact decimals BEFORE the per-doc
+    // mean, so both engines aggregate order-independently
+    "text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS n_corpus, count(*) AS vocab FROM tf),
+         |lp AS (SELECT token,
+         |    CAST(round(ln((cnt + 1.0) / (n_corpus + vocab)), 4)
+         |      AS DECIMAL(25,8)) AS logp4
+         |  FROM tf CROSS JOIN tot),
+         |d AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(logp4) AS DOUBLE) / count(*) AS mean
+         |  FROM tok JOIN lp USING (token) GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(-mean, 4) AS xent_nats,
+         |  round(exp(-mean), 4) AS ppl
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
          |q AS (SELECT doc_id,

@@ -155,6 +155,35 @@ class CurationSpec extends SparkSpec {
       s"prefix-sum window lost its bucket partitioning:\n$plan")
   }
 
+  test("decontamination matches an independent JVM n-gram recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def ngrams(t: String): Set[Long] = {
+      val ts = t.trim.split("\\s+")
+      if (ts.length < 5) Set.empty
+      else (0 to ts.length - 5).map { i =>
+        val s = ts.slice(i, i + 5).mkString(" ")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+      }.toSet
+    }
+    val evalNg = docs.filter(_._1 % 37 == 0).flatMap(x => ngrams(x._2)).toSet
+    val expect = docs.filter(_._1 % 37 != 0).map { case (id, t) =>
+      id -> (ngrams(t) & evalNg).size.toLong
+    }.toMap
+    val got = Curation.decontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // flag column is consistent with the count
+    Curation.decontaminate(spark, sf0001).collect().foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) > 0))
+    }
+    // eval docs never appear in the output
+    assert(got.keySet.forall(_ % 37 != 0))
+  }
+
   test("pipeline_curation joins the cluster map shuffle-hash, never broadcast") {
     SessionMemo.clear(spark)
     val plan = Curation.pipeline(spark, sf0001)

@@ -149,6 +149,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"vocabulary df join lost its shuffle-hash shape:\n$plan")
   }
 
+  test("lm-score model join and decontamination shingle join stay shuffle-hash") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // lm_score: the log-prob model table IS the vocabulary (corpus-
+    // derived, unbounded) — only the 1-row totals frame may broadcast
+    val lm = executed(ext.Text.lmScore(spark, sf0001))
+    val lmBx = collectWithSubqueries(lm) { case b: BroadcastExchangeExec => b }
+    assert(lmBx.size == 1, s"expected exactly the totals broadcast:\n$lm")
+    assert(lmBx.head.toString.contains("n_corpus"),
+      s"the broadcast is not the 1-row totals frame:\n${lmBx.head}")
+    assert(collectWithSubqueries(lm) {
+      case j: ShuffledHashJoinExec => j }.nonEmpty,
+      s"lm model join lost its shuffle-hash shape:\n$lm")
+    // decontaminate: the eval n-gram set is corpus-derived in the
+    // driver harness — no broadcast anywhere in the plan
+    val dc = executed(ext.Curation.decontaminate(spark, sf0001))
+    assert(collectWithSubqueries(dc) {
+      case b: BroadcastExchangeExec => b }.isEmpty,
+      s"decontamination broadcasts a corpus-derived side:\n$dc")
+    assert(collectWithSubqueries(dc) {
+      case j: ShuffledHashJoinExec => j }.nonEmpty,
+      s"decontamination shingle join lost its shuffle-hash shape:\n$dc")
+  }
+
   test("bucketed co-located join: zero shuffle below the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

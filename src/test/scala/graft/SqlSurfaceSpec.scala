@@ -37,6 +37,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "mm_meta" -> "octet_length(CAST AS BLOB)",
     "mm_resize" -> "list_transform byte slicing",
     "pack_token_shards" -> "string_split_regex",
+    "pipeline_decontaminate" -> "list comprehension n-gram hashing",
+    "text_lm_score" -> "string_split_regex",
     "payroll_recovery" -> "non-equality correlated scalar subqueries",
     "pipeline_curation" -> "recursive CTE cluster map + hex-string casts",
     "sample_hash_bernoulli" -> "hex-string CAST to BIGINT",

@@ -28,6 +28,31 @@ class TextSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == exact)
   }
 
+  test("lm score matches an independent driver-side recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq }.toMap
+    val tf = toks.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val n = tf.values.sum
+    val v = tf.size
+    def logp4(t: String): BigDecimal = BigDecimal.valueOf(
+      math.log((tf(t) + 1.0) / (n + v)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val got = Text.lmScore(spark, sf0001).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val ts = toks(r.getLong(0))
+      val mean = (ts.map(logp4).sum / ts.size).toDouble
+      assert(r.getLong(1) == ts.size, s"n_tokens doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - (-mean)) < 1e-3,
+        s"xent doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - math.exp(-mean)) < 1e-2,
+        s"ppl doc ${r.getLong(0)}")
+    }
+  }
+
   test("type-token ratio is in (0, 1]") {
     val r = Text.vocabStats(spark, sf0001).head()
     val ratio = r.getDouble(2)
