@@ -26,6 +26,7 @@ object SparkEntry {
       ext.Curation.queries ++
       ext.Multimodal.queries ++
       sources.Ingest.queries ++
+      sources.Layout.queries ++
       streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
@@ -41,5 +42,6 @@ object SparkEntry {
       ext.Curation.oracleSql ++
       ext.Multimodal.oracleSql ++
       sources.Ingest.oracleSql ++
+      sources.Layout.oracleSql ++
       streaming.Events.oracleSql
 }

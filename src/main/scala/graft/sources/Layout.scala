@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-dimensional data layout: z-order (Morton-curve) clustering.
+  *
+  * Partition pruning handles ONE dimension; at 100 TB a second
+  * frequently-filtered column still forces full scans. Interleaving
+  * the bits of two key columns and range-partitioning on the result
+  * assigns each output file a quadtree cell — a tight bounding box in
+  * BOTH dimensions — so parquet row-group min/max stats skip data for
+  * predicates on either column (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+  * idea, built here from pure Catalyst expressions: shift/mask/or,
+  * fully codegen'd, no UDF).
+  *
+  * [[zorderWrite]] is the physical operator: `repartitionByRange` on
+  * the z-value (one range shuffle — the same cost as any sorted write)
+  * + in-partition sort, so both the file-level and row-group-level
+  * stats are tight. `LayoutSpec` proves the skipping property: the sum
+  * of per-file bounding-box areas after a z-order write is a fraction
+  * of the naturally-ordered write's.
+  *
+  * The declared query reports the LOGICAL layout — per z-range-bucket
+  * (quadtree cell) row counts and min/max of both dims — which the
+  * oracle recomputes bit-for-bit from the same normalize + interleave
+  * formulas.
+  */
+object Layout {
+
+  /** Interleave width: 16 bits per dimension → 32-bit z-values. */
+  private val ZBits = 16
+
+  /** Morton z-value of two non-negative ints in [0, 2^16): bit i of
+    * `x` lands at position 2i, bit i of `y` at 2i+1. Pure
+    * shift/mask/or expression tree — codegen'd, no UDF. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Oracle-side SQL for [[zValue]] (DuckDB bitwise operators). */
+  def zValueSql(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+
+  /** Physical z-order write: range-partition by z-value into
+    * `numFiles` files, sort within each, write parquet. One range
+    * exchange (sampled bounds), then map-local sorts — the standard
+    * sorted-write cost at any scale. Raw keys interleave directly
+    * (ordering is what matters for the physical layout; same-scale
+    * domains need no normalization). */
+  def zorderWrite(df: DataFrame, x: String, y: String, numFiles: Int,
+      path: String): Unit = {
+    val z = zValue(col(x).cast("long"), col(y).cast("long")).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** 64 z-range buckets = depth-3 quadtree cells over the 32-bit
+    * z-space. */
+  private val BucketShift = 26
+
+  /** Map a key to [0, 2^16) by min/max scaling: exact integer
+    * arithmetic up to the one double divide, whose operands are exact
+    * — deterministic across engines. `greatest(span, 1)` guards the
+    * degenerate single-value domain. */
+  private def norm16(c: Column, lo: Column, hi: Column): Column =
+    floor((c - lo).cast("double") * 65535.0 /
+      greatest(hi - lo, lit(1)).cast("double")).cast("long")
+
+  private def norm16Sql(c: String, lo: String, hi: String): String =
+    s"CAST(floor(CAST($c - $lo AS DOUBLE) * 65535.0 / " +
+      s"CAST(greatest($hi - $lo, 1) AS DOUBLE)) AS BIGINT)"
+
+  /** Logical layout report: per z-bucket row count and the bounding
+    * box (min/max of both dims) — the stats a file would carry after
+    * [[zorderWrite]]. Tight boxes in BOTH columns are exactly what
+    * makes row-group skipping work for predicates on either. Keys
+    * min/max-normalize to the 16-bit grid first (a 1-row bounds
+    * aggregate, broadcast — the k-means-centroid sync shape), so the
+    * 64-way bucketing is scale-invariant. */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+      min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
+    val xn = norm16(col("l_partkey"), col("min_p"), col("max_p"))
+    val yn = norm16(col("l_suppkey"), col("min_s"), col("max_s"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_partkey"), col("l_suppkey"),
+        zValue(xn, yn).as("zval"))
+      .groupBy(shiftright(col("zval"), BucketShift).as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("zbucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (zorderStats _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "layout_zorder" -> {
+      val xn = norm16Sql("l_partkey", "min_p", "max_p")
+      val yn = norm16Sql("l_suppkey", "min_s", "max_s")
+      s"""WITH b AS (SELECT min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s FROM lineitem),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |    ${zValueSql(s"($xn)", s"($yn)")} AS zval
+         |  FROM lineitem CROSS JOIN b)
+         |SELECT zval >> $BucketShift AS zbucket, count(*) AS n_rows,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+  )
+}
