@@ -317,7 +317,90 @@ object Events {
       .select(col("user_id"), col("n"), col("within_bound"))
   }
 
+  /** Ordered conversion funnel (signup → view → click → purchase):
+    * how many users reach each stage, where a stage counts only if it
+    * happens STRICTLY AFTER the previous one — the event-analytics
+    * query every product dashboard leads with, and one a naive
+    * GROUP BY cannot express (stage k's filter depends on stage
+    * k−1's timestamp).
+    *
+    * Plan: ONE shuffle (groupBy user) collects each user's events
+    * into a ts-sorted array, then a higher-order `aggregate` fold
+    * walks it once carrying the four stage timestamps — the set-based
+    * replacement for the 3-join chain (4 shuffles) the relational
+    * formulation needs. Per-user arrays are bounded by per-user
+    * activity, not corpus size. Tie discipline: an event at exactly
+    * the previous stage's timestamp does NOT advance the funnel
+    * (strict `>`), so equal-ts array order cannot matter. The oracle
+    * states the same semantics as chained relational CTEs. */
+  def funnelCounts(s: SparkSession, dir: String): DataFrame = {
+    val nullTs = lit(null).cast("timestamp")
+    def t(acc: org.apache.spark.sql.Column, f: String) = acc.getField(f)
+    val zero = struct(nullTs.as("t1"), nullTs.as("t2"),
+      nullTs.as("t3"), nullTs.as("t4"))
+    def step(prev: org.apache.spark.sql.Column,
+        cur: org.apache.spark.sql.Column, stage: String,
+        e: org.apache.spark.sql.Column) =
+      when(cur.isNull && prev.isNotNull &&
+        e.getField("et") === stage && e.getField("ts") > prev,
+        e.getField("ts")).otherwise(cur)
+    val folded = aggregate(col("evs"), zero, (acc, e) => struct(
+      when(t(acc, "t1").isNull && e.getField("et") === "signup",
+        e.getField("ts")).otherwise(t(acc, "t1")).as("t1"),
+      step(t(acc, "t1"), t(acc, "t2"), "view", e).as("t2"),
+      step(t(acc, "t2"), t(acc, "t3"), "click", e).as("t3"),
+      step(t(acc, "t3"), t(acc, "t4"), "purchase", e).as("t4")))
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_type").as("et")))).as("evs"))
+      .select(folded.as("f"))
+      .agg(
+        count(col("f.t1")).as("signup_users"),
+        count(col("f.t2")).as("view_users"),
+        count(col("f.t3")).as("click_users"),
+        count(col("f.t4")).as("purchase_users"))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, counted on
+    * each later active day — the second marquee event-analytics
+    * query. (user, day) pre-distincts (map-side combine), the cohort
+    * map is corpus-derived → joins SHUFFLE-HASH on the already-
+    * co-partitioned user key, and the final aggregate is
+    * (cohort, offset)-sized. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort.hint("shuffle_hash"), Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Distinct users per event type, exact + HLL-certified — completes
+    * the sketch family (GK quantiles, CMS counts, HLL cardinality):
+    * at 100 TB the exact two-phase `COUNT(DISTINCT)` shuffle swaps
+    * for the constant-memory mergeable HLL sketch; here the sketch
+    * estimate is CERTIFIED in-plan against the exact count (generous
+    * 3σ envelope for rsd 0.05) and the oracle expects TRUE, so a
+    * broken sketch hash-mismatches. */
+  def hllUsersPerType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .withColumn("within_bound",
+        abs(col("approx") - col("exact_users")) <=
+          greatest(lit(3L), (col("exact_users") * 0.15).cast("long")))
+      .select(col("event_type"), col("exact_users"), col("within_bound"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel"         -> (funnelCounts _),
+    "events_retention_cohorts" -> (retentionCohorts _),
+    "events_hll_users"      -> (hllUsersPerType _),
     "events_hourly_by_type" -> (hourlyByType _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
@@ -329,6 +412,43 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same strict-ordering semantics as the Spark-side fold, stated
+    // as chained relational CTEs (stage k joins stage k-1's timestamp)
+    "events_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |  JOIN t1 USING (user_id)
+        |  WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+        |  JOIN t2 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+        |t4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e
+        |  JOIN t3 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM t1) AS signup_users,
+        |  (SELECT count(*) FROM t2) AS view_users,
+        |  (SELECT count(*) FROM t3) AS click_users,
+        |  (SELECT count(*) FROM t4) AS purchase_users""".stripMargin,
+
+    "events_retention_cohorts" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM days JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the sketch estimate is engine-specific; the oracle checks the
+    // exact counts and that the estimate certified inside its bound
+    "events_hll_users" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_hourly_by_type" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value

@@ -81,6 +81,46 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("funnel fold equals the chained-join formulation and is monotone") {
+    val ev = Tables.events(spark, sf0001).select("user_id", "ts", "event_type")
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.join(t1, Seq("user_id"))
+      .filter(col("event_type") === "view" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.join(t2, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val t4 = ev.join(t3, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t3"))
+      .groupBy("user_id").agg(min("ts").as("t4"))
+    val expect = Seq(t1.count(), t2.count(), t3.count(), t4.count())
+    val row = streaming.Events.funnelCounts(spark, sf0001).head()
+    val got = Seq(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(got == expect, s"fold $got vs chained joins $expect")
+    assert(got == got.sorted.reverse, s"funnel must be non-increasing: $got")
+    assert(got.head > 0)
+  }
+
+  test("retention cohorts: offset 0 covers every user; totals match active days") {
+    val r = streaming.Events.retentionCohorts(spark, sf0001)
+    val atZero = r.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(atZero == users, "every user is active on their cohort day")
+    val total = r.agg(sum("n_users")).head().getLong(0)
+    val userDays = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(total == userDays)
+    assert(r.filter(col("day_offset") < 0).isEmpty)
+  }
+
+  test("hll certification holds for every event type") {
+    val rows = streaming.Events.hllUsersPerType(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
+  }
+
   test("regression closed form tracks Spark's co-moment built-ins") {
     val got = operators.Relational.priceRegression(spark, sf0001).collect()
     assert(got.nonEmpty)

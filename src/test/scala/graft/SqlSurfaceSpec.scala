@@ -31,6 +31,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_winnow_pairs" -> "string_split_regex",
     "events_asof_attribution" -> "epoch_us() timestamp arithmetic",
     "events_json_kv" -> "json_extract_string",
+    "events_retention_cohorts" -> "DATE - DATE integer subtraction (Spark: interval)",
     "events_value_quantiles" -> "quantile_cont (Spark: percentile)",
     "mm_features" -> "octet_length(CAST AS BLOB) + regexp_extract_all/len",
     "mm_frame_sample" -> "list_transform byte slicing",
