@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Num.r4
+import graft.functions.Num.{davg, davgSql, r4}
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table (TESTDATA.md): quality scoring, language ID,
@@ -230,7 +230,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-source quality dashboard — the roll-up a curation run
+    * reports per provenance bucket: doc counts, token volume,
+    * acceptance rate, mean quality signals. One fused scan (the
+    * [[quality]] expressions), one #sources-sized aggregate; all
+    * double means go through the exact decimal-sum path. */
+  def qualityBySource(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("source"),
+        size(t).cast("long").as("n_tokens"),
+        r4(hitRatio(t, stopEn)).as("stopword_ratio"))
+      .withColumn("ok",
+        col("n_tokens").between(10, 1000) && col("stopword_ratio") > 0.01)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        r4(davg(col("n_tokens").cast("double"))).as("avg_tokens"),
+        r4(davg(col("stopword_ratio"))).as("avg_stopword_ratio"),
+        sum(col("ok").cast("long")).as("n_accepted"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_by_source" -> (qualityBySource _),
     "text_lm_score"    -> (lmScore _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
@@ -243,6 +268,21 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_quality_by_source" ->
+      s"""WITH t AS (SELECT source, $tokSql AS toks FROM documents),
+         |q AS (SELECT source,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(${hitRatioSql(stopEn)}, 4) AS stopword_ratio
+         |  FROM t),
+         |f AS (SELECT *, (n_tokens BETWEEN 10 AND 1000)
+         |    AND stopword_ratio > 0.01 AS ok FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(${davgSql("CAST(n_tokens AS DOUBLE)")}, 4) AS avg_tokens,
+         |  round(${davgSql("stopword_ratio")}, 4) AS avg_stopword_ratio,
+         |  CAST(sum(CAST(ok AS BIGINT)) AS BIGINT) AS n_accepted
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // per-token log-probs round to exact decimals BEFORE the per-doc
     // mean, so both engines aggregate order-independently
     "text_lm_score" ->

@@ -215,7 +215,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Ranking-distribution window family (PERCENT_RANK + CUME_DIST) —
+    * the reference uses no ranking functions (SURVEY.md §2.5 note);
+    * this completes them next to NTILE. The window runs over the
+    * PRE-REDUCED (returnflag, quantity) aggregate — ≤ #flags ×
+    * #distinct-quantities rows at any corpus size — and is partitioned
+    * by flag, so no global ranking task exists. Both rank measures are
+    * exact rationals of integer counts: deterministic doubles on both
+    * engines. */
+  def quantityRankDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct_rank", r4(percent_rank().over(w)))
+      .withColumn("cume_dist", r4(cume_dist().over(w)))
+      .orderBy("l_returnflag", "l_quantity")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_quantity_rank_dist" -> (quantityRankDist _),
     "rel_price_regression" -> (priceRegression _),
     "rel_customer_value_ntile" -> (customerValueQuartiles _),
     "rel_customers_without_orders" -> (customersWithoutOrders _),
@@ -229,6 +248,15 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_quantity_rank_dist" ->
+      """WITH q AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity, n,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume_dist
+        |FROM q WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, l_quantity""".stripMargin,
+
     // exact decimal moment sums; corr/slope/intercept re-derived in
     // double through the IDENTICAL expression tree as the Spark side
     "rel_price_regression" ->

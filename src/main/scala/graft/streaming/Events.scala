@@ -317,6 +317,59 @@ object Events {
       .select(col("user_id"), col("n"), col("within_bound"))
   }
 
+  case class FunnelState(t1: Option[java.sql.Timestamp],
+      t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp],
+      t4: Option[java.sql.Timestamp])
+  case class FunnelRow(user_id: Long, t1: Option[java.sql.Timestamp],
+      t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp],
+      t4: Option[java.sql.Timestamp])
+
+  /** The funnel's strict-after stage transition — shared by the batch
+    * fold ([[funnelCounts]]) and the streaming state machine
+    * ([[funnelStream]]), so stream ≡ batch holds by construction for
+    * in-order input. */
+  private def funnelAdvance(st: FunnelState, ts: java.sql.Timestamp,
+      et: String): FunnelState = et match {
+    case "signup" if st.t1.isEmpty => st.copy(t1 = Some(ts))
+    case "view" if st.t2.isEmpty &&
+      st.t1.exists(ts.compareTo(_) > 0) => st.copy(t2 = Some(ts))
+    case "click" if st.t3.isEmpty &&
+      st.t2.exists(ts.compareTo(_) > 0) => st.copy(t3 = Some(ts))
+    case "purchase" if st.t4.isEmpty &&
+      st.t3.exists(ts.compareTo(_) > 0) => st.copy(t4 = Some(ts))
+    case _ => st
+  }
+
+  /** Streaming funnel: per-user stage timestamps as
+    * `mapGroupsWithState` state — one tiny record per user, updated
+    * through [[funnelAdvance]] with each batch's rows sorted by
+    * event time first. Update mode re-emits a user's row when their
+    * funnel advances. A funnel state machine needs per-user
+    * event-time order; across micro-batches that means in-order
+    * arrival (or a watermark-delayed sort upstream) — in-batch
+    * disorder is handled by the sort. `EventsStreamSpec` asserts the
+    * final states reproduce the batch [[funnelCounts]]. */
+  def funnelStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var st = state.getOption
+            .getOrElse(FunnelState(None, None, None, None))
+          rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+            .foreach { case (_, ts, et) => st = funnelAdvance(st, ts, et) }
+          state.update(st)
+          FunnelRow(user, st.t1, st.t2, st.t3, st.t4)
+      }
+      .toDF()
+  }
+
   /** Ordered conversion funnel (signup → view → click → purchase):
     * how many users reach each stage, where a stage counts only if it
     * happens STRICTLY AFTER the previous one — the event-analytics

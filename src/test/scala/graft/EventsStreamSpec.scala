@@ -108,6 +108,31 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel states reproduce the batch funnel counts") {
+    import org.apache.spark.sql.functions._
+    val batch = Events.funnelCounts(spark, sf0001).head()
+    val expect = Seq(batch.getLong(0), batch.getLong(1),
+      batch.getLong(2), batch.getLong(3))
+
+    val q = Events.funnelStream(spark, sf0001)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode: the last emitted row per user is the final state;
+      // stage timestamps only ever advance, so max picks it
+      val fin = spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"),
+          max("t3").as("t3"), max("t4").as("t4"))
+      val got = fin.agg(count("t1"), count("t2"), count("t3"), count("t4"))
+        .head()
+      assert(Seq(got.getLong(0), got.getLong(1), got.getLong(2),
+        got.getLong(3)) == expect)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join (pair level)") {
     import org.apache.spark.sql.functions._
     // batch truth: raw purchase×view pairs within the 1h lookback

@@ -40,6 +40,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "pack_token_shards" -> "string_split_regex",
     "pipeline_decontaminate" -> "list comprehension n-gram hashing",
     "text_lm_score" -> "string_split_regex",
+    "text_quality_by_source" -> "string_split_regex",
     "payroll_recovery" -> "non-equality correlated scalar subqueries",
     "pipeline_curation" -> "recursive CTE cluster map + hex-string casts",
     "sample_hash_bernoulli" -> "hex-string CAST to BIGINT",
