@@ -173,6 +173,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  private val WeightedK = 50 // weighted sample size
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each doc draws u from its keyed md5 hash
+    * (replayable — no `rand()`), scores key = u^(1/w) with w = token
+    * count, and the global top-[[WeightedK]] keys win — exactly a
+    * weighted draw, longer docs proportionally likelier. The top-k
+    * runs as TakeOrderedAndProject (per-partition top-k, then a
+    * k-row merge — never a global sort). Keys round to 6 decimals
+    * BEFORE ranking so both engines order identically (`pow` can
+    * differ in the last ulp); doc_id breaks rounded ties. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = size(Text.tokens(col("text"))).cast("double")
+    val u = (docHash60("wsample:").cast("double") + 1.0) /
+      lit(math.pow(2, 60))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w.cast("long").as("weight"),
+        round(pow(u, lit(1.0) / w), 6).as("key"))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(WeightedK)
+  }
+
   private val DecontamN = 5   // token-shingle width
   private val EvalMod   = 37L // eval split: doc_id % EvalMod == 0
 
@@ -218,6 +240,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted"        -> (weightedSample _),
     "pipeline_decontaminate" -> (decontaminate _),
     "sample_hash_bernoulli" -> (hashBernoulli _),
     "sample_stratified"     -> (stratifiedSample _),
@@ -226,6 +249,16 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical expression tree: cast-to-double BEFORE +1, key
+    // rounded to 6 decimals before ranking, doc_id tie-break
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${Text.tokSql}) AS DOUBLE) AS w FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+         |  round(pow((CAST(${docHash60Sql("wsample:")} AS DOUBLE) + 1.0)
+         |    / 1152921504606846976.0, CAST(1.0 AS DOUBLE) / w), 6) AS key
+         |FROM t ORDER BY key DESC, doc_id ASC LIMIT $WeightedK""".stripMargin,
+
     "pipeline_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, ${Text.tokSql} AS toks FROM documents),
          |ng AS (SELECT doc_id, unnest(

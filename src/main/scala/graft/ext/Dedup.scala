@@ -542,12 +542,67 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** DuckDB CTE chain ending in `rep (doc_id, cluster_rep)` and
-    * `cs (cluster_rep, cluster_size)` — the [[clusters]] semantics as
-    * reusable oracle SQL (MinHash band buckets → star edges →
-    * recursive reachability). Shared by the `dedup_clusters` oracle
-    * and the `pipeline_curation` oracle in [[Curation]]. */
-  private[ext] val clustersCteSql: String =
+  private val PrIters = 3
+
+  /** Fixed-iteration PageRank over the near-dup star graph — the
+    * iterative-graph-analytics member of the dedup family (centrality
+    * ranks a near-dup cluster's "canonical" document the way
+    * cluster-rep-by-min-id cannot). Classic power iteration done
+    * Spark-first: each round is one edge join + one pre-combined
+    * groupBy on the destination key, so a round shuffles O(|E|)
+    * (doc, contribution) pairs and nothing retains lineage across
+    * rounds beyond the [[PrIters]]-deep unrolled plan.
+    *
+    * Determinism discipline: per-edge contributions round to 12
+    * decimals then sum through an exact DECIMAL(25,15) — accumulation
+    * order cannot move the result, and the oracle (which unrolls the
+    * identical three iterations as chained CTEs over the identical
+    * md5 band-bucket edges) lands bit-equal. Simplified model: no
+    * dangling-mass redistribution (isolated docs keep the
+    * teleport-only rank), matching the oracle exactly. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
+    // memoized (S5): the edge table sits 4× in the unrolled plan (3
+    // contribution joins + the degree aggregate) — without the cache
+    // each occurrence replays bucket build → bucket-min join → distinct
+    val edges = graft.SessionMemo.cached(s, dir, "neardup_star_edges") {
+      val buckets = minhashBuckets(sigs)
+      val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("m"))
+      val e0 = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("doc_id").as("src"), col("m").as("dst")).distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .toDF("dsrc", "deg")
+    val nodes = sigs.select("doc_id")
+    val nDocs = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = pr
+        .join(deg.hint("shuffle_hash"), col("doc_id") === col("dsrc"))
+        .join(edges.hint("shuffle_hash"), col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"),
+          round(col("pr") / col("deg"), 12).cast("decimal(25,15)").as("c"))
+        .groupBy("doc_id").agg(sum("c").as("c"))
+      pr = nodes.crossJoin(broadcast(nDocs))
+        .join(contrib.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) / col("n") + lit(0.85) *
+            coalesce(col("c").cast("double"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("doc_id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB CTE chain ending in `sigs (doc_id, sig)` and `edges
+    * (src, dst)` — the MinHash band buckets → symmetric star edges of
+    * the near-dup graph, shared by the reachability oracle
+    * ([[clustersCteSql]]) and the PageRank oracle. */
+  private[ext] val edgesCteSql: String =
     s"""dt AS (SELECT DISTINCT doc_id,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
        |mh AS (SELECT doc_id, kk.k AS k,
@@ -562,7 +617,15 @@ object Dedup {
        |bmin AS (SELECT bucket, min(doc_id) AS m FROM bb GROUP BY 1),
        |edges0 AS (SELECT DISTINCT b.doc_id AS src, bm.m AS dst
        |  FROM bb b JOIN bmin bm USING (bucket) WHERE b.doc_id != bm.m),
-       |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
+       |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)""".stripMargin
+
+  /** DuckDB CTE chain ending in `rep (doc_id, cluster_rep)` and
+    * `cs (cluster_rep, cluster_size)` — the [[clusters]] semantics as
+    * reusable oracle SQL (MinHash band buckets → star edges →
+    * recursive reachability). Shared by the `dedup_clusters` oracle
+    * and the `pipeline_curation` oracle in [[Curation]]. */
+  private[ext] val clustersCteSql: String =
+    s"""$edgesCteSql,
        |reach AS (
        |  SELECT doc_id, doc_id AS r FROM sigs
        |  UNION
@@ -573,6 +636,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
+    "graph_pagerank"      -> (pagerank _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
@@ -667,6 +731,31 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unrolls the identical power iterations as chained CTEs over the
+    // identical md5 band-bucket star edges; per-edge contributions
+    // round to 12 decimals then sum exactly, so both engines agree
+    "graph_pagerank" -> {
+      val its = (1 to PrIters).map { i =>
+        s"""it$i AS (SELECT s$i.doc_id,
+           |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+           |      coalesce(CAST(c.c AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM sigs s$i CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS doc_id,
+           |      SUM(CAST(round(p.pr / dg.deg, 12) AS DECIMAL(25,15))) AS c
+           |    FROM it${i - 1} p JOIN deg dg ON dg.src = p.doc_id
+           |    JOIN edges e ON e.src = p.doc_id
+           |    GROUP BY 1) c USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCteSql,
+         |nn AS (SELECT count(*) AS n FROM sigs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |it0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+         |  FROM sigs CROSS JOIN nn),
+         |$its
+         |SELECT doc_id, round(pr, 6) AS pagerank
+         |FROM it$PrIters ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_shingle_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

@@ -432,6 +432,22 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Per-user activity intervals — the SCD-2 (slowly-changing-
+    * dimension) shape: each event opens a validity interval that the
+    * user's NEXT event closes (`lead`, the one window primitive the
+    * surface hadn't exercised; null valid_to = current state). The
+    * window partitions by user — bounded rows per task at any corpus
+    * size — with (ts, event_id) ordering for tie determinism. */
+  def typeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** Distinct users per event type, exact + HLL-certified — completes
     * the sketch family (GK quantiles, CMS counts, HLL cardinality):
     * at 100 TB the exact two-phase `COUNT(DISTINCT)` shuffle swaps
@@ -452,6 +468,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"         -> (funnelCounts _),
+    "events_type_intervals" -> (typeIntervals _),
     "events_retention_cohorts" -> (retentionCohorts _),
     "events_hll_users"      -> (hllUsersPerType _),
     "events_hourly_by_type" -> (hourlyByType _),
@@ -483,6 +500,13 @@ object Events {
         |  (SELECT count(*) FROM t2) AS view_users,
         |  (SELECT count(*) FROM t3) AS click_users,
         |  (SELECT count(*) FROM t4) AS purchase_users""".stripMargin,
+
+    "events_type_intervals" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "events_retention_cohorts" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

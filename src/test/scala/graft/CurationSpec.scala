@@ -155,6 +155,28 @@ class CurationSpec extends SparkSpec {
       s"prefix-sum window lost its bucket partitioning:\n$plan")
   }
 
+  test("weighted sample matches an independent JVM A-ES recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def r6(v: Double) = BigDecimal.valueOf(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keys = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+").length.toDouble
+      val u = (jvmHash60("wsample:", id).toDouble + 1.0) / math.pow(2, 60)
+      (id, w.toLong, r6(math.pow(u, 1.0 / w)))
+    }
+    val expect = keys.sortBy(k => (-k._3, k._1)).take(50).toSeq
+    val got = Curation.weightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    // weighting is real: the sample's mean weight exceeds the corpus's
+    val corpusMean = keys.map(_._2).sum.toDouble / keys.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean vs corpus $corpusMean")
+  }
+
   test("decontamination matches an independent JVM n-gram recomputation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()

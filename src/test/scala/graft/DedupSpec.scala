@@ -123,6 +123,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: probability mass bounded, connected docs above the teleport floor") {
+    val pr = Dedup.pagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = pr.size
+    assert(n == spark.read.parquet(s"$sf0001/documents.parquet").count())
+    val floor = 0.15 / n
+    // no dangling redistribution → total mass never exceeds 1
+    assert(pr.values.sum <= 1.0 + 1e-6, s"mass ${pr.values.sum}")
+    assert(pr.values.forall(_ > 0))
+    // docs in a near-dup cluster receive flow → strictly above the
+    // teleport-only floor; singletons sit exactly on it
+    val sizes = Dedup.clusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sizes.foreach { case (d, sz) =>
+      if (sz > 1) assert(pr(d) > floor + 1e-12, s"connected doc $d at floor")
+      else assert(math.abs(pr(d) - floor) < 1e-9, s"singleton $d off floor")
+    }
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 5))

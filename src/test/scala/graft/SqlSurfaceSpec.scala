@@ -24,6 +24,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_embedding_clusters" -> "recursive CTE reachability + list comprehension",
     "dedup_embedding_pairs" -> "list_transform/list_dot_product",
     "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
+    "graph_pagerank" -> "minhash CTE (string_split_regex + hex-string casts)",
     "dedup_jaccard_pairs" -> "unnest() lateral",
     "dedup_shingle_jaccard" -> "string_split_regex",
     "dedup_simhash" -> "unnest() lateral",
@@ -44,6 +45,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "payroll_recovery" -> "non-equality correlated scalar subqueries",
     "pipeline_curation" -> "recursive CTE cluster map + hex-string casts",
     "sample_hash_bernoulli" -> "hex-string CAST to BIGINT",
+    "sample_weighted" -> "string_split_regex + hex-string CAST",
     "sample_stratified" -> "hex-string CAST to BIGINT",
     "sim_topk_bruteforce" -> "list_dot_product",
     "sim_topk_ivf" -> "list comprehension k-means unroll",
