@@ -217,9 +217,13 @@ object Text {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val totals = tf.agg(sum("cnt").as("n_corpus"), count(lit(1)).as("vocab"))
+    // 8 decimals: coarse enough to absorb last-ulp libm ln()
+    // differences BELOW this scale won't exist, and an ulp flip AT an
+    // 8dp boundary moves a doc mean by ~1e-10 — invisible at the 4dp
+    // output rounding (4dp rounding here flipped a doc at sf0.1)
     val logp = tf.crossJoin(broadcast(totals))
       .select(col("token"),
-        round(log((col("cnt") + 1.0) / (col("n_corpus") + col("vocab"))), 4)
+        round(log((col("cnt") + 1.0) / (col("n_corpus") + col("vocab"))), 8)
           .cast("decimal(25,8)").as("logp4"))
     val mean = sum(col("logp4")).cast("double") / count(lit(1))
     tok.join(logp.hint("shuffle_hash"), Seq("token"))
@@ -290,7 +294,7 @@ object Text {
          |tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
          |tot AS (SELECT sum(cnt) AS n_corpus, count(*) AS vocab FROM tf),
          |lp AS (SELECT token,
-         |    CAST(round(ln((cnt + 1.0) / (n_corpus + vocab)), 4)
+         |    CAST(round(ln((cnt + 1.0) / (n_corpus + vocab)), 8)
          |      AS DECIMAL(25,8)) AS logp4
          |  FROM tf CROSS JOIN tot),
          |d AS (SELECT doc_id, count(*) AS n_tokens,

@@ -149,6 +149,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"vocabulary df join lost its shuffle-hash shape:\n$plan")
   }
 
+  test("pagerank: only the 1-row node count broadcasts; contribution joins shuffle-hash") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    SessionMemo.clear(spark)
+    val plan = executed(ext.Dedup.pagerank(spark, sf0001))
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    // one broadcast per iteration-rejoin of the SAME 1-row count frame
+    assert(bx.nonEmpty && bx.forall(_.toString.contains("count(1)")),
+      s"a corpus-derived side broadcast in pagerank:\n$plan")
+    assert(collectWithSubqueries(plan) {
+      case j: ShuffledHashJoinExec => j }.nonEmpty,
+      s"pagerank contribution joins lost their shuffle-hash shape:\n$plan")
+  }
+
   test("lm-score model join and decontamination shingle join stay shuffle-hash") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec

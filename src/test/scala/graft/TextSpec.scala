@@ -39,7 +39,7 @@ class TextSpec extends SparkSpec {
     val v = tf.size
     def logp4(t: String): BigDecimal = BigDecimal.valueOf(
       math.log((tf(t) + 1.0) / (n + v)))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
     val got = Text.lmScore(spark, sf0001).collect()
     assert(got.length == docs.length)
     got.foreach { r =>
