@@ -542,6 +542,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val EditMaxDist = 10  // absolute char-edit budget
+  private val EditPrefix  = 12  // blocking: shared normalized prefix
+  private val EditLenBand = 20  // blocking: length-band width (chars)
+
+  /** Character-level near-dup pairs by bounded edit distance — the
+    * dedup family's finest-grained member (token/shingle/MinHash/
+    * SimHash/embedding operate above the character level and miss
+    * single-character typo families). All-pairs Levenshtein is
+    * quadratic, so candidates BLOCK on (normalized [[EditPrefix]]-char
+    * prefix, [[EditLenBand]]-char length band) — an equi-join, the
+    * same shape as every banding stage here; docs differing inside
+    * the first prefix chars or across a band boundary are missed by
+    * design (documented blocking recall, exactly reproduced by the
+    * oracle). Verification uses Spark's THRESHOLD Levenshtein (banded
+    * DP: O(t·n) per pair, not O(n²)); the equi-join is shuffle-hash
+    * under the corpus-derived-side discipline. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("p", substring(col("t"), 1, EditPrefix))
+      .withColumn("lb",
+        floor(length(col("t")) / lit(EditLenBand.toDouble)).cast("long"))
+    val a = d.toDF("doc_a", "ta", "p", "lb")
+    val b = d.toDF("doc_b", "tb", "p", "lb").hint("shuffle_hash")
+    a.join(b, Seq("p", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), EditMaxDist))
+      .filter(col("lev") >= 0 && col("lev") <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val PrIters = 3
 
   /** Fixed-iteration PageRank over the near-dup star graph — the
@@ -636,6 +668,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
+    "dedup_editdistance_pairs" -> (editDistancePairs _),
     "graph_pagerank"      -> (pagerank _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
@@ -731,6 +764,18 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_editdistance_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |b AS (SELECT doc_id, t, substr(t, 1, $EditPrefix) AS p,
+         |    CAST(floor(length(t) / $EditLenBand.0) AS BIGINT) AS lb
+         |  FROM d)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(levenshtein(a.t, b2.t) AS BIGINT) AS lev
+         |FROM b a JOIN b b2
+         |  ON a.p = b2.p AND a.lb = b2.lb AND a.doc_id < b2.doc_id
+         |WHERE levenshtein(a.t, b2.t) <= $EditMaxDist
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // unrolls the identical power iterations as chained CTEs over the
     // identical md5 band-bucket star edges; per-edge contributions

@@ -432,6 +432,42 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Per-type weight dimension (mean event value via the exact
+    * decimal path) — the STATIC side of the stream-static join. */
+  private[graft] def typeWeights(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(davg(col("value")).as("type_weight"))
+
+  /** Shared transform for the stream-static enrichment: join each
+    * event to its type's static weight (dimension side broadcasts —
+    * the canonical enrichment shape), then daily weighted totals. */
+  private def enrichedTransform(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        r4(dsum(col("value") * col("type_weight"))).as("weighted_value"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("n_events"), col("weighted_value"))
+
+  /** Batch form (oracled). */
+  def enrichedDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    enrichedTransform(ev, typeWeights(ev)).orderBy("day_start", "event_type")
+  }
+
+  /** Stream-static join — the Structured Streaming join shape the
+    * surface hadn't covered (stream-stream interval join exists):
+    * an unbounded stream enriched against a bounded dimension
+    * snapshot, re-read per micro-batch, dimension side broadcast.
+    * `EventsStreamSpec` asserts stream ≡ batch. */
+  def enrichedStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = fromRaw(
+      s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+      .withWatermark("ts", "2 hours")
+    enrichedTransform(stream, typeWeights(Tables.events(s, dir)))
+  }
+
   /** Per-user activity intervals — the SCD-2 (slowly-changing-
     * dimension) shape: each event opens a validity interval that the
     * user's NEXT event closes (`lead`, the one window primitive the
@@ -469,6 +505,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"         -> (funnelCounts _),
     "events_type_intervals" -> (typeIntervals _),
+    "events_enriched_daily" -> (enrichedDaily _),
     "events_retention_cohorts" -> (retentionCohorts _),
     "events_hll_users"      -> (hllUsersPerType _),
     "events_hourly_by_type" -> (hourlyByType _),
@@ -500,6 +537,16 @@ object Events {
         |  (SELECT count(*) FROM t2) AS view_users,
         |  (SELECT count(*) FROM t3) AS click_users,
         |  (SELECT count(*) FROM t4) AS purchase_users""".stripMargin,
+
+    "events_enriched_daily" ->
+      s"""WITH dim AS (SELECT event_type,
+         |    ${davgSql("value")} AS type_weight
+         |  FROM events GROUP BY 1)
+         |SELECT date_trunc('day', ts) AS day_start, e.event_type,
+         |  count(*) AS n_events,
+         |  round(${dsumSql("value * type_weight")}, 4) AS weighted_value
+         |FROM events e JOIN dim USING (event_type)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_type_intervals" ->
       """SELECT user_id, event_id, event_type, ts AS valid_from,

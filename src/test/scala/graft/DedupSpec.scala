@@ -123,6 +123,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance pairs match an independent JVM DP recomputation") {
+    def lev(a: String, b: String): Int = {
+      var prev = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase)
+    val blocked = docs.map { case (id, t) =>
+      (id, t, t.take(12), t.length / 20) }
+    val expect = (for {
+      (ia, ta, pa, ba) <- blocked
+      (ib, tb, pb, bb) <- blocked
+      if ia < ib && pa == pb && ba == bb
+      d = lev(ta, tb) if d <= 10
+    } yield (ia, ib, d.toLong)).sortBy(x => (x._1, x._2)).toSeq
+    val got = Dedup.editDistancePairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+  }
+
   test("pagerank: probability mass bounded, connected docs above the teleport floor") {
     val pr = Dedup.pagerank(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
