@@ -386,7 +386,12 @@ object Events {
     * the previous stage's timestamp does NOT advance the funnel
     * (strict `>`), so equal-ts array order cannot matter. The oracle
     * states the same semantics as chained relational CTEs. */
-  def funnelCounts(s: SparkSession, dir: String): DataFrame = {
+  def funnelCounts(s: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(s, dir))
+
+  /** [[funnelCounts]] over an arbitrary (user_id, ts, event_type)
+    * frame — property tests drive this directly. */
+  def funnelOf(events: DataFrame): DataFrame = {
     val nullTs = lit(null).cast("timestamp")
     def t(acc: org.apache.spark.sql.Column, f: String) = acc.getField(f)
     val zero = struct(nullTs.as("t1"), nullTs.as("t2"),
@@ -403,7 +408,7 @@ object Events {
       step(t(acc, "t1"), t(acc, "t2"), "view", e).as("t2"),
       step(t(acc, "t2"), t(acc, "t3"), "click", e).as("t3"),
       step(t(acc, "t3"), t(acc, "t4"), "purchase", e).as("t4")))
-    Tables.events(s, dir)
+    events
       .groupBy("user_id")
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_type").as("et")))).as("evs"))

@@ -94,4 +94,58 @@ class PropertiesSpec extends SparkSpec {
       assert(peaks.sameElements(peaks.sorted), s"seed=$seed")
     }
   }
+
+  test("z-value interleave is a bijection on the 16-bit grid (deinterleave roundtrip)") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until 16) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    for (seed <- 1L to 5L) {
+      val pts = sample(Gen.listOfN(200,
+        Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))), seed)
+      val zs = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.sources.Layout.zValue(col("x"), col("y")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      zs.foreach { case (x, y, z) =>
+        assert(deinterleave(z) == (x, y), s"seed=$seed z=$z")
+        assert(z >= 0 && z <= 0xFFFFFFFFL)
+      }
+    }
+  }
+
+  test("funnel fold == naive quadratic reference on random event sequences") {
+    import java.sql.Timestamp
+    val types = Gen.oneOf("signup", "view", "click", "purchase", "noise")
+    val evGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 50L), types)))
+    // naive reference: scan ts-sorted events, keep first strict-after
+    // timestamp per stage
+    def naive(evs: List[(Long, String)]): (Option[Long], Option[Long],
+        Option[Long], Option[Long]) = {
+      var t1, t2, t3, t4: Option[Long] = None
+      evs.sortBy(e => (e._1, e._2)).foreach { case (ts, et) =>
+        if (et == "signup" && t1.isEmpty) t1 = Some(ts)
+        else if (et == "view" && t2.isEmpty && t1.exists(ts > _)) t2 = Some(ts)
+        else if (et == "click" && t3.isEmpty && t2.exists(ts > _)) t3 = Some(ts)
+        else if (et == "purchase" && t4.isEmpty && t3.exists(ts > _)) t4 = Some(ts)
+      }
+      (t1, t2, t3, t4)
+    }
+    for (seed <- 1L to 10L) {
+      val evs = sample(evGen, seed)
+      val (e1, e2, e3, e4) = naive(evs)
+      // one synthetic user through the PRODUCTION higher-order fold
+      val df = evs.map { case (ts, et) => (1L, new Timestamp(ts * 1000), et) }
+        .toDF("user_id", "ts", "event_type")
+      val row = graft.streaming.Events.funnelOf(df).head()
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      val expect = (e1.size.toLong, e2.size.toLong, e3.size.toLong, e4.size.toLong)
+      assert(got == expect, s"seed=$seed evs=$evs naive=${(e1, e2, e3, e4)}")
+    }
+  }
 }
