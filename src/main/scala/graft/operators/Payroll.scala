@@ -316,6 +316,73 @@ object Payroll {
       .orderBy("month")
   }
 
+  /** EWMA smoothing coefficient. `EwmaBeta` is a literal (not
+    * `1 - EwmaAlpha`): the doubles `0.3` and `0.7` are exact parses on
+    * both engines, while `1 - 0.3` rounds to a DIFFERENT double than
+    * the literal `0.7` — the oracle writes the same two literals. */
+  private val EwmaAlpha = 0.3
+  private val EwmaBeta  = 0.7
+
+  /** Exponential smoothing (EWMA) of the monthly series — the
+    * recursive filter `s_t = α·x_t + β·s_{t-1}`, `s_1 = x_1`, that
+    * time-series dashboards layer next to the rolling mean (the
+    * rolling frame weights the last 3 months equally; EWMA discounts
+    * the whole history geometrically).
+    *
+    * The recursion is inherently sequential, so no window frame
+    * expresses it. Instead the pre-reduced calendar-grain series
+    * (≤ #months rows at ANY corpus size — the lint-compliant shape)
+    * collapses to one sorted array and a higher-order `aggregate`
+    * fold threads the state through it — the same codegen-friendly
+    * fold the streaming funnel uses, zero UDFs. The oracle replays
+    * the identical recursion as a recursive CTE; both engines
+    * evaluate the same IEEE tree `α·x + β·s` left-to-right, so the
+    * values are bit-equal before the final display rounding. */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val outType = "array<struct<month:date,emp:bigint,ewma:double>>"
+    val zero = struct(lit(0.0).as("s"), lit(false).as("init"),
+      array().cast(outType).as("out"))
+    val folded = aggregate(
+      col("ser"),
+      zero,
+      (acc, x) => {
+        val sNew = when(acc("init"),
+          lit(EwmaAlpha) * x("emp") + lit(EwmaBeta) * acc("s"))
+          .otherwise(x("emp").cast("double"))
+        struct(sNew.as("s"), lit(true).as("init"),
+          concat(acc("out"), array(struct(
+            x("month").as("month"), x("emp").as("emp"),
+            sNew.as("ewma")))).as("out"))
+      },
+      acc => acc("out"))
+    series(s, dir)
+      .agg(sort_array(collect_list(struct(col("month"), col("emp"))))
+        .as("ser"))
+      .select(explode(folded).as("r"))
+      .select(col("r.month").as("month"), col("r.emp").as("emp"),
+        r4(col("r.ewma")).as("ewma"))
+      .orderBy("month")
+  }
+
+  /** Seasonality index — the month-of-year profile every calendar
+    * roll-up dashboard adds after YoY: average level per calendar
+    * month over the whole corpus, normalized by the global average
+    * (index > 1 ⇒ seasonally high month). Two tiny aggregates over
+    * the cached series; the 1-row global average joins by cross
+    * (broadcast of one row). Means go through the exact decimal-sum
+    * path, the ratio divides the unrounded doubles on both engines. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val byMonth = series(s, dir)
+      .groupBy(monthOf(col("month")).as("month_num"))
+      .agg(davg(col("emp")).as("avg_emp"))
+    val global = series(s, dir).agg(davg(col("emp")).as("global_avg"))
+    byMonth.crossJoin(global)
+      .select(col("month_num"),
+        r4(col("avg_emp")).as("avg_emp"),
+        r4(col("avg_emp") / col("global_avg")).as("seasonal_index"))
+      .orderBy("month_num")
+  }
+
   /** Pivot (the OLAP cross-tab the dashboard renders as its month ×
     * year matrix): one row per year, one column per month. Explicit
     * pivot values skip Spark's extra distinct-discovery job; the
@@ -355,6 +422,8 @@ object Payroll {
     "payroll_drill_sharpest_drop" -> (drillSharpestDrop _),
     "payroll_recovery"            -> (recovery _),
     "payroll_rolling_stats"       -> (rollingStats _),
+    "payroll_ewma"                -> (ewma _),
+    "payroll_seasonality"         -> (seasonality _),
   )
 
   private val S = Tables.monthlySeriesSql
@@ -511,6 +580,31 @@ object Payroll {
          |SELECT month, CASE month(month) WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March' WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October' WHEN 11 THEN 'November' WHEN 12 THEN 'December' END || ' ' || CAST(year(month) AS STRING) AS month_label, mom_gain
          |FROM g WHERE mom_gain IS NOT NULL
          |ORDER BY mom_gain ASC, month ASC LIMIT 1""".stripMargin,
+
+    // the CASTs matter: a bare 0.3 literal is DECIMAL in DuckDB
+    // (exact 3/10) but DOUBLE in Spark (0.29999…); casting the literal
+    // pins both engines to the identical IEEE multiplier
+    "payroll_ewma" ->
+      s"""WITH RECURSIVE series AS ($S),
+         |n AS (SELECT month, emp,
+         |  row_number() OVER (ORDER BY month) AS rn FROM series),
+         |r AS (
+         |  SELECT rn, month, emp, CAST(emp AS DOUBLE) AS s
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.rn, n.month, n.emp,
+         |    CAST($EwmaAlpha AS DOUBLE) * n.emp + CAST($EwmaBeta AS DOUBLE) * r.s
+         |  FROM n JOIN r ON n.rn = r.rn + 1)
+         |SELECT month, emp, round(s, 4) AS ewma FROM r ORDER BY month""".stripMargin,
+
+    "payroll_seasonality" ->
+      s"""WITH series AS ($S),
+         |m AS (SELECT month(month) AS month_num, ${davgSql("emp")} AS avg_emp
+         |  FROM series GROUP BY 1),
+         |g AS (SELECT ${davgSql("emp")} AS global_avg FROM series)
+         |SELECT month_num, round(avg_emp, 4) AS avg_emp,
+         |  round(avg_emp / global_avg, 4) AS seasonal_index
+         |FROM m, g ORDER BY month_num""".stripMargin,
 
     "payroll_recovery" ->
       s"""WITH series AS ($S),

@@ -81,6 +81,28 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("ewma fold matches the scalar recursion") {
+    val series = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect().map(_.getLong(1))
+    val got = operators.Payroll.ewma(spark, sf0001).collect()
+    assert(got.length == series.length)
+    var s = series.head.toDouble
+    got.zipWithIndex.foreach { case (row, i) =>
+      if (i > 0) s = 0.3 * series(i) + 0.7 * s
+      assert(math.abs(row.getDouble(2) - s) < 1e-3, s"ewma at row $i")
+    }
+  }
+
+  test("seasonality indexes average to ~1 weighted by month frequency") {
+    val rows = operators.Payroll.seasonality(spark, sf0001).collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getDouble(2) > 0))
+    // the unweighted mean of per-month averages over a balanced
+    // calendar is close to the global mean → indexes center on 1
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(mean - 1.0) < 0.05, s"index mean $mean")
+  }
+
   test("funnel fold equals the chained-join formulation and is monotone") {
     val ev = Tables.events(spark, sf0001).select("user_id", "ts", "event_type")
     val t1 = ev.filter(col("event_type") === "signup")
