@@ -163,6 +163,55 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Repetition-filter thresholds (Gopher-style repetitious-text
+    * screens): a doc is flagged when more than 60% of its tokens are
+    * repeats or its most frequent bigram covers more than 10% of the
+    * token stream. Both fractions are exact rationals of integer
+    * counts, so the strict comparisons are engine-stable. */
+  private val DupTokenMax  = 0.6
+  private val TopBigramMax = 0.1
+
+  /** Repetition filters — the "repetitious document" screens (à la
+    * Gopher's repetition heuristics) a pretraining pipeline runs next
+    * to [[quality]]: the duplicate-token fraction
+    * (1 − distinct/total, map-only) and the share of the token stream
+    * covered by the single most frequent bigram.
+    *
+    * Plan shape: the bigram histogram is the scalable explode →
+    * pre-combined groupBy on (doc, bigram) — per-doc map-side
+    * quadratic alternatives die on long documents — and the per-doc
+    * argmax is a (doc)-partitioned `row_number` with a lexicographic
+    * tie-break. The per-doc constants (token count, dup fraction)
+    * ride the grouping key, so no join back to the corpus is needed. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val exploded = Tables.documents(s, dir)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(t)) / size(t)).as("dup_frac"),
+        explode(bigrams).as("bigram"))
+    val counts = exploded
+      .groupBy("doc_id", "n_tokens", "dup_frac", "bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("bigram").asc)
+    val topFrac = lit(2) * col("n") / col("n_tokens")
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("dup_frac")).as("dup_token_frac"),
+        col("bigram").as("top_bigram"),
+        col("n").as("top_bigram_n"),
+        r4(topFrac).as("top_bigram_frac"),
+        (col("dup_frac") > DupTokenMax || topFrac > TopBigramMax)
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   private val CmsEps = 0.001   // over-estimate ≤ ε·N with prob 1−δ
   private val CmsConf = 0.99   // 1−δ
   private val CmsSeed = 42
@@ -267,6 +316,7 @@ object Text {
     "text_term_freq"   -> (termFreq _),
     "text_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "text_fingerprint" -> (fingerprint _),
+    "text_repetition"  -> (repetition _),
     "text_tfidf_top"   -> (tfidfTop _),
     "text_vocab_stats" -> (vocabStats _),
   )
@@ -286,6 +336,29 @@ object Text {
          |  round(${davgSql("stopword_ratio")}, 4) AS avg_stopword_ratio,
          |  CAST(sum(CAST(ok AS BIGINT)) AS BIGINT) AS n_accepted
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fractions are exact rationals of integer counts; the threshold
+    // literals cast to DOUBLE so DuckDB doesn't compare against its
+    // exact-DECIMAL parse of 0.6/0.1
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |b AS (SELECT doc_id, len(toks) AS n_tokens,
+         |    1.0 - len(list_distinct(toks)) / len(toks) AS dup_frac,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM d WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, n_tokens, dup_frac, bigram, count(*) AS n
+         |  FROM b GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rk
+         |  FROM c)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(dup_frac, 4) AS dup_token_frac,
+         |  bigram AS top_bigram, CAST(n AS BIGINT) AS top_bigram_n,
+         |  round(2 * n / n_tokens, 4) AS top_bigram_frac,
+         |  (dup_frac > CAST($DupTokenMax AS DOUBLE)
+         |    OR 2 * n / n_tokens > CAST($TopBigramMax AS DOUBLE)) AS repetitive
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // per-token log-probs round to exact decimals BEFORE the per-doc
     // mean, so both engines aggregate order-independently

@@ -53,6 +53,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("repetition filters match a driver-side recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = Text.repetition(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val multi = docs.filter(_._2.trim.split("\\s+").length >= 2)
+    assert(got.size == multi.length)
+    multi.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val row = got(id)
+      val dup = 1.0 - toks.distinct.size.toDouble / toks.size
+      val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val (topB, topN) = counts.toSeq.sortBy { case (b, c) => (-c, b) }.head
+      assert(row.getLong(1) == toks.size, s"n_tokens doc $id")
+      assert(math.abs(row.getDouble(2) - dup) < 1e-3, s"dup_frac doc $id")
+      assert(row.getString(3) == topB, s"top bigram doc $id")
+      assert(row.getLong(4) == topN, s"top bigram count doc $id")
+      assert(row.getBoolean(6) ==
+        (dup > 0.6 || 2.0 * topN / toks.size > 0.1), s"flag doc $id")
+    }
+  }
+
   test("type-token ratio is in (0, 1]") {
     val r = Text.vocabStats(spark, sf0001).head()
     val ratio = r.getDouble(2)
