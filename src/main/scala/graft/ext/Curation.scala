@@ -173,6 +173,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  private val ChunkSize   = 64 // tokens per training chunk
+  private val ChunkStride = 48 // chunk start spacing (overlap = 16)
+
+  /** Context-window chunking — the doc→training-example splitter that
+    * follows packing in a pretraining pipeline: each document yields
+    * overlapping [[ChunkSize]]-token chunks whose starts advance by
+    * [[ChunkStride]] (the classic stride-with-overlap so no token is
+    * only ever seen at a window edge). A new chunk opens only while
+    * the previous one did not reach the end of the doc, so
+    * `n_chunks = 1 + ⌈max(n − size, 0) / stride⌉` and the tail chunk
+    * is short rather than duplicated.
+    *
+    * Map-only: chunk offsets come from a `sequence`+`transform` over
+    * each row, `inline` explodes them — zero shuffle at any corpus
+    * size (the output sort is the only exchange). Chunk content
+    * travels as an md5 of the token slice, so the verify surface is
+    * byte-exact without dumping text. */
+  def contextChunks(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    val n = size(t)
+    val nChunks = (lit(1) + floor(
+      (greatest(n - ChunkSize, lit(0)) + lit(ChunkStride - 1)) /
+        lit(ChunkStride))).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), k => {
+      val ct = slice(t, k * ChunkStride + 1, lit(ChunkSize))
+      struct(
+        k.cast("long").as("chunk_id"),
+        (k * ChunkStride).cast("long").as("start"),
+        size(ct).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", ct).cast("binary")).as("chunk_md5"))
+    })
+    Tables.documents(s, dir)
+      .select(col("doc_id"), inline(chunks))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   private val WeightedK = 50 // weighted sample size
 
   /** Deterministic weighted sampling without replacement (Efraimidis–
@@ -245,6 +281,7 @@ object Curation {
     "sample_hash_bernoulli" -> (hashBernoulli _),
     "sample_stratified"     -> (stratifiedSample _),
     "pack_token_shards"     -> (tokenShards _),
+    "pack_context_chunks"   -> (contextChunks _),
     "pipeline_curation"     -> (pipeline _),
   )
 
@@ -288,6 +325,23 @@ object Curation {
          |SELECT doc_id, n_tokens,
          |  CAST(floor(start / $ShardBudget.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list slicing toks[a : b] is inclusive-bounds, matching
+    // Spark's slice(t, a, 64) = elements a .. a+63
+    "pack_context_chunks" ->
+      s"""WITH d AS (SELECT doc_id, ${Text.tokSql} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n,
+         |    1 + CAST(floor((greatest(len(toks) - $ChunkSize, 0)
+         |      + ${ChunkStride - 1}) / $ChunkStride) AS BIGINT) AS n_chunks
+         |  FROM d),
+         |c AS (SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start,
+         |  least(CAST($ChunkSize AS BIGINT), n - chunk_id * $ChunkStride)
+         |    AS chunk_tokens,
+         |  md5(array_to_string(toks[chunk_id * $ChunkStride + 1 :
+         |    chunk_id * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "sample_hash_bernoulli" ->
       s"""SELECT doc_id, lang, ${docHash60Sql("sample:")} % 100 AS sample_bucket

@@ -206,6 +206,37 @@ class CurationSpec extends SparkSpec {
     assert(got.keySet.forall(_ % 37 != 0))
   }
 
+  test("context chunks: full coverage, fixed stride, short tail only") {
+    val nByDoc = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length)
+      .toMap
+    val chunks = Curation.contextChunks(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == nByDoc.keySet)
+    chunks.foreach { case (id, rows) =>
+      val n = nByDoc(id)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.length == 1 + math.ceil(math.max(n - 64, 0) / 48.0).toInt,
+        s"chunk count doc $id")
+      sorted.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getLong(1) == k, s"chunk_id doc $id")
+        assert(r.getLong(2) == k * 48L, s"start doc $id chunk $k")
+        assert(r.getLong(3) == math.min(64, n - k * 48), s"len doc $id chunk $k")
+      }
+      // the last chunk reaches the end of the doc: every token covered
+      val lastRow = sorted.last
+      assert(lastRow.getLong(2) + lastRow.getLong(3) == n, s"tail doc $id")
+    }
+  }
+
+  test("context chunks plan is map-only: no data shuffle before the sort") {
+    val plan = Curation.contextChunks(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$plan")
+  }
+
   test("pipeline_curation joins the cluster map shuffle-hash, never broadcast") {
     SessionMemo.clear(spark)
     val plan = Curation.pipeline(spark, sf0001)
