@@ -383,6 +383,55 @@ object Payroll {
       .orderBy("month_num")
   }
 
+  /** Calendar-spine gap fill with linear interpolation — the repair
+    * pass every time-series OLAP load runs before window arithmetic:
+    * a `LAG`-based growth rate silently computes across a missing
+    * month unless the series is re-seated on a complete calendar
+    * spine. The reference never hits this (FRED emits every month);
+    * an engine must handle it.
+    *
+    * Synthetic-but-deterministic gaps: interior months whose md5
+    * lands in bucket 0 of 5 are knocked out (first/last month are
+    * kept as anchors), so both engines delete the identical rows. The
+    * spine is `sequence(min, max, interval 1 month)`; missing months
+    * re-enter by a left join and linearly interpolate between the
+    * nearest real neighbors. Spark finds neighbors with
+    * ignore-nulls `last`/`first` windows over the month-grain frame
+    * (lint-compliant); the oracle states the same semantics with
+    * correlated min/max subqueries. Both engines evaluate the
+    * identical IEEE tree `prev + (next − prev) · (Δ/span)`. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ser = series(s, dir)
+    val bounds = ser.agg(min("month").as("mn"), max("month").as("mx"))
+    val monthHash = conv(substring(md5(col("month").cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val gapped = ser.crossJoin(broadcast(bounds))
+      .filter(col("month") === col("mn") || col("month") === col("mx") ||
+        pmod(monthHash, lit(5)) =!= 0)
+      .select("month", "emp")
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("month"))
+    val wPast = wGlobal.rowsBetween(Window.unboundedPreceding, 0)
+    val wFut  = wGlobal.rowsBetween(0, Window.unboundedFollowing)
+    val frac = months_between(col("month"), col("pm")) /
+      months_between(col("nm"), col("pm"))
+    spine.join(gapped, Seq("month"), "left")
+      .withColumn("pe", last(col("emp"), ignoreNulls = true).over(wPast))
+      .withColumn("pm",
+        last(when(col("emp").isNotNull, col("month")), ignoreNulls = true)
+          .over(wPast))
+      .withColumn("ne", first(col("emp"), ignoreNulls = true).over(wFut))
+      .withColumn("nm",
+        first(when(col("emp").isNotNull, col("month")), ignoreNulls = true)
+          .over(wFut))
+      .select(col("month"), col("emp"),
+        r4(when(col("emp").isNotNull, col("emp").cast("double"))
+          .otherwise(col("pe") + (col("ne") - col("pe")) * frac))
+          .as("emp_filled"),
+        col("emp").isNull.as("is_gap"))
+      .orderBy("month")
+  }
+
   /** Pivot (the OLAP cross-tab the dashboard renders as its month ×
     * year matrix): one row per year, one column per month. Explicit
     * pivot values skip Spark's extra distinct-discovery job; the
@@ -424,6 +473,7 @@ object Payroll {
     "payroll_rolling_stats"       -> (rollingStats _),
     "payroll_ewma"                -> (ewma _),
     "payroll_seasonality"         -> (seasonality _),
+    "payroll_gap_fill"            -> (gapFill _),
   )
 
   private val S = Tables.monthlySeriesSql
@@ -605,6 +655,38 @@ object Payroll {
          |SELECT month_num, round(avg_emp, 4) AS avg_emp,
          |  round(avg_emp / global_avg, 4) AS seasonal_index
          |FROM m, g ORDER BY month_num""".stripMargin,
+
+    // correlated subqueries state the nearest-real-neighbor semantics
+    // the Spark side computes with ignore-nulls windows; both engines
+    // drop the identical md5-bucketed months and interpolate through
+    // the same expression tree
+    "payroll_gap_fill" ->
+      s"""WITH series AS ($S),
+         |b AS (SELECT min(month) AS mn, max(month) AS mx FROM series),
+         |gapped AS (SELECT s.month, s.emp FROM series s, b
+         |  WHERE s.month = b.mn OR s.month = b.mx
+         |    OR CAST(concat('0x', substr(md5(CAST(s.month AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 5 <> 0),
+         |spine AS (SELECT CAST(unnest(generate_series(
+         |    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+         |    INTERVAL 1 MONTH)) AS DATE) AS month FROM b),
+         |f AS (SELECT sp.month, g.emp
+         |  FROM spine sp LEFT JOIN gapped g USING (month)),
+         |ctx AS (SELECT f.month, f.emp,
+         |  (SELECT max(g.month) FROM gapped g WHERE g.month <= f.month) AS pm,
+         |  (SELECT min(g.month) FROM gapped g WHERE g.month >= f.month) AS nm
+         |  FROM f)
+         |SELECT c.month, c.emp,
+         |  round(CASE WHEN c.emp IS NOT NULL THEN CAST(c.emp AS DOUBLE)
+         |    ELSE pg.emp + (ng.emp - pg.emp) *
+         |      (CAST(date_diff('month', c.pm, c.month) AS DOUBLE) /
+         |       CAST(date_diff('month', c.pm, c.nm) AS DOUBLE)) END, 4)
+         |    AS emp_filled,
+         |  c.emp IS NULL AS is_gap
+         |FROM ctx c
+         |LEFT JOIN gapped pg ON pg.month = c.pm
+         |LEFT JOIN gapped ng ON ng.month = c.nm
+         |ORDER BY c.month""".stripMargin,
 
     "payroll_recovery" ->
       s"""WITH series AS ($S),

@@ -103,6 +103,37 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.05, s"index mean $mean")
   }
 
+  test("gap fill restores the full calendar spine and anchors real months") {
+    val ser = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    val got = operators.Payroll.gapFill(spark, sf0001).collect()
+    // one row per spine month, no holes
+    assert(got.length == ser.length, "spine covers every month")
+    val byMonth = got.map(r => r.getDate(0).toLocalDate -> r).toMap
+    val gaps = got.filter(_.getBoolean(3))
+    assert(gaps.nonEmpty, "deterministic gap injection removed something")
+    // real months carry their own value; first/last are never gaps
+    assert(!byMonth(ser.head._1).getBoolean(3) &&
+      !byMonth(ser.last._1).getBoolean(3))
+    got.filterNot(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(1) == byMonth(r.getDate(0).toLocalDate).getLong(1))
+      assert(r.getDouble(2) == r.getLong(1).toDouble)
+    }
+    // interpolated values sit between their real neighbors
+    gaps.foreach { r =>
+      val m = r.getDate(0).toLocalDate
+      val prev = ser.filter(x => x._1.isBefore(m) &&
+        !byMonth(x._1).getBoolean(3)).last._2
+      val next = ser.filter(x => x._1.isAfter(m) &&
+        !byMonth(x._1).getBoolean(3)).head._2
+      val lo = math.min(prev, next).toDouble
+      val hi = math.max(prev, next).toDouble
+      assert(r.getDouble(2) >= lo - 1e-6 && r.getDouble(2) <= hi + 1e-6,
+        s"interpolation out of neighbor range at $m")
+    }
+  }
+
   test("funnel fold equals the chained-join formulation and is monotone") {
     val ev = Tables.events(spark, sf0001).select("user_id", "ts", "event_type")
     val t1 = ev.filter(col("event_type") === "signup")
