@@ -294,6 +294,148 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val PqM      = 4         // subspaces
+  private val PqSubDim = Dim / PqM // dims per subspace (16)
+  private val PqCodes  = 8         // centroids per sub-codebook
+  private val PqIters  = 3         // Lloyd rounds per subspace
+
+  /** Sub-vector `m` of `v` (0-based subspace, 1-based slice). */
+  private def subVec(v: Column, m: Int): Column =
+    slice(v, m * PqSubDim + 1, PqSubDim)
+
+  /** Product-quantization model, (session, dir)-memoized like
+    * [[kmeansModel]]: per subspace, a deterministic Lloyd build
+    * (md5-seeded init, decimal-mean centroids, min-L2 assignment with
+    * smallest-code tie-break); the final per-subspace assignments ARE
+    * the codes. Returns (codes frame `(vec_id, c0..c{M−1})` cached,
+    * per-subspace codebooks). Evicted via the registered
+    * `SessionMemo` cleanup hook. */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[Seq[(Int, Seq[Double])]])]
+
+  private[graft] def pqModel(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[(Int, Seq[Double])]]) =
+    pqMemo.getOrElseUpdate((s, dir), {
+      val (codes, books) = buildPq(s, dir)
+      graft.SessionMemo.registerCleanup(s, s"pq_model:$dir") { () =>
+        pqMemo.remove((s, dir)).foreach { case (df, _) =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+      }
+      (codes.cache(), books)
+    })
+
+  private def buildPq(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[(Int, Seq[Double])]]) = {
+    import graft.functions.Num.davg
+    val vs = vectors(s, dir)
+    val books = (0 until PqM).map { m =>
+      val sv = subVec(col("v"), m)
+      var assign = vs.select(col("vec_id"),
+        pmod(md5Hash60(concat(col("vec_id").cast("string"), lit(s":pq$m"))),
+          lit(PqCodes)).cast("int").as("cell"))
+      var cents: Seq[(Int, Seq[Double])] = Nil
+      for (_ <- 0 until PqIters) {
+        val rows = vs.join(assign, Seq("vec_id"))
+          .select(col("cell"), posexplode(sv).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(davg(col("x")).as("cx"))
+          .collect()
+        cents = rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.sortBy(_._1)
+        assign = assignToNearestL2(vs, m, cents)
+      }
+      cents
+    }
+    // the last reassignment of each subspace, fused into ONE map-side
+    // projection over the corpus — the 4 codes per vector
+    val codeCols = (0 until PqM).map(m =>
+      l2ArgminCell(subVec(col("v"), m), books(m)).as(s"c$m"))
+    (vs.select(col("vec_id") +: codeCols: _*), books)
+  }
+
+  /** Min-L2 cell id: `array_min` over (distance, cell) structs — the
+    * same `‖x‖² − 2·x·c + ‖c‖²` tree and (d ASC, cell ASC) tie-break
+    * the oracle's `row_number` states. `‖c‖²` folds in index order
+    * driver-side (= `list_dot_product`). */
+  private def l2ArgminCell(sv: Column,
+      cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = array(cents.map { case (c, cv) =>
+      var cc = 0.0
+      cv.foreach(x => cc += x * x)
+      struct(
+        (dot(sv, sv) - lit(2.0) * dot(sv, typedlit(cv)) + lit(cc)).as("d"),
+        lit(c).as("cell"))
+    }: _*)
+    array_min(scored).getField("cell")
+  }
+
+  private def assignToNearestL2(vs: DataFrame, m: Int,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    vs.select(col("vec_id"),
+      l2ArgminCell(subVec(col("v"), m), cents).as("cell"))
+
+  private val PqShortlist = 16 // ADC candidates per query before re-rank
+
+  /** PQ approximate kNN (ADC + exact re-rank) — the compression-side
+    * member of the ANN family next to [[lshAnn]] (hashing) and
+    * [[ivfTopK]] (coarse partitioning): the corpus is stored as
+    * [[PqM]] small codes per vector (here 4 × 3 bits vs 64 × 8-byte
+    * doubles — the memory ratio that lets a 100 TB corpus's index fit
+    * in cluster RAM). Stage 1 ranks ALL codes per query by the
+    * asymmetric distance `‖q − x̂‖² = ‖q‖² − 2·q·x̂ + ‖x̂‖²` against
+    * the reconstruction x̂ (concatenated sub-centroids) and keeps a
+    * [[PqShortlist]]-deep shortlist; stage 2 re-ranks the shortlist
+    * by EXACT L2 on the raw vectors — the standard PQ-with-reranking
+    * pipeline, where only shortlist-many full vectors are ever read
+    * per query.
+    *
+    * Plan shape: stage 1's only corpus-sized input is the codes
+    * table; the reconstruction is a map-side `element_at` from
+    * literal codebook maps (never joined, never shuffled), `‖x̂‖²`
+    * precomputes per row, and the query side broadcasts with `‖q‖²`
+    * inside. Stage 2 re-joins the corpus vectors SHUFFLE-HASH (the
+    * vector table is corpus-derived — the no-broadcast discipline).
+    * The oracle replays the identical per-subspace Lloyd builds and
+    * both ranking stages bit-for-bit. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val (codes, books) = pqModel(s, dir)
+    val bookLits = books.map(cb => typedlit(cb.toMap))
+    val xhat = concat((0 until PqM).map(m =>
+      element_at(bookLits(m), col(s"c$m"))): _*)
+    val corpus = codes
+      .select(col("vec_id").as("neighbor_id"), xhat.as("xhat"))
+      .withColumn("xx", dot(col("xhat"), col("xhat")))
+    val q = vectors(s, dir).toDF("query_id", "qv", "qnrm")
+      .filter(col("query_id") < NQueries)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .drop("qnrm")
+    val wEst = Window.partitionBy("query_id")
+      .orderBy(col("d2_est").asc, col("neighbor_id").asc)
+    val shortlist = corpus
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2_est",
+        col("qq") - lit(2.0) * dot(col("qv"), col("xhat")) + col("xx"))
+      .withColumn("prank", row_number().over(wEst))
+      .filter(col("prank") <= PqShortlist)
+      .select("query_id", "neighbor_id")
+    val cv = vectors(s, dir).toDF("neighbor_id", "cv", "cnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(q), Seq("query_id"))
+      .join(cv.hint("shuffle_hash"), Seq("neighbor_id"))
+      .withColumn("d2",
+        col("qq") - lit(2.0) * dot(col("qv"), col("cv")) +
+          dot(col("cv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), r4(col("d2")).as("d2"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private val NearDupCos = 0.45
   private val NearBits = 3    // coarse buckets: high recall at low cos
   private val NearTables = 16
@@ -395,6 +537,7 @@ object Similarity {
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_lsh_ann"    -> (lshAnn _),
     "sim_topk_ivf"        -> (ivfTopK _),
+    "sim_topk_pq"         -> (pqTopK _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
   )
@@ -447,7 +590,77 @@ object Similarity {
     (init +: its).mkString(",\n")
   }
 
+  /** Unrolled per-subspace Lloyd builds mirroring [[buildPq]]
+    * bit-for-bit: per subspace m, `a{m}_0` is the salted md5 random
+    * partition, round i recomputes decimal sub-centroid means
+    * (`cn{m}_i`) and reassigns by min L2 with the smallest-cell
+    * tie-break (`a{m}_{i+1}`). */
+  private def pqOracleCtes(iters: Int): String = {
+    val init =
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    val subs = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""s$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+         |a${m}_0 AS (SELECT vec_id,
+         |    CAST(CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+         |      ':pq$m')), 1, 15)) AS BIGINT) % $PqCodes AS INTEGER) AS cell
+         |  FROM e)""".stripMargin
+    }
+    val rounds = for (m <- 0 until PqM; i <- 0 until iters) yield
+      s"""px${m}_$i AS (SELECT a.cell, unnest(range(0, $PqSubDim)) AS pos,
+         |    unnest(s.sv) AS x
+         |  FROM s$m s JOIN a${m}_$i a USING (vec_id)),
+         |cm${m}_$i AS (SELECT cell, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,8))) AS DOUBLE) / COUNT(x) AS cx
+         |  FROM px${m}_$i GROUP BY 1, 2),
+         |cn${m}_$i AS (SELECT cell, cv, list_dot_product(cv, cv) AS cc
+         |  FROM (SELECT cell, list(cx ORDER BY pos) AS cv
+         |        FROM cm${m}_$i GROUP BY 1)),
+         |a${m}_${i + 1} AS (SELECT vec_id, cell FROM (
+         |    SELECT s.vec_id, c.cell, row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY list_dot_product(s.sv, s.sv)
+         |        - 2 * list_dot_product(s.sv, c.cv) + c.cc ASC,
+         |        c.cell ASC) AS rr
+         |    FROM s$m s CROSS JOIN cn${m}_$i c) WHERE rr = 1)""".stripMargin
+    (init +: (subs ++ rounds)).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_topk_pq" ->
+      s"""WITH ${pqOracleCtes(PqIters)},
+         |xh AS (SELECT e.vec_id,
+         |    ${(0 until PqM).map(m => s"k$m.cv").mkString(" || ")} AS xhat
+         |  FROM e
+         |  ${(0 until PqM).map(m =>
+              s"JOIN a${m}_$PqIters b$m ON b$m.vec_id = e.vec_id " +
+              s"JOIN cn${m}_${PqIters - 1} k$m ON k$m.cell = b$m.cell")
+              .mkString("\n  ")}),
+         |xx AS (SELECT vec_id, xhat, list_dot_product(xhat, xhat) AS xx
+         |  FROM xh),
+         |q AS (SELECT vec_id AS query_id, v, list_dot_product(v, v) AS qq
+         |  FROM e WHERE vec_id < $NQueries),
+         |p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+         |    q.qq - 2 * list_dot_product(q.v, x.xhat) + x.xx AS d2_est
+         |  FROM q CROSS JOIN xx x WHERE x.vec_id != q.query_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY d2_est ASC, neighbor_id ASC) AS prank
+         |    FROM p) WHERE prank <= $PqShortlist),
+         |p2 AS (SELECT sl.query_id, sl.neighbor_id,
+         |    q.qq - 2 * list_dot_product(q.v, c.v)
+         |      + list_dot_product(c.v, c.v) AS d2
+         |  FROM sl
+         |  JOIN q ON q.query_id = sl.query_id
+         |  JOIN e c ON c.vec_id = sl.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, neighbor_id ASC) AS rank
+         |  FROM p2)
+         |SELECT query_id, neighbor_id, round(d2, 4) AS d2, rank
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -90,6 +90,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.3f — probe ranking degenerate")
   }
 
+  test("PQ codes: every vector coded, codes in range, model memoized+evictable") {
+    val (codes, books) = Similarity.pqModel(spark, sf0001)
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(codes.count() == nVecs)
+    assert(books.length == 4)
+    books.foreach(cb => assert(cb.nonEmpty && cb.forall(_._2.length == 16)))
+    val cells = books.map(_.map(_._1).toSet)
+    (0 until 4).foreach { m =>
+      val out = codes.select(s"c$m").distinct().collect().map(_.getInt(0)).toSet
+      assert(out.subsetOf(cells(m)), s"subspace $m emitted an unknown code")
+    }
+    SessionMemo.clear(spark)
+    assert(Similarity.pqTopK(spark, sf0001).count() > 0) // rebuilds cleanly
+  }
+
+  test("PQ ADC beats random codes and keeps nontrivial L2 recall") {
+    import org.apache.spark.sql.expressions.Window
+    // exact L2 top-3 per query, straight from the raw vectors
+    val vs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), x =>
+        x.cast("double")).as("v"))
+    val q = vs.toDF("query_id", "qv").filter(col("query_id") < 10)
+    val c = vs.toDF("neighbor_id", "cv")
+    val d2 = Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * Similarity.dot(col("qv"), col("cv")) +
+      Similarity.dot(col("cv"), col("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(spark, sf0001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    info(f"PQ recall@3: $recall%.3f")
+    assert(recall >= 0.2, f"recall $recall%.3f — PQ codebooks degenerate")
+  }
+
   test("LSH ANN finds a nontrivial fraction of the exact top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf0001)
       .select("query_id", "neighbor_id").collect()
