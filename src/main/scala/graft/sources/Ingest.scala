@@ -281,9 +281,59 @@ object Ingest {
     }
   }
 
+  /** Dynamic-partition-pruned drill-down — the single-plan form of the
+    * reference's two-phase J2 drill (`dashboard_nfp.py:340-347`, where
+    * the phase-1 scalar crosses the driver): find the two top-revenue
+    * years and aggregate their orders, as ONE plan over the
+    * year-partitioned fact copy. The top-years subquery broadcasts
+    * (2 rows) and Spark injects its result into the fact scan's
+    * partition filters at RUNTIME (`dynamicpruningexpression` —
+    * asserted in `IngestSpec`), so only 2 of the ~7 year directories
+    * are ever read. Static pruning can't do this: the qualifying
+    * years are data-derived (a ranked limit), unknowable at plan
+    * time. At 100 TB this is the star-schema pattern that turns a
+    * full fact scan into a partition-count-sized one.
+    *
+    * Revenue ranks by the exact decimal sum (order-independent on
+    * both engines); the dim side derives from the raw orders table so
+    * fact and build plans are genuinely distinct. */
+  def partitionPrunedDrill(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.Num._
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_dpp_" +
+      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    // write the partitioned fact copy once per (process, sf dir)
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      writeTimeSeries(base, path, "o_orderdate")
+    val fact = s.read.parquet(path)
+    // the rev > 0 guard is semantically a no-op (prices are positive)
+    // but matters physically: Spark's PartitionPruning rule only
+    // injects a DPP subquery when the build side carries a
+    // syntactically selective Filter — a ranked LIMIT alone does not
+    // qualify, so without the guard the fact would scan every year
+    val topYears = graft.Tables.orders(s, dir)
+      .groupBy(year(to_date(col("o_orderdate"))).as("year"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+      .filter(col("rev") > 0)
+      .orderBy(col("rev").desc, col("year").asc)
+      .limit(2)
+      .select("year")
+    fact.join(broadcast(topYears), Seq("year"))
+      .groupBy(col("year"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Num.r4(dsum(col("o_totalprice"))).as("total_price"))
+      .select(col("year").cast("long").as("year"), col("n_orders"),
+        col("total_price"))
+      .orderBy("year")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map(
       "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
+      "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
       "ingest_bucketed_join" -> (bucketedColocatedJoin _))
 
   val oracleSql: Map[String, String] = Map(
@@ -297,6 +347,18 @@ object Ingest {
         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM inc))
         |SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM u WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // partition layout + runtime pruning are physical choices — the
+    // logical result is a ranked-years semi join, which the oracle runs
+    "ingest_partition_pruned_drill" ->
+      s"""WITH o AS (SELECT year(o_orderdate) AS year, o_totalprice FROM orders),
+         |y AS (SELECT year, ${graft.functions.Num.dsumSql("o_totalprice")} AS rev
+         |  FROM o GROUP BY 1),
+         |top AS (SELECT year FROM y WHERE rev > 0
+         |  ORDER BY rev DESC, year ASC LIMIT 2)
+         |SELECT CAST(o.year AS BIGINT) AS year, count(*) AS n_orders,
+         |  round(${graft.functions.Num.dsumSql("o_totalprice")}, 4) AS total_price
+         |FROM o JOIN top USING (year) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bucketing is a physical layout choice — the logical result is a
     // plain key join, which is exactly what the oracle runs

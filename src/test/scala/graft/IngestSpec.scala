@@ -219,6 +219,16 @@ class IngestSpec extends SparkSpec {
     assert(!stale.exists, "stale dead-pid directory must be swept")
   }
 
+  test("drill join prunes fact partitions at runtime (DPP)") {
+    val df = Ingest.partitionPrunedDrill(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning partition filter:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 2, "exactly the two top-revenue years survive")
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("time-series writer partitions by year and prunes on read") {
     val dir = Files.createTempDirectory("graft_ts").toString
     Ingest.writeTimeSeries(Tables.monthlySeries(spark, sf0001), dir)
