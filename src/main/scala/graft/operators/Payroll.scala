@@ -383,6 +383,37 @@ object Payroll {
       .orderBy("month_num")
   }
 
+  /** Classical additive seasonal decomposition (trend + seasonal +
+    * residual) — the step past [[seasonality]]'s raw index: the trend
+    * is a centered 13-month moving average (full-window-only, so
+    * edges are null like pandas `rolling(center=True)`), the seasonal
+    * component is the per-calendar-month mean of the detrended
+    * series, and the residual is what remains.
+    *
+    * Determinism: the trend divides an exact integer window sum; the
+    * seasonal means go through the decimal-sum path (detrended values
+    * round to 8 decimals inside the cast on both engines); the
+    * residual re-derives through the identical `(emp − trend) −
+    * seasonal` tree. The 12-row seasonal table joins back broadcast —
+    * calendar-sized, never corpus-derived. */
+  def decompose(s: SparkSession, dir: String): DataFrame = {
+    val w13 = wGlobal.rowsBetween(-6, 6)
+    val n  = count(lit(1)).over(w13)
+    val s1 = sum(col("emp")).over(w13).cast("double")
+    val det = series(s, dir)
+      .withColumn("trend", when(n === 13, s1 / n))
+      .withColumn("detr", col("emp") - col("trend"))
+    val seas = det
+      .groupBy(monthOf(col("month")).as("mn"))
+      .agg(davg(col("detr")).as("seasonal"))
+    det.join(broadcast(seas), monthOf(col("month")) === col("mn"))
+      .select(col("month"), col("emp"),
+        r4(col("trend")).as("trend"),
+        r4(col("seasonal")).as("seasonal"),
+        r4(col("detr") - col("seasonal")).as("residual"))
+      .orderBy("month")
+  }
+
   /** Calendar-spine gap fill with linear interpolation — the repair
     * pass every time-series OLAP load runs before window arithmetic:
     * a `LAG`-based growth rate silently computes across a missing
@@ -474,6 +505,7 @@ object Payroll {
     "payroll_ewma"                -> (ewma _),
     "payroll_seasonality"         -> (seasonality _),
     "payroll_gap_fill"            -> (gapFill _),
+    "payroll_decompose"           -> (decompose _),
   )
 
   private val S = Tables.monthlySeriesSql
@@ -655,6 +687,25 @@ object Payroll {
          |SELECT month_num, round(avg_emp, 4) AS avg_emp,
          |  round(avg_emp / global_avg, 4) AS seasonal_index
          |FROM m, g ORDER BY month_num""".stripMargin,
+
+    "payroll_decompose" ->
+      s"""WITH series AS ($S),
+         |t AS (SELECT month, emp,
+         |    count(*) OVER win AS n,
+         |    CAST(sum(emp) OVER win AS DOUBLE) AS s1
+         |  FROM series
+         |  WINDOW win AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+         |det AS (SELECT month, emp,
+         |    CASE WHEN n = 13 THEN s1 / n END AS trend,
+         |    emp - CASE WHEN n = 13 THEN s1 / n END AS detr
+         |  FROM t),
+         |seas AS (SELECT month(month) AS mn, ${davgSql("detr")} AS seasonal
+         |  FROM det GROUP BY 1)
+         |SELECT det.month, det.emp, round(trend, 4) AS trend,
+         |  round(seasonal, 4) AS seasonal,
+         |  round(detr - seasonal, 4) AS residual
+         |FROM det JOIN seas ON month(det.month) = seas.mn
+         |ORDER BY det.month""".stripMargin,
 
     // correlated subqueries state the nearest-real-neighbor semantics
     // the Spark side computes with ignore-nulls windows; both engines

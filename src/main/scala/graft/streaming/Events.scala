@@ -507,7 +507,37 @@ object Events {
       .select(col("event_type"), col("exact_users"), col("within_bound"))
       .orderBy("event_type")
 
+  /** DAU / rolling-7-day WAU / stickiness per day — the
+    * product-analytics staple that needs a DISTINCT over a sliding
+    * window, which no window function expresses: the scalable shape
+    * is the (day, user) pre-distinct joined against the calendar-
+    * sized day spine (a ≤ 7× bounded expansion of user-days), then a
+    * per-day distinct count. The spine side broadcasts — it is
+    * calendar-derived, never corpus-sized. At 100 TB the per-day
+    * exact distinct swaps for mergeable HLL sketches unioned over the
+    * trailing window (the [[hllUsersPerType]] pattern); this exact
+    * form is its recall oracle. Stickiness divides two exact integers
+    * — deterministic on both engines. */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud.toDF("uday", "user_id")
+      .join(broadcast(days),
+        col("uday").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        graft.functions.Num.r4(col("dau").cast("double") / col("wau"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau"        -> (dauWau _),
     "events_funnel"         -> (funnelCounts _),
     "events_type_intervals" -> (typeIntervals _),
     "events_enriched_daily" -> (enrichedDaily _),
@@ -524,6 +554,19 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day
+        |ORDER BY dau.day""".stripMargin,
+
     // same strict-ordering semantics as the Spark-side fold, stated
     // as chained relational CTEs (stage k joins stage k-1's timestamp)
     "events_funnel" ->

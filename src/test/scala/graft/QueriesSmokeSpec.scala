@@ -134,6 +134,41 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("decomposition: additive identity holds, edges null, seasonal periodic") {
+    val rows = operators.Payroll.decompose(spark, sf0001).collect()
+    val n = rows.length
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i < 6 || i >= n - 6) {
+        assert(r.isNullAt(2) && r.isNullAt(4), s"edge row $i must be null")
+      } else {
+        val emp = r.getLong(1)
+        val sum = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+        assert(math.abs(sum - emp) < 1e-2, s"trend+seasonal+residual at $i")
+      }
+    }
+    // same calendar month ⇒ same seasonal component
+    val byMonth = rows.groupBy(_.getDate(0).toLocalDate.getMonthValue)
+    byMonth.values.foreach { rs =>
+      assert(rs.map(_.getDouble(3)).distinct.length == 1)
+    }
+  }
+
+  test("dau/wau: first day wau==dau, wau bounded, stickiness in (0,1]") {
+    val rows = streaming.Events.dauWau(spark, sf0001)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(1) == rows.head.getLong(2),
+      "no history on day 1 → wau == dau")
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "wau >= dau")
+      assert(r.getLong(2) <= users)
+      val st = r.getDouble(3)
+      assert(st > 0 && st <= 1.0 + 1e-9, s"stickiness $st")
+    }
+  }
+
   test("funnel fold equals the chained-join formulation and is monotone") {
     val ev = Tables.events(spark, sf0001).select("user_id", "ts", "event_type")
     val t1 = ev.filter(col("event_type") === "signup")
