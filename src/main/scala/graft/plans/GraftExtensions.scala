@@ -31,7 +31,12 @@ object GlobalWindowLint extends Rule[LogicalPlan] {
     // S5 session cache memoizes exactly such pre-reduced frames)
     case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
       physPreReduced(imr.cachedPlan)
-    case other if other.children.size == 1 => isPreReduced(other.children.head)
+    // joins/unions of pre-reduced inputs stay pre-reduced (raw facts
+    // cannot reach the window without passing through an aggregate on
+    // EVERY branch) — e.g. the gap-fill spine ⟕ gapped-series join,
+    // both sides derived from the month-grain aggregate
+    case other if other.children.nonEmpty =>
+      other.children.forall(isPreReduced)
     case _ => false
   }
 

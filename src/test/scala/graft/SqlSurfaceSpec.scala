@@ -58,6 +58,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_tfidf_top" -> "unnest() lateral",
     "text_token_stats" -> "string_split_regex",
     "text_vocab_stats" -> "unnest() lateral",
+    "text_repetition" -> "string_split_regex + list_transform bigrams",
+    "pack_context_chunks" -> "string_split_regex + list slicing",
+    "payroll_gap_fill" -> "non-equality correlated scalar subqueries",
+    "sim_topk_pq" -> "list comprehension k-means unroll + list_dot_product",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
