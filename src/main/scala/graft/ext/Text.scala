@@ -283,6 +283,55 @@ object Text {
       .orderBy("doc_id")
   }
 
+  private val ZipfK = 100
+
+  /** Zipf's-law fit over the term distribution — the corpus-health
+    * diagnostic a pretraining run reports next to [[vocabStats]]: a
+    * natural corpus has log-frequency ≈ intercept − s·log-rank with
+    * s ≈ 1; synthetic, templated, or heavily-duplicated text bends
+    * the curve. Fits OLS on (ln rank, ln n) over the top-[[ZipfK]]
+    * terms.
+    *
+    * Scale shape: the top-k is TakeOrderedAndProject over the
+    * vocabulary-sized term aggregate (no global sort of the
+    * vocabulary); the rank window then runs over that ≤ [[ZipfK]]-row
+    * frame — bounded by k, not the corpus. Determinism: each ln is
+    * rounded to 8 decimals first (absorbing last-ulp libm
+    * differences), the OLS moments go through the exact decimal-sum
+    * path, and slope/intercept/r² re-derive in double through the
+    * identical expression tree on both engines (the
+    * [[graft.operators.Relational.priceRegression]] discipline). */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num.dsumExact
+    val top = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(ZipfK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    val x = round(log(col("rank")), 8)
+    val y = round(log(col("n")), 8)
+    val m = top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("k"),
+        dsumExact(x).as("sx"), dsumExact(y).as("sy"),
+        dsumExact(x * x).as("sxx"), dsumExact(y * y).as("syy"),
+        dsumExact(x * y).as("sxy"))
+    val nD = col("k").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN  = nD * d("sxy") - d("sx") * d("sy")
+    val varxN = nD * d("sxx") - d("sx") * d("sx")
+    val varyN = nD * d("syy") - d("sy") * d("sy")
+    val slope = covN / varxN
+    m.select(
+      col("k"),
+      r4(-slope).as("zipf_exponent"),
+      r4((d("sy") - slope * d("sx")) / nD).as("intercept"),
+      r4(covN * covN / (varxN * varyN)).as("r2"))
+  }
+
   /** Per-source quality dashboard — the roll-up a curation run
     * reports per provenance bucket: doc counts, token volume,
     * acceptance rate, mean quality signals. One fused scan (the
@@ -309,6 +358,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_by_source" -> (qualityBySource _),
+    "text_zipf_fit"    -> (zipfFit _),
     "text_lm_score"    -> (lmScore _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langId _),
@@ -322,6 +372,36 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // lns round to exact decimals BEFORE the moment sums; slope/
+    // intercept/r² re-derive through the identical double expression
+    "text_zipf_fit" ->
+      s"""WITH tf AS (SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($tokSql) AS token FROM documents)
+         |  GROUP BY 1 ORDER BY n DESC, token ASC LIMIT $ZipfK),
+         |rk AS (SELECT n, row_number() OVER
+         |    (ORDER BY n DESC, token ASC) AS rank FROM tf),
+         |pt AS (SELECT round(ln(rank), 8) AS x, round(ln(n), 8) AS y FROM rk),
+         |m AS (SELECT count(*) AS k,
+         |    ${graft.functions.Num.dsumExactSql("x")} AS sx,
+         |    ${graft.functions.Num.dsumExactSql("y")} AS sy,
+         |    ${graft.functions.Num.dsumExactSql("x * x")} AS sxx,
+         |    ${graft.functions.Num.dsumExactSql("y * y")} AS syy,
+         |    ${graft.functions.Num.dsumExactSql("x * y")} AS sxy
+         |  FROM pt),
+         |d AS (SELECT k, CAST(k AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         |    CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM m)
+         |SELECT k,
+         |  round(-((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)), 4)
+         |    AS zipf_exponent,
+         |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+         |    * sxd) / nd, 4) AS intercept,
+         |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd) /
+         |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 4) AS r2
+         |FROM d""".stripMargin,
+
     "text_quality_by_source" ->
       s"""WITH t AS (SELECT source, $tokSql AS toks FROM documents),
          |q AS (SELECT source,

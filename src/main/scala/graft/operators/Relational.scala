@@ -233,7 +233,71 @@ object Relational {
       .orderBy("l_returnflag", "l_quantity")
   }
 
+  /** TPC-H Q3-shaped shipping priority: top-10 unshipped-revenue
+    * orders for one market segment as of a cutoff date. Scale shape:
+    * both date filters push into the parquet scans (orders placed
+    * before / lines shipping after the cutoff prune at the source);
+    * the segment probe is a LEFT SEMI against only (c_custkey) — at
+    * 100 TB customer is a fact-sized table, so the semi join
+    * hash-partitions rather than broadcasts and carries one bigint
+    * per qualifying customer; revenue pre-combines map-side in the
+    * per-order aggregate; the top-10 runs as TakeOrderedAndProject
+    * (no global sort). */
+  private val ShipCutoff = "2000-03-15"
+
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(ShipCutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(ShipCutoff))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(r4(dsumExact(col("rev")).cast("double")).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Yearly revenue share by supplier nation (TPC-H Q8's market-share
+    * shape): the share-of-total window runs over the PRE-REDUCED
+    * (year × nation) aggregate — ≤ #years · #nations rows at any
+    * corpus size — partitioned by year, so no global ranking task
+    * exists. The supplier join is left unhinted: AQE broadcasts it at
+    * small SF, and at 100 TB (where supplier is 10⁹ rows) it
+    * hash-partitions — either way the fact side pre-projects to two
+    * columns. nation is a true constant-size dimension → explicit
+    * broadcast. Shares are ratios of exact decimal sums, derived in
+    * double through the identical expression tree as the oracle. */
+  def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), CalCols.yearOf(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    val agg = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("yr", "n_name")
+      .agg(dsumExact(col("rev")).as("rev"))
+    val w = Window.partitionBy("yr")
+    agg
+      .withColumn("share",
+        r4(col("rev").cast("double") /
+          sum(col("rev")).over(w).cast("double")))
+      .select(col("yr"), col("n_name"),
+        r4(col("rev").cast("double")).as("revenue"), col("share"))
+      .orderBy("yr", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_shipping_priority" -> (shippingPriority _),
+    "rel_nation_market_share" -> (nationMarketShare _),
     "rel_quantity_rank_dist" -> (quantityRankDist _),
     "rel_price_regression" -> (priceRegression _),
     "rel_customer_value_ntile" -> (customerValueQuartiles _),
@@ -248,6 +312,32 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  round(CAST(${dsumExactSql("l_extendedprice * (1 - l_discount)")}
+         |    AS DOUBLE), 4) AS revenue,
+         |  o_orderdate
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '$ShipCutoff 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '$ShipCutoff 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM customer
+         |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "rel_nation_market_share" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, n_name,
+         |    ${dsumExactSql("l_extendedprice * (1 - l_discount)")} AS rev
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT yr, n_name, round(CAST(rev AS DOUBLE), 4) AS revenue,
+         |  round(CAST(rev AS DOUBLE) /
+         |    CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE), 4) AS share
+         |FROM agg ORDER BY yr, n_name""".stripMargin,
+
     "rel_quantity_rank_dist" ->
       """WITH q AS (SELECT l_returnflag, l_quantity, count(*) AS n
         |  FROM lineitem GROUP BY 1, 2)

@@ -536,7 +536,51 @@ object Events {
       .orderBy("day")
   }
 
+  /** Trailing-window z-score anomaly detection over daily event
+    * counts — the monitoring query a pipeline runs over its own
+    * ingest volumes: each (type, day) count is scored against the
+    * mean/σ of the 7 preceding days of that type. The window runs
+    * over the PRE-REDUCED daily aggregate (≤ #types × #days rows at
+    * any corpus size), partitioned by type — never over raw events.
+    *
+    * Determinism: the trailing mean/variance derive from integer
+    * window sums (Σx, Σx² of bigint counts — exact on both engines
+    * regardless of accumulation order) through the closed form
+    * n·Σx²−(Σx)², rather than the built-in `stddev` whose double
+    * co-moment accumulation is merge-order-dependent. Days with a
+    * constant trailing week (σ = 0) yield a null z-score and are
+    * never flagged. */
+  private val AnomalyZ = 3.0
+
+  def anomalyDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    // n·Σx²−(Σx)² in pure bigint — exact, order-independent — then
+    // one double derivation shared verbatim with the oracle
+    val varN = col("cnt") * col("s2") - col("s1") * col("s1")
+    val mean = col("s1").cast("double") / col("cnt").cast("double")
+    val sd = sqrt(varN.cast("double") /
+      (col("cnt") * (col("cnt") - 1L)).cast("double"))
+    val z = (col("n").cast("double") - mean) / sd
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt") === 7)
+      .select(col("event_type"), col("day"), col("n"),
+        r4(mean).as("trail_mean"),
+        r4(sd).as("trail_sd"),
+        when(varN > 0, r4(z)).as("zscore"),
+        (varN > 0 && abs(z) > AnomalyZ).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_daily"  -> (anomalyDaily _),
     "events_dau_wau"        -> (dauWau _),
     "events_funnel"         -> (funnelCounts _),
     "events_type_intervals" -> (typeIntervals _),
@@ -554,6 +598,34 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // trailing mean/σ from pure-bigint window sums (n·Σx²−(Σx)²),
+    // derived in double through the identical expression tree as the
+    // Spark side; σ=0 weeks yield NULL z and are never flagged
+    "events_anomaly_daily" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |wins AS (SELECT *,
+         |    count(*) OVER w AS cnt,
+         |    sum(n) OVER w AS s1,
+         |    sum(n * n) OVER w AS s2
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         |sc AS (SELECT event_type, day, n,
+         |    cnt * s2 - s1 * s1 AS varn,
+         |    CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+         |    sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) /
+         |      CAST(cnt * (cnt - 1) AS DOUBLE)) AS sd
+         |  FROM wins WHERE cnt = 7)
+         |SELECT event_type, day, n,
+         |  round(mean, 4) AS trail_mean,
+         |  round(sd, 4) AS trail_sd,
+         |  CASE WHEN varn > 0
+         |    THEN round((CAST(n AS DOUBLE) - mean) / sd, 4) END AS zscore,
+         |  (varn > 0 AND abs((CAST(n AS DOUBLE) - mean) / sd) > $AnomalyZ)
+         |    AS anomaly
+         |FROM sc ORDER BY event_type, day""".stripMargin,
+
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |  FROM events),

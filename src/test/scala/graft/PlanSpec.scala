@@ -39,6 +39,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("top-k queries plan as TakeOrderedAndProject (no global sort)") {
     val s = executed(operators.Relational.topCustomers(spark, sf0001)).toString
     assert(s.contains("TakeOrderedAndProject"), s)
+    val sp = executed(operators.Relational.shippingPriority(spark, sf0001)).toString
+    assert(sp.contains("TakeOrderedAndProject"),
+      s"shipping priority lost its top-k shape:\n$sp")
+    // both date filters must reach the parquet scans
+    assert(sp.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"order-date filter not pushed:\n$sp")
+    assert(sp.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"ship-date filter not pushed:\n$sp")
   }
 
   test("recovery: drops side broadcasts into the range joins") {

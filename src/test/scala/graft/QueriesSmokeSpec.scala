@@ -57,6 +57,67 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(d.groupBy("o_custkey").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("shipping priority: descending top-10 with pre-cutoff order dates") {
+    val rows = operators.Relational.shippingPriority(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "revenue not descending")
+    assert(revs.forall(_ > 0))
+    val cutoff = java.time.LocalDateTime.parse("2000-03-15T00:00")
+    assert(rows.forall(
+        _.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff)),
+      "order date on/after the cutoff leaked through")
+  }
+
+  test("market share: shares sum to 1 within each year") {
+    val rows = operators.Relational.nationMarketShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (yr, rs) =>
+      val tot = rs.map(_.getDouble(3)).sum
+      // each share rounds to 4dp; ≤ 25 nations ⇒ ≤ 0.00125 drift
+      assert(math.abs(tot - 1.0) < 0.002, s"year $yr shares sum to $tot")
+      assert(rs.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    }
+  }
+
+  test("zipf fit: positive exponent, r2 in [0,1], k bounded") {
+    val row = ext.Text.zipfFit(spark, sf0001).head()
+    assert(row.getLong(0) > 0 && row.getLong(0) <= 100)
+    assert(row.getDouble(1) > 0, s"zipf exponent ${row.getDouble(1)} not positive")
+    val r2 = row.getDouble(3)
+    assert(r2 >= 0 && r2 <= 1, s"r2 $r2 out of range")
+  }
+
+  test("daily anomaly z-scores match a driver-side recomputation") {
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = streaming.Events.anomalyDaily(spark, sf0001).collect()
+    val byType = daily.groupBy(_._1)
+    // every type contributes (its days − 7) scored rows
+    assert(got.length ==
+      byType.valuesIterator.map(v => math.max(0, v.length - 7)).sum)
+    got.foreach { row =>
+      val series = byType(row.getString(0)).sortBy(_._2)
+      val i = series.indexWhere(_._2 == row.getDate(1).toString)
+      assert(i >= 7, s"row $row scored without a full trailing week")
+      val w = series.slice(i - 7, i).map(_._3)
+      val mean = w.sum.toDouble / 7
+      val varN = 7L * w.map(x => x * x).sum - w.sum * w.sum
+      val sd = math.sqrt(varN.toDouble / (7.0 * 6.0))
+      assert(math.abs(row.getDouble(3) - mean) < 1e-3, s"mean at $row")
+      assert(math.abs(row.getDouble(4) - sd) < 1e-3, s"sd at $row")
+      if (varN > 0) {
+        val z = (series(i)._3 - mean) / sd
+        assert(math.abs(row.getDouble(5) - z) < 1e-3, s"z at $row")
+        assert(row.getBoolean(6) == (math.abs(z) > 3.0), s"flag at $row")
+      } else assert(row.isNullAt(5) && !row.getBoolean(6))
+    }
+  }
+
   test("rolling stats match a driver-side recomputation") {
     val series = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect().map(_.getLong(1))

@@ -59,6 +59,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_token_stats" -> "string_split_regex",
     "text_vocab_stats" -> "unnest() lateral",
     "text_repetition" -> "string_split_regex + list_transform bigrams",
+    "text_zipf_fit" -> "string_split_regex + unnest() lateral",
     "pack_context_chunks" -> "string_split_regex + list slicing",
     "payroll_gap_fill" -> "non-equality correlated scalar subqueries",
     "sim_topk_pq" -> "list comprehension k-means unroll + list_dot_product",
