@@ -329,24 +329,39 @@ object Similarity {
       : (DataFrame, Seq[Seq[(Int, Seq[Double])]]) = {
     import graft.functions.Num.davg
     val vs = vectors(s, dir)
-    val books = (0 until PqM).map { m =>
-      val sv = subVec(col("v"), m)
-      var assign = vs.select(col("vec_id"),
-        pmod(md5Hash60(concat(col("vec_id").cast("string"), lit(s":pq$m"))),
-          lit(PqCodes)).cast("int").as("cell"))
-      var cents: Seq[(Int, Seq[Double])] = Nil
-      for (_ <- 0 until PqIters) {
-        val rows = vs.join(assign, Seq("vec_id"))
-          .select(col("cell"), posexplode(sv).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg(davg(col("x")).as("cx"))
-          .collect()
-        cents = rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
-          (cell, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }.sortBy(_._1)
-        assign = assignToNearestL2(vs, m, cents)
+    // All M subspaces train TOGETHER, one corpus scan per Lloyd
+    // round: the assignment frame carries M cell columns, the full
+    // vector posexplodes ONCE and each element routes to its
+    // (subspace, cell, sub-position) group. Per-subspace sequential
+    // loops cost M× the scans/collects for identical means (grouping
+    // by subspace keeps every decimal mean bit-for-bit what the
+    // per-subspace build — and the oracle's unrolled replay —
+    // computes); fusing cut the model build from M·iters to iters
+    // corpus passes.
+    var assigns = vs.select(col("vec_id") +: (0 until PqM).map(m =>
+      pmod(md5Hash60(concat(col("vec_id").cast("string"), lit(s":pq$m"))),
+        lit(PqCodes)).cast("int").as(s"cell$m")): _*)
+    var books: Seq[Seq[(Int, Seq[Double])]] = Nil
+    for (_ <- 0 until PqIters) {
+      val cellOfM = element_at(
+        array((0 until PqM).map(m => col(s"cell$m")): _*), col("m") + 1)
+      val rows = vs.join(assigns, Seq("vec_id"))
+        .select(col("vec_id") +:
+          (0 until PqM).map(m => col(s"cell$m")) :+
+          posexplode(col("v")).as(Seq("pos", "x")): _*)
+        .withColumn("m", (col("pos") / PqSubDim).cast("int"))
+        .groupBy(col("m"), cellOfM.as("cell"),
+          pmod(col("pos"), lit(PqSubDim)).as("spos"))
+        .agg(davg(col("x")).as("cx"))
+        .collect()
+      books = (0 until PqM).map { m =>
+        rows.filter(_.getInt(0) == m).groupBy(_.getInt(1)).toSeq
+          .map { case (cell, rs) =>
+            (cell, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }.sortBy(_._1)
       }
-      cents
+      assigns = vs.select(col("vec_id") +: (0 until PqM).map(m =>
+        l2ArgminCell(subVec(col("v"), m), books(m)).as(s"cell$m")): _*)
     }
     // the last reassignment of each subspace, fused into ONE map-side
     // projection over the corpus — the 4 codes per vector
@@ -370,11 +385,6 @@ object Similarity {
     }: _*)
     array_min(scored).getField("cell")
   }
-
-  private def assignToNearestL2(vs: DataFrame, m: Int,
-      cents: Seq[(Int, Seq[Double])]): DataFrame =
-    vs.select(col("vec_id"),
-      l2ArgminCell(subVec(col("v"), m), cents).as("cell"))
 
   private val PqShortlist = 16 // ADC candidates per query before re-rank
 

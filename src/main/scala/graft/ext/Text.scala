@@ -185,14 +185,22 @@ object Text {
     * ride the grouping key, so no join back to the corpus is needed. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    val bigrams = transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    // adjacent-pair zip of two shifted slices, NOT a
+    // transform(sequence)/element_at lambda: a higher-order-function
+    // body re-inlines (and re-evaluates) the tokenizer per ELEMENT —
+    // O(n²) splits per document (10× wall-time at sf0.1, profiled);
+    // the zip form evaluates the split a constant number of times per
+    // row and stays map-side
+    val pairs = arrays_zip(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
     val exploded = Tables.documents(s, dir)
       .filter(size(t) >= 2)
       .select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         (lit(1.0) - size(array_distinct(t)) / size(t)).as("dup_frac"),
-        explode(bigrams).as("bigram"))
+        explode(pairs).as("pr"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+        concat_ws(" ", col("pr.0"), col("pr.1")).as("bigram"))
     val counts = exploded
       .groupBy("doc_id", "n_tokens", "dup_frac", "bigram")
       .agg(count(lit(1)).as("n"))
