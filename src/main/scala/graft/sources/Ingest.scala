@@ -330,13 +330,59 @@ object Ingest {
       .orderBy("year")
   }
 
+  /** Incremental view maintenance over mergeable partials — the
+    * materialized-aggregate refresh a 100 TB warehouse runs instead
+    * of full recompute: the standing daily rollup absorbs an
+    * appended delta by AGGREGATING ONLY THE DELTA and merging
+    * partial states (counts and decimal sums add; the mean derives
+    * at read time). Here the base/delta split is a date cutoff over
+    * the same table so the oracle can state the full recompute —
+    * the merge step is the real operator: a partial-state union and
+    * re-sum that never rescans the base facts' inputs. Both
+    * branches' partials go through the exact decimal-sum path, and
+    * decimal addition is associative — merged output is bit-identical
+    * to the one-shot aggregate at any split point. */
+  private val IncrCutoff = "2024-01-24"
+
+  def incrementalAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.Num._
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("pn"), dsumExact(col("value")).as("psv"))
+    val base  = partial(ev.filter(col("day") <  lit(IncrCutoff)))
+    val delta = partial(ev.filter(col("day") >= lit(IncrCutoff)))
+    base.unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum(col("pn")).as("n_events"),
+        r4(sum(col("psv")).cast("double")).as("sum_value"))
+      .withColumn("avg_value",
+        r4(col("sum_value") / col("n_events").cast("double")))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map(
       "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
+      "ingest_incremental_agg" -> (incrementalAgg _),
       "ingest_bucketed_join" -> (bucketedColocatedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    // the partial-merge refresh must equal the one-shot aggregate:
+    // decimal partial sums are associative, so the oracle states the
+    // full recompute
+    "ingest_incremental_agg" ->
+      s"""WITH a AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    count(*) AS n_events,
+         |    round(${graft.functions.Num.dsumSql("value")}, 4) AS sum_value
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, n_events, sum_value,
+         |  round(sum_value / CAST(n_events AS DOUBLE), 4) AS avg_value
+         |FROM a ORDER BY event_type, day""".stripMargin,
+
     "ingest_upsert_roundtrip" ->
       """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |    o_totalprice, o_orderstatus FROM orders),

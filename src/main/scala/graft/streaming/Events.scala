@@ -536,6 +536,84 @@ object Events {
       .orderBy("day")
   }
 
+  /** [[dauWau]]'s 100 TB form — the sketch path it documents: per-day
+    * HLL sketches of the user set (`hll_sketch_agg`, the mergeable
+    * Apache DataSketches HLL), unioned over each trailing 7-day
+    * window (`hll_union_agg`) and estimated. The trailing union
+    * shuffles #days × ~KB sketches — constant per day — where the
+    * exact path re-shuffles user-days into every window it covers.
+    * Certified in-plan like the other sketch queries: the estimate
+    * must land within a generous envelope of the exact WAU (HLL
+    * lgConfigK=12 ⇒ rsd ≈ 1.6%; the bound allows 15% or ±3), the
+    * oracle expects TRUE, and only exact values are output. */
+  def wauSketch(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val daySketch = ud.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val approx = daySketch.toDF("sday", "sk")
+      .join(broadcast(days),
+        col("sday").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = ud.toDF("uday", "user_id")
+      .join(broadcast(days),
+        col("uday").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    exact.join(approx, Seq("day"))
+      .withColumn("within_bound",
+        abs(col("approx") - col("wau")) <=
+          greatest(lit(3L), (col("wau") * 0.15).cast("long")))
+      .select(col("day"), col("wau"), col("within_bound"))
+      .orderBy("day")
+  }
+
+  /** First-order type-transition matrix over each user's event
+    * sequence — the Markov-chain view of user behavior (what follows
+    * what): consecutive-pair counts via `lead` over the per-user
+    * window (bounded rows per task at any corpus size; (ts, event_id)
+    * ordering for tie determinism), then transition probabilities
+    * row-normalized by a window over the PRE-REDUCED #types² matrix.
+    * Probabilities are exact bigint ratios derived in double through
+    * the identical expression tree on both engines. */
+  def typeTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("event_type")
+    pairs
+      .withColumn("p", r4(col("n").cast("double") /
+        sum(col("n")).over(wt).cast("double")))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** [[enrichedDaily]] through the salted-join path
+    * ([[graft.operators.SkewJoin]]): event_type is the textbook skewed
+    * key — a handful of values over the whole fact table — and the
+    * dimension here stands in for a build side too large to
+    * broadcast. The salt spreads each hot type over 8 reducers; the
+    * oracle is the plain enrichment SQL, so the salted plan must be
+    * row-for-row identical to the broadcast plan. */
+  def enrichedDailySalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.operators.SkewJoin.saltedEquiJoin(
+        ev, typeWeights(ev), "event_type", col("event_id"), salts = 8)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        r4(dsum(col("value") * col("type_weight"))).as("weighted_value"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("n_events"), col("weighted_value"))
+      .orderBy("day_start", "event_type")
+  }
+
   /** Trailing-window z-score anomaly detection over daily event
     * counts — the monitoring query a pipeline runs over its own
     * ingest volumes: each (type, day) count is scored against the
@@ -581,6 +659,9 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly_daily"  -> (anomalyDaily _),
+    "events_wau_sketch"     -> (wauSketch _),
+    "events_type_transitions" -> (typeTransitions _),
+    "events_enriched_salted" -> (enrichedDailySalted _),
     "events_dau_wau"        -> (dauWau _),
     "events_funnel"         -> (funnelCounts _),
     "events_type_intervals" -> (typeIntervals _),
@@ -598,6 +679,39 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the estimate is engine-specific; the oracle checks exact WAU
+    // and that the sketch union landed inside the certified envelope
+    "events_wau_sketch" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, count(DISTINCT u.user_id) AS wau,
+        |  TRUE AS within_bound
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_type_transitions" ->
+      """WITH nx AS (SELECT event_type, lead(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM nx
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+
+    // the salted plan must reproduce the plain enrichment exactly
+    "events_enriched_salted" ->
+      s"""WITH dim AS (SELECT event_type,
+         |    ${davgSql("value")} AS type_weight
+         |  FROM events GROUP BY 1)
+         |SELECT date_trunc('day', ts) AS day_start, e.event_type,
+         |  count(*) AS n_events,
+         |  round(${dsumSql("value * type_weight")}, 4) AS weighted_value
+         |FROM events e JOIN dim USING (event_type)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // trailing mean/σ from pure-bigint window sums (n·Σx²−(Σx)²),
     // derived in double through the identical expression tree as the
     // Spark side; σ=0 weeks yield NULL z and are never flagged

@@ -206,6 +206,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed join still shuffles its inputs:\n$plan")
   }
 
+  test("salted join widens the shuffle key and stays shuffle-hash") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val plan = executed(streaming.Events.enrichedDailySalted(spark, sf0001))
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"salted join lost its shuffle-hash shape:\n$plan")
+    assert(shj.exists(_.leftKeys.size == 2),
+      s"salt column missing from the join key:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // Sessions.builder enables runtime bloom-filter join pruning; at

@@ -118,6 +118,50 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("salted enrichment ≡ broadcast enrichment, row for row") {
+    val plain  = streaming.Events.enrichedDaily(spark, sf0001).collect()
+    val salted = streaming.Events.enrichedDailySalted(spark, sf0001).collect()
+    assert(salted.nonEmpty && salted.toSeq == plain.toSeq)
+  }
+
+  test("wau sketch: certified for every day, exact side matches dau/wau") {
+    val sk = streaming.Events.wauSketch(spark, sf0001).collect()
+    assert(sk.nonEmpty && sk.forall(_.getBoolean(2)),
+      "HLL union fell outside its certified envelope")
+    val exact = streaming.Events.dauWau(spark, sf0001).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    sk.foreach(r =>
+      assert(r.getLong(1) == exact(r.getDate(0).toString), s"wau drift at $r"))
+  }
+
+  test("type transitions: rows are a stochastic matrix over observed pairs") {
+    val rows = streaming.Events.typeTransitions(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val tot = rs.map(_.getDouble(3)).sum
+      // each p rounds to 4dp; ≤ #types terms ⇒ tiny drift
+      assert(math.abs(tot - 1.0) < 0.001, s"row $t sums to $tot")
+    }
+    val nPairs = rows.map(_.getLong(2)).sum
+    val perUser = Tables.events(spark, sf0001).groupBy("user_id").count()
+      .collect().map(r => math.max(0L, r.getLong(1) - 1)).sum
+    assert(nPairs == perUser, "pair count != sum of (user events - 1)")
+  }
+
+  test("incremental aggregate merge ≡ one-shot aggregate") {
+    import graft.functions.Num._
+    val merged = sources.Ingest.incrementalAgg(spark, sf0001).collect()
+    val oneShot = Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        r4(dsumExact(col("value")).cast("double")).as("sum_value"))
+      .withColumn("avg_value",
+        r4(col("sum_value") / col("n_events").cast("double")))
+      .orderBy("event_type", "day").collect()
+    assert(merged.nonEmpty && merged.toSeq == oneShot.toSeq)
+  }
+
   test("rolling stats match a driver-side recomputation") {
     val series = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect().map(_.getLong(1))
