@@ -275,7 +275,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Source-mixture rebalancing under a token budget — the
+    * training-mix construction step: sample each provenance bucket at
+    * the rate that gives every source an EQUAL share of a 50%-of-
+    * corpus token budget (sources smaller than their share keep
+    * everything — `least(1, ·)`). Rates derive from two tiny
+    * aggregates (per-source token totals → corpus total); the
+    * ≤ #sources rate table joins back BROADCAST, so the sampling pass
+    * itself is map-side keyed-md5 — the [[hashBernoulli]] coordinate,
+    * independent salt — with zero data shuffle before the final
+    * per-source report. Deterministic end-to-end: the hash coordinate
+    * is an exact rational and the rate derives through the identical
+    * double tree on both engines. */
+  private val MixBudgetShare = 0.5
+
+  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val per = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val tot = per.agg(sum("src_tokens").as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0),
+          col("corpus_tokens").cast("double") * lit(MixBudgetShare) /
+            col("n_sources").cast("double") /
+            col("src_tokens").cast("double")).as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("u",
+        pmod(docHash60("mix:"), lit(1000000)).cast("double") / lit(1000000.0))
+      .filter(col("u") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tokens").as("kept_tokens"),
+        r4(min(col("rate"))).as("rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_source_mixture"  -> (sourceMixture _),
     "sample_weighted"        -> (weightedSample _),
     "pipeline_decontaminate" -> (decontaminate _),
     "sample_hash_bernoulli" -> (hashBernoulli _),
@@ -286,6 +325,28 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // rate derives through the identical double tree; the hash
+    // coordinate is an exact rational on both engines
+    "sample_source_mixture" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len(${Text.tokSql}) AS BIGINT) AS n_tokens FROM documents),
+         |per AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1),
+         |tot AS (SELECT sum(src_tokens) AS corpus_tokens,
+         |    count(*) AS n_sources FROM per),
+         |r AS (SELECT source,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(corpus_tokens AS DOUBLE) * $MixBudgetShare /
+         |        CAST(n_sources AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS rate
+         |  FROM per CROSS JOIN tot),
+         |sel AS (SELECT d.source, d.n_tokens, rate
+         |  FROM d JOIN r USING (source)
+         |  WHERE CAST(${docHash60Sql("mix:")} % 1000000 AS DOUBLE)
+         |    / 1000000.0 < rate)
+         |SELECT source, count(*) AS n_docs_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+         |  round(min(rate), 4) AS rate
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // identical expression tree: cast-to-double BEFORE +1, key
     // rounded to 6 decimals before ranking, doc_id tie-break
     "sample_weighted" ->

@@ -364,7 +364,36 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-language winsorized token statistics — the robust-mean
+    * screen a curation run uses where raw means are dragged by
+    * outlier documents: token counts clip to the language's exact
+    * [p05, p95] before averaging. The percentile aggregate is
+    * Spark's exact interpolating `percentile` (the
+    * [[graft.streaming.Events.valueQuantiles]] discipline — at 100 TB
+    * it swaps for the certified GK `percentile_approx`); the ≤
+    * #languages percentile table re-joins BROADCAST (a true bounded
+    * dimension), keeping the clip pass map-side, and the clipped
+    * means go through the exact decimal-sum path. */
+  def winsorizedTokens(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val pct = base.groupBy("lang").agg(
+      percentile(col("n_tokens"), lit(0.05)).as("p05"),
+      percentile(col("n_tokens"), lit(0.95)).as("p95"))
+    base.join(broadcast(pct), Seq("lang"))
+      .withColumn("clip",
+        least(greatest(col("n_tokens").cast("double"), col("p05")), col("p95")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(min(col("p05"))).as("p05"),
+        r4(min(col("p95"))).as("p95"),
+        r4(davg(col("n_tokens").cast("double"))).as("raw_mean"),
+        r4(davg(col("clip"))).as("winsorized_mean"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winsorized_tokens" -> (winsorizedTokens _),
     "text_quality_by_source" -> (qualityBySource _),
     "text_zipf_fit"    -> (zipfFit _),
     "text_lm_score"    -> (lmScore _),
@@ -380,6 +409,23 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // quantile_cont == Spark's exact interpolating percentile; the
+    // clip and both means derive through identical double trees
+    "text_winsorized_tokens" ->
+      s"""WITH t AS (SELECT lang, CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS p05,
+         |    quantile_cont(n_tokens, 0.95) AS p95
+         |  FROM t GROUP BY 1),
+         |j AS (SELECT t.lang, n_tokens, p05, p95,
+         |    least(greatest(CAST(n_tokens AS DOUBLE), p05), p95) AS clip
+         |  FROM t JOIN p USING (lang))
+         |SELECT lang, count(*) AS n_docs,
+         |  round(min(p05), 4) AS p05, round(min(p95), 4) AS p95,
+         |  round(${davgSql("CAST(n_tokens AS DOUBLE)")}, 4) AS raw_mean,
+         |  round(${davgSql("clip")}, 4) AS winsorized_mean
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // lns round to exact decimals BEFORE the moment sums; slope/
     // intercept/r² re-derive through the identical double expression
     "text_zipf_fit" ->

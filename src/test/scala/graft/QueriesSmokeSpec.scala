@@ -162,6 +162,36 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(merged.nonEmpty && merged.toSeq == oneShot.toSeq)
   }
 
+  test("winsorized means sit inside the clip band; doc counts conserve") {
+    val rows = ext.Text.winsorizedTokens(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95, wm) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(p05 <= p95 && wm >= p05 - 1e-4 && wm <= p95 + 1e-4,
+        s"winsorized mean outside clip band: $r")
+    }
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("source mixture: kept mass bounded per source, rates in (0,1]") {
+    val kept = ext.Curation.sourceMixture(spark, sf0001).collect()
+    assert(kept.nonEmpty)
+    val full = Tables.documents(spark, sf0001)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("d"), sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    kept.foreach { r =>
+      val (docs, toks) = full(r.getString(0))
+      assert(r.getLong(1) <= docs && r.getLong(2) <= toks, s"overdraw at $r")
+      val rate = r.getDouble(3)
+      assert(rate > 0 && rate <= 1, s"rate $rate out of range")
+      // the keyed-hash coordinate is uniform: kept docs ≈ rate · docs
+      assert(math.abs(r.getLong(1).toDouble / docs - rate) < 0.35,
+        s"kept fraction far from rate at $r")
+    }
+  }
+
   test("rolling stats match a driver-side recomputation") {
     val series = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect().map(_.getLong(1))

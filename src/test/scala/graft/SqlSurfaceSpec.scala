@@ -60,6 +60,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_vocab_stats" -> "unnest() lateral",
     "text_repetition" -> "string_split_regex + list_transform bigrams",
     "text_zipf_fit" -> "string_split_regex + unnest() lateral",
+    "text_winsorized_tokens" -> "string_split_regex + quantile_cont (Spark: percentile)",
+    "sample_source_mixture" -> "string_split_regex + hex-string CAST to BIGINT",
     "pack_context_chunks" -> "string_split_regex + list slicing",
     "payroll_gap_fill" -> "non-equality correlated scalar subqueries",
     "sim_topk_pq" -> "list comprehension k-means unroll + list_dot_product",
