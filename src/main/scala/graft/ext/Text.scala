@@ -364,6 +364,41 @@ object Text {
       .orderBy("source")
   }
 
+  private val LangTopK = 5
+  private val LangTopSalts = 8
+
+  /** Top-[[LangTopK]] terms per language — grouped top-k where the
+    * GROUP COUNT is bounded but each group's candidate set (its
+    * vocabulary) is not: a per-language ranking window would put one
+    * language's entire vocabulary — billions of distinct tokens at
+    * 100 TB (Heaps' law) — on a single task. Same cure as
+    * [[graft.ext.Curation.stratifiedSample]]: two-phase top-k. Phase
+    * 1 ranks each (lang, hash-salt) slice — [[LangTopSalts]]× the
+    * parallelism, every task sees only its slice of the vocabulary;
+    * phase 2 ranks the ≤ k·salts survivors per language. The slice
+    * union provably contains the per-language top-k, so the result
+    * equals the one-window form (asserted in `TextSpec`). Ranking is
+    * (count desc, token asc) — deterministic integer ordering. */
+  def topTermsPerLang(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("salt",
+        pmod(conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(LangTopSalts)))
+    val perSlice = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "salt").orderBy(col("n").desc, col("token").asc)
+    val perLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+    tf.withColumn("r1", row_number().over(perSlice))
+      .filter(col("r1") <= LangTopK)
+      .withColumn("rk", row_number().over(perLang).cast("long"))
+      .filter(col("rk") <= LangTopK)
+      .select(col("lang"), col("token"), col("n"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** Per-language winsorized token statistics — the robust-mean
     * screen a curation run uses where raw means are dragged by
     * outlier documents: token counts clip to the language's exact
@@ -394,6 +429,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winsorized_tokens" -> (winsorizedTokens _),
+    "text_top_terms_per_lang" -> (topTermsPerLang _),
     "text_quality_by_source" -> (qualityBySource _),
     "text_zipf_fit"    -> (zipfFit _),
     "text_lm_score"    -> (lmScore _),
@@ -409,6 +445,18 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the two-phase salted top-k equals the one-window form (the
+    // oracle states the latter)
+    "text_top_terms_per_lang" ->
+      s"""WITH tf AS (SELECT lang, token, count(*) AS n
+         |  FROM (SELECT lang, unnest($tokSql) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT lang, token, n, row_number() OVER (
+         |    PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+         |  FROM tf)
+         |SELECT lang, token, n, rk FROM r
+         |WHERE rk <= $LangTopK ORDER BY lang, rk""".stripMargin,
+
     // quantile_cont == Spark's exact interpolating percentile; the
     // clip and both means derive through identical double trees
     "text_winsorized_tokens" ->

@@ -630,11 +630,16 @@ object Events {
     * never flagged. */
   private val AnomalyZ = 3.0
 
-  def anomalyDaily(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, dir)
+  def anomalyDaily(s: SparkSession, dir: String): DataFrame =
+    anomalyScore(Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The scoring stage of [[anomalyDaily]] over a pre-aggregated
+    * (event_type, day, n) frame — separated so tests can drive the
+    * σ = 0 (constant trailing week) branch with a synthetic series. */
+  private[graft] def anomalyScore(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
     // n·Σx²−(Σx)² in pure bigint — exact, order-independent — then

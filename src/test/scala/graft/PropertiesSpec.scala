@@ -148,4 +148,42 @@ class PropertiesSpec extends SparkSpec {
       assert(got == expect, s"seed=$seed evs=$evs naive=${(e1, e2, e3, e4)}")
     }
   }
+
+  test("salted equi-join == plain equi-join on random frames and salt counts") {
+    val factGen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.oneOf("a", "b", "c", "d"))))
+    for (seed <- 1L to 8L) {
+      val rows = sample(factGen, seed)
+      val salts = 1 + (seed % 5).toInt
+      val fact = rows.toDF("id", "k")
+      val dim = List(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "wt")
+      val plain = fact.join(dim, Seq("k"))
+        .select("k", "id", "wt").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      val salted = graft.operators.SkewJoin
+        .saltedEquiJoin(fact, dim, "k", col("id"), salts)
+        .select("k", "id", "wt").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(salted == plain, s"seed=$seed salts=$salts")
+    }
+  }
+
+  test("anomaly scoring: constant trailing week yields null z, no flag") {
+    import java.sql.Date
+    // 8 constant days then a spike: rows 8+ have a full window; the
+    // σ=0 guard must null the z-score and never flag, even when the
+    // current value differs from the constant mean
+    val series = (1 to 8).map(i =>
+      ("t", Date.valueOf(f"2024-01-$i%02d"), 100L)) :+
+      (("t", Date.valueOf("2024-01-09"), 500L))
+    val df = series.toDF("event_type", "day", "n")
+    val got = graft.streaming.Events.anomalyScore(df)
+      .orderBy("day").collect()
+    assert(got.length == 2) // days 8 and 9 have 7 trailing rows
+    got.foreach { r =>
+      assert(r.isNullAt(5), s"z not null on constant week: $r")
+      assert(!r.getBoolean(6), s"flag raised on σ=0: $r")
+      assert(r.getDouble(4) == 0.0, s"sd nonzero: $r")
+    }
+  }
 }

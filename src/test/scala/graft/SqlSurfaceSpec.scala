@@ -61,6 +61,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_repetition" -> "string_split_regex + list_transform bigrams",
     "text_zipf_fit" -> "string_split_regex + unnest() lateral",
     "text_winsorized_tokens" -> "string_split_regex + quantile_cont (Spark: percentile)",
+    "text_top_terms_per_lang" -> "string_split_regex + unnest() lateral",
     "sample_source_mixture" -> "string_split_regex + hex-string CAST to BIGINT",
     "pack_context_chunks" -> "string_split_regex + list slicing",
     "payroll_gap_fill" -> "non-equality correlated scalar subqueries",

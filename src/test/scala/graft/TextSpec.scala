@@ -82,4 +82,19 @@ class TextSpec extends SparkSpec {
     val ratio = r.getDouble(2)
     assert(ratio > 0 && ratio <= 1.0, r.toString)
   }
+
+  test("two-phase per-language top-k equals the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val oneWindow = graft.Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("lang", "token", "n", "rk")
+      .orderBy("lang", "rk").collect().toSeq
+    val twoPhase = Text.topTermsPerLang(spark, sf0001).collect().toSeq
+    assert(twoPhase.nonEmpty && twoPhase == oneWindow)
+  }
 }
