@@ -202,6 +202,28 @@ object Dedup {
         .select(col("doc_id"), col("sh").as("item")).distinct(),
       ShingleT, "shingle_sorted_ords")
 
+  /** Per-document 3-shingle novelty — first-occurrence attribution:
+    * the fraction of a doc's distinct shingles that no lower-id doc
+    * contains, i.e. how much NEW content each doc adds under the
+    * deterministic doc_id processing order (greedy-dedup accounting;
+    * boilerplate-heavy docs score near 0). One vocabulary-sized
+    * min-aggregate over the shared memoized shingle rows; the
+    * first-owner table re-joins SHUFFLE-HASH (shingle-keyed and
+    * corpus-derived — broadcasting it is the standard at-scale
+    * driver OOM). Ratios are exact bigint rationals. */
+  def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir).select(col("doc_id"), col("sh")).distinct()
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+      .withColumn("novelty", r4(col("novel_shingles").cast("double") /
+        col("n_shingles").cast("double")))
+      .orderBy("doc_id")
+  }
+
   private val WinnowW = 4
 
   /** Winnowing document fingerprints (Schleimer et al.): hash every
@@ -671,6 +693,7 @@ object Dedup {
     "dedup_editdistance_pairs" -> (editDistancePairs _),
     "graph_pagerank"      -> (pagerank _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -801,6 +824,23 @@ object Dedup {
          |SELECT doc_id, round(pr, 6) AS pagerank
          |FROM it$PrIters ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_shingle_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM t),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |a AS (SELECT sh.doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS novel_shingles
+        |  FROM sh JOIN f USING (shingle) GROUP BY 1)
+        |SELECT doc_id, n_shingles, novel_shingles,
+        |  round(CAST(novel_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+        |    AS novelty
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "dedup_shingle_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

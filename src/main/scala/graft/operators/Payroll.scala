@@ -479,11 +479,30 @@ object Payroll {
     renamed.orderBy("year")
   }
 
+  /** Same-calendar-month year-over-year growth — the seasonal-
+    * comparison YoY (Jan vs last Jan), complementing the aggregate
+    * YoY of [[rollupYearly]]: the pct-change window partitions by
+    * month-of-year and orders by date, so each row compares against
+    * the same month one year earlier (pandas `pct_change(12)` on a
+    * month-indexed frame). Runs over the pre-reduced series; each
+    * partition holds ≤ #years rows. First observation of each
+    * calendar month drops (pandas NaN semantics). */
+  def yoySameMonth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("moy").orderBy("month")
+    series(s, dir)
+      .withColumn("moy", month(col("month")).cast("long"))
+      .withColumn("yoy_pct", r4(pctChange(col("emp"), w)))
+      .na.drop(Seq("yoy_pct"))
+      .select(col("month"), col("emp"), col("moy"), col("yoy_pct"))
+      .orderBy("month")
+  }
+
   // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "payroll_yoy_same_month"      -> (yoySameMonth _),
     "payroll_pivot_year_month"    -> (pivotYearMonth _),
     "payroll_slice_yearly_avg"    -> (sliceYearlyAvg _),
     "payroll_slice_year_compare"  -> (sliceYearCompare _),
@@ -511,6 +530,14 @@ object Payroll {
   private val S = Tables.monthlySeriesSql
 
   val oracleSql: Map[String, String] = Map(
+    "payroll_yoy_same_month" ->
+      s"""WITH series AS ($S),
+         |s2 AS (SELECT month, emp, CAST(month(month) AS BIGINT) AS moy,
+         |  (emp - lag(emp) OVER w) / lag(emp) OVER w * 100 AS yoy
+         |  FROM series WINDOW w AS (PARTITION BY month(month) ORDER BY month))
+         |SELECT month, emp, moy, round(yoy, 4) AS yoy_pct
+         |FROM s2 WHERE yoy IS NOT NULL ORDER BY month""".stripMargin,
+
     "payroll_pivot_year_month" ->
       s"""WITH series AS ($S)
          |SELECT year(month) AS year,

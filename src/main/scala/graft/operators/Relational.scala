@@ -295,7 +295,35 @@ object Relational {
       .orderBy("yr", "n_name")
   }
 
+  /** Cumulative order backlog per month — the open-work running total
+    * every operations dashboard carries: orders placed minus orders
+    * completed (an order completes in the month of its LAST shipment),
+    * cumulated over the month spine. The per-order completion date is
+    * one fact-sized max-aggregate (map-side combined); both monthly
+    * series pre-reduce to ≤ #months rows before the full-outer merge,
+    * and the running total — a global window — runs strictly over
+    * that calendar-grain frame (the lint-enforced W1 discipline).
+    * Pure integer arithmetic end to end. */
+  def orderBacklog(s: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(s, dir)
+      .select(CalCols.monthStart(col("o_orderdate")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("placed"))
+    val completed = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("done_ts"))
+      .select(CalCols.monthStart(col("done_ts")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("completed"))
+    val w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    placed.join(completed, Seq("m"), "full_outer")
+      .select(col("m"),
+        coalesce(col("placed"), lit(0L)).as("placed"),
+        coalesce(col("completed"), lit(0L)).as("completed"))
+      .withColumn("backlog",
+        sum(col("placed") - col("completed")).over(w))
+      .orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_order_backlog" -> (orderBacklog _),
     "rel_shipping_priority" -> (shippingPriority _),
     "rel_nation_market_share" -> (nationMarketShare _),
     "rel_quantity_rank_dist" -> (quantityRankDist _),
@@ -312,6 +340,22 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_order_backlog" ->
+      """WITH placed AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    count(*) AS placed FROM orders GROUP BY 1),
+        |per_order AS (SELECT l_orderkey, max(l_shipdate) AS done_ts
+        |  FROM lineitem GROUP BY 1),
+        |done AS (SELECT CAST(date_trunc('month', done_ts) AS DATE) AS m,
+        |    count(*) AS completed FROM per_order GROUP BY 1),
+        |j AS (SELECT coalesce(placed.m, done.m) AS m,
+        |    coalesce(placed, 0) AS placed, coalesce(completed, 0) AS completed
+        |  FROM placed FULL JOIN done ON placed.m = done.m)
+        |SELECT m, placed, completed,
+        |  CAST(sum(placed - completed) OVER (ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS backlog
+        |FROM j ORDER BY m""".stripMargin,
+
     "rel_shipping_priority" ->
       s"""SELECT l_orderkey,
          |  round(CAST(${dsumExactSql("l_extendedprice * (1 - l_discount)")}

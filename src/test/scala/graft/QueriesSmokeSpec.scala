@@ -192,6 +192,49 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("same-month yoy matches a driver-side recomputation") {
+    val ser = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val got = operators.Payroll.yoySameMonth(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val m = r.getDate(0).toLocalDate
+      val prev = ser(m.minusYears(1))
+      val expect = (ser(m) - prev).toDouble / prev * 100
+      assert(math.abs(r.getDouble(3) - expect) < 1e-3, s"yoy at $m")
+    }
+    // every month with a same-month predecessor appears
+    assert(got.length == ser.keys.count(m => ser.contains(m.minusYears(1))))
+  }
+
+  test("order backlog telescopes to placed minus completed") {
+    val rows = operators.Relational.orderBacklog(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(1) - r.getLong(2)
+      assert(r.getLong(3) == run, s"backlog drift at $r")
+    }
+    val placed = rows.map(_.getLong(1)).sum
+    val completed = rows.map(_.getLong(2)).sum
+    assert(placed == Tables.orders(spark, sf0001).count())
+    assert(completed == Tables.lineitem(spark, sf0001)
+      .select("l_orderkey").distinct().count())
+    // final backlog = orders that never ship a single line
+    assert(rows.last.getLong(3) == placed - completed)
+  }
+
+  test("shingle novelty: first doc fully novel, totals conserve") {
+    val rows = ext.Dedup.shingleNovelty(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0, s"lowest-id doc not fully novel: $first")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"overdraw: $r"))
+    val distinctShingles = rows.map(_.getLong(2)).sum
+    assert(distinctShingles > 0)
+  }
+
   test("rolling stats match a driver-side recomputation") {
     val series = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect().map(_.getLong(1))

@@ -27,6 +27,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "graph_pagerank" -> "minhash CTE (string_split_regex + hex-string casts)",
     "dedup_jaccard_pairs" -> "unnest() lateral",
     "dedup_shingle_jaccard" -> "string_split_regex",
+    "dedup_shingle_novelty" -> "string_split_regex + list_transform shingles",
     "dedup_simhash" -> "unnest() lateral",
     "dedup_simhash_pairs" -> "unnest() lateral",
     "dedup_winnow_pairs" -> "string_split_regex",
