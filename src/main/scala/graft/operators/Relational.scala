@@ -322,7 +322,33 @@ object Relational {
       .orderBy("m")
   }
 
+  /** Cheapest supplier per part (TPC-H Q2's groupwise-min shape on
+    * this schema): argmin-per-group as MIN-AGGREGATE + JOIN-BACK
+    * rather than a per-part ranking window — the aggregate
+    * pre-combines map-side and the join-back carries one (part,
+    * min-price) row per part, so a part with a billion lines costs
+    * its reducer one min, not a sort; ties break deterministically on
+    * the smallest supplier key. The join-back is SHUFFLE-HASH: the
+    * min-price table is corpus-derived (one row per part — part is
+    * fact-scaled in TPC-H, no broadcast). Price equality is exact:
+    * both sides compare the same stored double. */
+  def cheapestSupplierPerPart(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+    val minP = li.groupBy("l_partkey")
+      .agg(min("l_extendedprice").as("min_price"))
+      .withColumnRenamed("l_partkey", "mp_partkey")
+    li.join(minP.hint("shuffle_hash"),
+        col("l_partkey") === col("mp_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+      .groupBy("l_partkey", "min_price")
+      .agg(min("l_suppkey").as("suppkey"))
+      .select("l_partkey", "min_price", "suppkey")
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cheapest_supplier_per_part" -> (cheapestSupplierPerPart _),
     "rel_order_backlog" -> (orderBacklog _),
     "rel_shipping_priority" -> (shippingPriority _),
     "rel_nation_market_share" -> (nationMarketShare _),
@@ -340,6 +366,15 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_cheapest_supplier_per_part" ->
+      """WITH mp AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_partkey, mp.min_price,
+        |  CAST(min(l_suppkey) AS BIGINT) AS suppkey
+        |FROM lineitem l JOIN mp ON l.l_partkey = mp.l_partkey
+        |  AND l.l_extendedprice = mp.min_price
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     "rel_order_backlog" ->
       """WITH placed AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
         |    count(*) AS placed FROM orders GROUP BY 1),

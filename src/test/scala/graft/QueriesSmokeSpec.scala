@@ -235,6 +235,22 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(distinctShingles > 0)
   }
 
+  test("cheapest supplier per part ≡ the window-argmin form") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc)
+    val windowed = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_extendedprice").as("min_price"),
+        col("l_suppkey").as("suppkey"))
+      .orderBy("l_partkey").collect().toSeq
+    val joined = operators.Relational
+      .cheapestSupplierPerPart(spark, sf0001).collect().toSeq
+    assert(joined.nonEmpty && joined == windowed)
+  }
+
   test("rolling stats match a driver-side recomputation") {
     val series = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect().map(_.getLong(1))
