@@ -206,14 +206,69 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Long,
+      channels: Long, n_samples: Long)
+
+  /** RIFF/WAVE magic. */
+  private[graft] def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL audio-header decode for WAV payloads via the pure-JVM
+    * `javax.sound.sampled` stack (no native codecs needed for PCM
+    * WAV): sample rate, channel count, and frame length straight
+    * from the parsed header. */
+  private[graft] def decodeWav(row: MediaRow): Option[AudioMeta] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(row.content))
+      val fmt = aff.getFormat
+      Some(AudioMeta(row.media_id, row.content.length.toLong,
+        fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+        aff.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+
+  /** STUB AUDIO METADATA — deterministic fake for non-WAV payloads
+    * (this corpus's text bytes), mirroring [[decodeStub]]: rate and
+    * channel count derive from payload length, one "sample" per
+    * byte. SQL-expressible, so the oracle anchors the plumbing. */
+  def audioStub(row: MediaRow): AudioMeta = {
+    val nb = row.content.length.toLong
+    AudioMeta(row.media_id, nb, 8000L + (nb % 8) * 1000L, 1L + nb % 2, nb)
+  }
+
+  /** Audio metadata over the media table — same per-partition
+    * iterator→iterator shape as [[extractFeatures]], real WAV header
+    * parse where the magic matches, stub otherwise. */
+  def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(_.map { r =>
+      if (looksLikeWav(r.content)) decodeWav(r).getOrElse(audioStub(r))
+      else audioStub(r)
+    }).toDF().orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> (features _),
     "mm_meta"         -> (meta _),
     "mm_resize"       -> (resize _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_audio_meta"   -> (audioMeta _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ASCII corpus ⇒ every payload takes the stub path, whose
+    // metadata is a pure function of byte length
+    "mm_audio_meta" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |SELECT media_id, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(8000 + (nb % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + nb % 2 AS BIGINT) AS channels,
+        |  CAST(nb AS BIGINT) AS n_samples
+        |FROM b ORDER BY media_id""".stripMargin,
+
     "mm_resize" ->
       s"""WITH b AS (SELECT doc_id AS media_id, text,
         |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)

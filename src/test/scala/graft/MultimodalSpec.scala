@@ -53,6 +53,29 @@ class MultimodalSpec extends SparkSpec {
     assert(same(Multimodal.decode(corrupt), Multimodal.decodeStub(corrupt)))
   }
 
+  test("synthetic WAV decodes for real; text payloads take the audio stub") {
+    import javax.sound.sampled._
+    // 100 frames of 16-bit mono PCM at 22050 Hz, written through the
+    // real encoder so the header is authentic
+    val pcm = new Array[Byte](200)
+    val fmt = new AudioFormat(22050f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.looksLikeWav(wav))
+    val m = Multimodal.decodeWav(Multimodal.MediaRow(7L, wav, "s")).get
+    assert(m.sample_rate == 22050L && m.channels == 1L && m.n_samples == 100L)
+    // text payloads: stub metadata, a pure function of byte length
+    val txt = "plain text payload".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeWav(txt))
+    val st = Multimodal.audioStub(Multimodal.MediaRow(8L, txt, "s"))
+    assert(st.n_bytes == txt.length &&
+      st.sample_rate == 8000L + (txt.length % 8) * 1000L &&
+      st.channels == 1L + txt.length % 2 && st.n_samples == txt.length)
+  }
+
   test("feature extraction runs distributed, one row per media item") {
     val n = Tables.documents(spark, sf0001).count()
     val feats = Multimodal.extractFeatures(spark, sf0001)

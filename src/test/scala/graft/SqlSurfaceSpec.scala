@@ -38,6 +38,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "mm_features" -> "octet_length(CAST AS BLOB) + regexp_extract_all/len",
     "mm_frame_sample" -> "list_transform byte slicing",
     "mm_meta" -> "octet_length(CAST AS BLOB)",
+    "mm_audio_meta" -> "octet_length(CAST AS BLOB)",
     "mm_resize" -> "list_transform byte slicing",
     "pack_token_shards" -> "string_split_regex",
     "pipeline_decontaminate" -> "list comprehension n-gram hashing",
