@@ -602,16 +602,35 @@ object Events {
     * broadcast. The salt spreads each hot type over 8 reducers; the
     * oracle is the plain enrichment SQL, so the salted plan must be
     * row-for-row identical to the broadcast plan. */
-  def enrichedDailySalted(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    graft.operators.SkewJoin.saltedEquiJoin(
-        ev, typeWeights(ev), "event_type", col("event_id"), salts = 8)
+  private def dailyWeightedAgg(joined: DataFrame): DataFrame =
+    joined
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         r4(dsum(col("value") * col("type_weight"))).as("weighted_value"))
       .select(col("w.start").as("day_start"), col("event_type"),
         col("n_events"), col("weighted_value"))
+
+  def enrichedDailySalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    dailyWeightedAgg(graft.operators.SkewJoin.saltedEquiJoin(
+        ev, typeWeights(ev), "event_type", col("event_id"), salts = 8))
       .orderBy("day_start", "event_type")
+  }
+
+  /** The salted join on an unbounded stream — where salting earns its
+    * keep: AQE's skew-join splitting cannot rewrite a STREAMING
+    * stream-static join, so a hot key's micro-batch rows land on one
+    * task forever unless the key is widened at plan time. Same
+    * builder, same oracle-checked semantics ([[enrichedDailySalted]]);
+    * `EventsStreamSpec` asserts stream ≡ batch. */
+  def enrichedStreamSalted(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = fromRaw(
+      s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+      .withWatermark("ts", "2 hours")
+    dailyWeightedAgg(graft.operators.SkewJoin.saltedEquiJoin(
+      stream, typeWeights(Tables.events(s, dir)),
+      "event_type", col("event_id"), salts = 8))
   }
 
   /** Trailing-window z-score anomaly detection over daily event

@@ -121,6 +121,19 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SALTED stream-static enrichment == batch enrichment (complete mode)") {
+    val batch = Events.enrichedDaily(spark, sf0001).collect().map(_.toSeq).toSet
+    val q = Events.enrichedStreamSalted(spark, sf0001)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_salted_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_salted_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming funnel states reproduce the batch funnel counts") {
     import org.apache.spark.sql.functions._
     val batch = Events.funnelCounts(spark, sf0001).head()
