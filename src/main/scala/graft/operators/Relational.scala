@@ -347,7 +347,145 @@ object Relational {
       .orderBy("l_partkey")
   }
 
+  /** Monthly promo-revenue share (TPC-H Q14's conditional-aggregate
+    * shape, per month instead of one scalar): what fraction of each
+    * month's revenue came from PROMO-type parts. Scale shape: part is
+    * fact-scaled in TPC-H (|lineitem|/30), so the part join is
+    * SHUFFLE-HASH on the part key with both sides pre-projected to
+    * two columns — never a broadcast; the monthly aggregate then
+    * pre-combines map-side. Both sums go through the exact decimal
+    * path and the share is derived in double through the identical
+    * expression tree as the oracle. */
+  def promoShareMonthly(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), CalCols.monthStart(col("l_shipdate")).as("m"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(p.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .groupBy("m")
+      .agg(
+        dsumExact(when(col("is_promo"), col("rev")).otherwise(lit(0)))
+          .as("promo_rev"),
+        dsumExact(col("rev")).as("total_rev"))
+      .select(col("m"),
+        r4(lit(100) * col("promo_rev").cast("double") /
+          col("total_rev").cast("double")).as("promo_share"),
+        r4(col("total_rev").cast("double")).as("total_revenue"))
+      .orderBy("m")
+  }
+
+  /** Large-volume orders (TPC-H Q18): orders whose total quantity
+    * exceeds a threshold, joined back up to their customer. The
+    * HAVING filter runs on the PRE-REDUCED per-order aggregate — one
+    * row per order before any join — so the two joins carry only
+    * qualifying orders (204 at sf0.01, a vanishing fraction at any
+    * SF). The aggregate pre-combines map-side; the top-20 runs as
+    * TakeOrderedAndProject with a deterministic key tie-break. */
+  private val VolumeThreshold = 250
+
+  def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(dsumExact(col("l_quantity")).as("oq"))
+      .filter(col("oq") > VolumeThreshold)
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    qty.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        r4(col("oq").cast("double")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** Top supplier by quarterly revenue (TPC-H Q15's max-of-aggregate
+    * shape): suppliers whose revenue over one ship-date quarter equals
+    * the global maximum. The max is a ONE-ROW aggregate of the
+    * per-supplier frame → explicit broadcast back onto that same
+    * frame (never a shuffle); equality compares the exact DECIMAL
+    * sums, so ties are exact, not ulp-dependent. The date filter
+    * pushes into the parquet scan. */
+  private val TopSupplierFrom = "1998-01-01"
+  private val TopSupplierTo   = "1998-04-01"
+
+  def topSupplierByRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(TopSupplierFrom) &&
+        col("l_shipdate") < lit(TopSupplierTo))
+      .groupBy("l_suppkey")
+      .agg(dsumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        r4(col("total_rev").cast("double")).as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Wealthy-but-inactive customers per segment (TPC-H Q22's shape):
+    * customers whose balance beats the positive-balance average and
+    * who placed no order since the churn cutoff. The average is a
+    * ONE-ROW aggregate → broadcast threshold probe (no shuffle); the
+    * anti join streams the customer scan against the map-side
+    * recent-orderer set exactly as [[customersWithoutOrders]]. The
+    * threshold double derives from the exact decimal sum through the
+    * identical expression tree as the oracle, so the > comparison is
+    * deterministic cross-engine. */
+  def wealthyInactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(ChurnCutoff))
+      .select("o_custkey")
+    c.join(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        r4(dsum(col("c_acctbal"))).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Returned-item revenue per customer (TPC-H Q10): top-20 customers
+    * by revenue on returned lines, with their nation. The returnflag
+    * filter pushes into the scan; revenue pre-reduces to one row per
+    * order BEFORE the orders join, then to one per customer before
+    * customer/nation attach; the decimal re-sum at the customer level
+    * stays exact. nation broadcasts; the top-20 runs as
+    * TakeOrderedAndProject. */
+  def returnedItemCustomers(s: SparkSession, dir: String): DataFrame = {
+    val byOrder = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey")
+      .agg(dsumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    byOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev")).as("rev"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        r4(col("rev").cast("double")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_promo_share_monthly" -> (promoShareMonthly _),
+    "rel_large_volume_customers" -> (largeVolumeCustomers _),
+    "rel_top_supplier" -> (topSupplierByRevenue _),
+    "rel_wealthy_inactive" -> (wealthyInactiveCustomers _),
+    "rel_returned_item_customers" -> (returnedItemCustomers _),
     "rel_cheapest_supplier_per_part" -> (cheapestSupplierPerPart _),
     "rel_order_backlog" -> (orderBacklog _),
     "rel_shipping_priority" -> (shippingPriority _),
@@ -366,6 +504,62 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_promo_share_monthly" ->
+      s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         |  round(100 * CAST(${dsumExactSql(
+                "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         |      AS DOUBLE) /
+         |    CAST(${dsumExactSql("l_extendedprice * (1 - l_discount)")}
+         |      AS DOUBLE), 4) AS promo_share,
+         |  round(CAST(${dsumExactSql("l_extendedprice * (1 - l_discount)")}
+         |    AS DOUBLE), 4) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_large_volume_customers" ->
+      s"""WITH q AS (SELECT l_orderkey, ${dsumExactSql("l_quantity")} AS oq
+         |  FROM lineitem GROUP BY 1)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  round(CAST(oq AS DOUBLE), 4) AS total_qty
+         |FROM q JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE oq > $VolumeThreshold
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "rel_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey,
+         |    ${dsumExactSql("l_extendedprice * (1 - l_discount)")} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$TopSupplierFrom 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '$TopSupplierTo 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 4) AS revenue
+         |FROM r JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM r)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "rel_wealthy_inactive" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         |  round(${dsumSql("c_acctbal")}, 4) AS total_bal
+         |FROM customer c
+         |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")}
+         |    FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND o.o_orderdate >= TIMESTAMP '$ChurnCutoff 00:00:00')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_returned_item_customers" ->
+      s"""WITH ro AS (SELECT l_orderkey,
+         |    ${dsumExactSql("l_extendedprice * (1 - l_discount)")} AS rev
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         |rc AS (SELECT o_custkey, sum(rev) AS rev
+         |  FROM ro JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name, round(CAST(rev AS DOUBLE), 4) AS revenue
+         |FROM rc JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
     "rel_cheapest_supplier_per_part" ->
       """WITH mp AS (SELECT l_partkey, min(l_extendedprice) AS min_price
         |  FROM lineitem GROUP BY 1)
