@@ -427,7 +427,36 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Conjunctive keyword search with term-frequency relevance — the
+    * inverted-index probe of a corpus search: docs containing ALL
+    * query terms, ranked by total query-term occurrences. Plan shape
+    * is the posting-list build: tokenize → explode → FILTER TO QUERY
+    * TERMS BEFORE THE SHUFFLE (the isin prunes the exploded stream to
+    * query-term postings only, so the groupBy shuffles |postings of 3
+    * terms| rows, never |corpus tokens|), then one pre-combined
+    * aggregate per doc checks the AND (distinct-term count) and sums
+    * the score. The top-25 runs as TakeOrderedAndProject. At 100 TB
+    * this is exactly the query side of an inverted index: cost scales
+    * with the query terms' posting lists, not the corpus. */
+  private[ext] val SearchTerms = Seq("vector", "merge", "window")
+
+  def keywordSearch(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val posts = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(SearchTerms.map(t => t: Any): _*))
+    posts.groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("score"))
+      .filter(col("n_terms") === SearchTerms.size)
+      .join(d.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_search" -> (keywordSearch _),
     "text_winsorized_tokens" -> (winsorizedTokens _),
     "text_top_terms_per_lang" -> (topTermsPerLang _),
     "text_quality_by_source" -> (qualityBySource _),
@@ -445,6 +474,16 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_keyword_search" -> {
+      val lst = SearchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |    list_filter($tokSql, t -> list_contains($lst, t)) AS hits
+         |  FROM documents)
+         |SELECT doc_id, lang, source, CAST(len(hits) AS BIGINT) AS score
+         |FROM t WHERE len(list_distinct(hits)) = ${SearchTerms.size}
+         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+    },
+
     // the two-phase salted top-k equals the one-window form (the
     // oracle states the latter)
     "text_top_terms_per_lang" ->

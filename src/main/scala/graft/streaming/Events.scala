@@ -681,7 +681,26 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Top-3 event types per day by volume — the per-window leaderboard
+    * every analytics dashboard carries. The ranking window runs over
+    * the PRE-REDUCED (day × type) aggregate — ≤ #days · #types rows
+    * at any corpus size — and is partitioned by day, so no global
+    * ranking task exists; the aggregate itself pre-combines map-side.
+    * Ties break deterministically on the type name. */
+  def dailyTopTypes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("d")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("d", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_daily_top_types" -> (dailyTopTypes _),
     "events_anomaly_daily"  -> (anomalyDaily _),
     "events_wau_sketch"     -> (wauSketch _),
     "events_type_transitions" -> (typeTransitions _),
@@ -703,6 +722,17 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_daily_top_types" ->
+      """WITH agg AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |, r AS (SELECT d, event_type, n_events,
+        |    CAST(row_number() OVER (PARTITION BY d
+        |      ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rk
+        |  FROM agg)
+        |SELECT d, event_type, n_events, rk FROM r
+        |WHERE rk <= 3 ORDER BY d, rk""".stripMargin,
+
     // the estimate is engine-specific; the oracle checks exact WAU
     // and that the sketch union landed inside the certified envelope
     "events_wau_sketch" ->

@@ -54,6 +54,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_topk_lsh_ann" -> "list_dot_product",
     "text_cms_heavy_hitters" -> "unnest() lateral",
     "text_fingerprint" -> "hex-digit CAST to INT",
+    "text_keyword_search" -> "string_split_regex + list_filter postings",
     "text_langid" -> "string_split_regex",
     "text_quality" -> "string_split_regex",
     "text_term_freq" -> "unnest() lateral",
