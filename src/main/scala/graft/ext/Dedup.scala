@@ -629,16 +629,23 @@ object Dedup {
         .select(col("doc_id").as("src"), col("m").as("dst")).distinct()
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     }
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .toDF("dsrc", "deg")
+    // degree is a function of the edge table alone, so it joins onto
+    // the edges ONCE outside the loop — each power iteration then
+    // costs one join + one pre-combined groupBy (2 shuffles/round,
+    // down from 3; contributions are bit-identical either way)
+    val edgesDeg = graft.SessionMemo.cached(s, dir, "neardup_star_edges_deg") {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .toDF("dsrc", "deg")
+      edges.join(deg.hint("shuffle_hash"), col("src") === col("dsrc"))
+        .select(col("src"), col("dst"), col("deg"))
+    }
     val nodes = sigs.select("doc_id")
     val nDocs = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nDocs))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = pr
-        .join(deg.hint("shuffle_hash"), col("doc_id") === col("dsrc"))
-        .join(edges.hint("shuffle_hash"), col("src") === col("doc_id"))
+        .join(edgesDeg.hint("shuffle_hash"), col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"),
           round(col("pr") / col("deg"), 12).cast("decimal(25,15)").as("c"))
         .groupBy("doc_id").agg(sum("c").as("c"))

@@ -191,29 +191,38 @@ object Text {
     // O(n²) splits per document (10× wall-time at sf0.1, profiled);
     // the zip form evaluates the split a constant number of times per
     // row and stays map-side
-    val pairs = arrays_zip(
-      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
-    val exploded = Tables.documents(s, dir)
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    // the per-doc mode is a LINEAR RUN-SCAN of the sorted bigram
+    // array, entirely map-side — the previous explode → groupBy →
+    // per-doc ranking window shuffled EVERY bigram in the corpus and
+    // sorted per doc (a vocabulary-scale shuffle at 100 TB; 2× the
+    // wall-time at sf0.1, profiled). Sorted order + strict > keeps
+    // the lexicographically-first bigram on count ties — the same
+    // (count DESC, bigram ASC) semantics the window form had.
+    val best = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("arg")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc("best"), run).otherwise(acc("best")).as("best"),
+          when(run > acc("best"), x).otherwise(acc("arg")).as("arg"))
+      })
+    val topFrac = lit(2) * col("top_bigram_n") / col("n_tokens")
+    Tables.documents(s, dir)
       .filter(size(t) >= 2)
       .select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         (lit(1.0) - size(array_distinct(t)) / size(t)).as("dup_frac"),
-        explode(pairs).as("pr"))
-      .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
-        concat_ws(" ", col("pr.0"), col("pr.1")).as("bigram"))
-    val counts = exploded
-      .groupBy("doc_id", "n_tokens", "dup_frac", "bigram")
-      .agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("n").desc, col("bigram").asc)
-    val topFrac = lit(2) * col("n") / col("n_tokens")
-    counts
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+        best.getField("arg").as("top_bigram"),
+        best.getField("best").as("top_bigram_n"))
       .select(col("doc_id"), col("n_tokens"),
         r4(col("dup_frac")).as("dup_token_frac"),
-        col("bigram").as("top_bigram"),
-        col("n").as("top_bigram_n"),
+        col("top_bigram"), col("top_bigram_n"),
         r4(topFrac).as("top_bigram_frac"),
         (col("dup_frac") > DupTokenMax || topFrac > TopBigramMax)
           .as("repetitive"))
