@@ -151,13 +151,73 @@ object Dedup {
     ppVerified(sorted, ppCandidates(sorted, t), t)
   }
 
+  /** The memoized token sorted-ords frame shared by the whole-token-
+    * set family (symmetric Jaccard and asymmetric containment). Its
+    * `plen` column is Jaccard-specific ([[JaccardT]]); containment
+    * derives its own prefix length from `n`. */
+  private def tokenSortedOrds(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "jaccard_sorted_ords")(
+      ppSortedOrds(
+        distinctTokens(s, dir).withColumnRenamed("tok", "item"), JaccardT))
+
   /** Exact token-set Jaccard ≥ 0.95 via the prefix-filtered PPJoin
     * above (the naive inverted-index join was 40× slower here and is
     * quadratic in duplicate-cluster size at 100 TB). */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    ppJoinPairs(s, dir,
-      distinctTokens(s, dir).withColumnRenamed("tok", "item"),
-      JaccardT, "jaccard_sorted_ords")
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sorted = tokenSortedOrds(s, dir)
+    ppVerified(sorted, ppCandidates(sorted, JaccardT), JaccardT)
+  }
+
+  private val ContainT = 0.9
+
+  /** Asymmetric set-containment join: ordered pairs where ≥
+    * [[ContainT]] of the CONTAINED doc's distinct tokens appear in
+    * the container — the subset/quote-inclusion detector the
+    * symmetric Jaccard misses (a short doc fully embedded in a long
+    * one has tiny Jaccard but containment 1.0; greedy dedup wants to
+    * drop the contained copy). Same PPJoin machinery, different
+    * filter algebra: C(x→y) = |x∩y|/|x| ≥ t bounds only the
+    * CONTAINED side's prefix (its rarest `|x| − ⌈t·|x|⌉ + 1` ordinals
+    * under the ascending-DF order) while the container side probes
+    * with its FULL ordinal set — the classic asymmetric prefix-filter
+    * result (any y with |x∩y| ≥ t·|x| shares one of x's prefix
+    * items). The full-index side's buckets stay bounded because only
+    * RARE items (each doc's lowest-DF tokens) ever appear on the
+    * prefix side of the join, and the fused length filter
+    * |y| ≥ ⌈t·|x|⌉ prunes short containers before the distinct.
+    * Verification re-joins the ordinal arrays SHUFFLE-HASH (the
+    * corpus-derived array table is never broadcast) and emits both
+    * directions when each side contains the other. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentFromSorted(tokenSortedOrds(s, dir))
+
+  private[graft] def containmentFromSorted(sorted: DataFrame): DataFrame = {
+    val cplen = col("n") - ceil(lit(ContainT) * col("n")).cast("int") + 1
+    val prefixes = sorted.select(col("doc_id"), col("n"),
+      explode(slice(col("ords"), lit(1), cplen)).as("ord"))
+    val full = sorted.select(col("doc_id"), col("n"),
+      explode(col("ords")).as("ord"))
+    val pa = prefixes.toDF("doc_a", "na", "ord")
+    val pb = full.toDF("doc_b", "nb", "ord").hint("shuffle_hash")
+    val cand = pa.join(pb,
+        pa("ord") === pb("ord") && col("doc_a") =!= col("doc_b") &&
+          col("nb") >= ceil(lit(ContainT) * col("na")))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
+    val da = sets.toDF("doc_a", "ords_a", "na")
+    val db = sets.toDF("doc_b", "ords_b", "nb")
+    cand.join(da.hint("shuffle_hash"), Seq("doc_a"))
+      .join(db.hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("c", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("ords_a"), col("ords_b")))
+      .withColumn("containment", col("c") / col("na"))
+      .filter(col("containment") >= ContainT)
+      .select(col("doc_a").as("contained_doc"),
+        col("doc_b").as("container_doc"),
+        r4(col("containment")).as("containment"))
+      .orderBy("contained_doc", "container_doc")
+  }
 
   /** Word 3-gram shingle rows (doc_id, pos, shingle), built
     * relationally (posexplode + `lead` over a per-doc window) rather
@@ -659,6 +719,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document triangle counts over the VERIFIED MinHash near-dup
+    * pair graph ([[minhashLsh]], est ≥ 0.9) — the local-clustering
+    * member of the graph family: a doc in many triangles sits inside
+    * a tight duplicate clique (safe to drop all but one), while a
+    * high-degree doc with few triangles is a hub stitching unrelated
+    * clusters (LSH false-positive smell; dropping by degree alone
+    * would over-delete).
+    *
+    * Degree-ordered orientation — THE at-scale trick: orient every
+    * edge toward the higher (degree, id) endpoint, so each triangle
+    * is generated exactly once from its π-smallest vertex, and the
+    * wedge self-join's fan-out is per-node OUT-degree, bounded by
+    * O(√|E|) under this orientation (Schank–Wagner / Suri–Vassilvitskii)
+    * instead of raw degree — a celebrity node with 10⁶ near-dup
+    * neighbors contributes √-bounded wedges, not 10¹² . All three
+    * joins (degree attach, wedge build, wedge close) are SHUFFLE-HASH
+    * on id keys carrying two ints — nothing corpus-derived
+    * broadcasts. The oracle lists the identical triangles via a
+    * 3-way self-join over the identical all-pairs-verified edge set
+    * (canonical a &lt; b &lt; c — orientation choice cannot change
+    * the triangle SET). */
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    // memoized (S5): triangles is a second consumer of the verified
+    // pair table (dedup_minhash_lsh is the first)
+    trianglesFromPairs(graft.SessionMemo.cached(s, dir, "minhash_verified_pairs") {
+      minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    })
+
+  /** [[triangles]] over an explicit canonical (doc_a &lt; doc_b) edge
+    * list — the unit-testable core. */
+  private[graft] def trianglesFromPairs(pairs: DataFrame): DataFrame = {
+    val und = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = und.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+      .toDF("id", "deg")
+    val oriented = und
+      .join(deg.hint("shuffle_hash"), col("doc_a") === col("id"))
+      .select(col("doc_a"), col("doc_b"), col("deg").as("dega"))
+      .join(deg.toDF("id2", "degb").hint("shuffle_hash"),
+        col("doc_b") === col("id2"))
+      .filter(col("dega") < col("degb") ||
+        (col("dega") === col("degb") && col("doc_a") < col("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        col("degb").as("ddeg"))
+    val e1 = oriented.toDF("src", "v", "dv")
+    val e2 = oriented.toDF("src", "w", "dw")
+    val wedges = e1.join(e2.hint("shuffle_hash"), Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select("src", "v", "w")
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+      .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB CTE chain ending in `sigs (doc_id, sig)` and `edges
     * (src, dst)` — the MinHash band buckets → symmetric star edges of
     * the near-dup graph, shared by the reachability oracle
@@ -700,6 +817,8 @@ object Dedup {
     "dedup_editdistance_pairs" -> (editDistancePairs _),
     "graph_pagerank"      -> (pagerank _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_containment_pairs" -> (containmentPairs _),
+    "graph_triangles"     -> (triangles _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
@@ -866,6 +985,43 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE c / (sa.n + sb.n - c) >= $ShingleT
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle runs the naive all-pairs containment join — the
+    // asymmetric prefix filter is complete for C >= t, so the result
+    // sets are identical at oracle scale
+    "dedup_containment_pairs" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da AS contained_doc, db AS container_doc,
+         |  round(c / sa.n, 4) AS containment
+         |FROM inter JOIN sizes sa ON da = sa.doc_id
+         |WHERE c / sa.n >= $ContainT
+         |ORDER BY contained_doc, container_doc""".stripMargin,
+
+    // all-pairs verified edge set (identical to the LSH-banded one by
+    // the pigeonhole argument), then the canonical a < b < c triangle
+    // listing — orientation choice cannot change the triangle SET
+    "graph_triangles" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |mh AS (SELECT doc_id, kk.k AS k,
+         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+         |e AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(0, $NumPerm), i -> a.sig[i+1] = b.sig[i+1]))
+         |    / ${NumPerm}.0 >= 0.9),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH dt AS (SELECT DISTINCT doc_id,

@@ -171,6 +171,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: symmetric >=0.95 Jaccard pairs appear in BOTH directions") {
+    // C(x→y) = |x∩y|/|x| >= |x∩y|/|x∪y| = J always, so J >= 0.95
+    // forces both containments past the 0.9 threshold
+    val jac = Dedup.jaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cont = Dedup.containmentPairs(spark, sf0001)
+      .select("contained_doc", "container_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty, "fixture has no >=0.95 Jaccard pairs")
+    jac.foreach { case (a, b) =>
+      assert(cont((a, b)) && cont((b, a)),
+        s"Jaccard pair ($a,$b) missing a containment direction")
+    }
+  }
+
+  test("containment catches a strict subset doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    // x = 10 tokens fully inside y's 40 → C(x→y)=1.0 but J=0.25;
+    // z is disjoint noise
+    val items =
+      (0 until 10).map(j => (1L, s"w$j")) ++
+        (0 until 40).map(j => (2L, s"w$j")) ++
+        (0 until 10).map(j => (3L, s"z$j"))
+    val sorted = Dedup.ppSortedOrds(items.toDF("doc_id", "item"), 0.95)
+    val got = Dedup.containmentFromSorted(sorted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only (1 contained-in 2, 1.0), got ${got.mkString(",")}")
+  }
+
+  test("triangle counts match a brute-force recount of the same edge set") {
+    val edges = Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- edges
+      c <- edges.collect { case (`b`, x) => x } // a < b < c
+      if eset((a, c))
+    } Seq(a, b, c).foreach(d => expect(d) = expect.getOrElse(d, 0L) + 1L)
+    val got = Dedup.triangles(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expect.nonEmpty, "fixture near-dup graph has no triangles")
+    assert(got == expect.toMap,
+      s"${got.size} docs with triangles vs expected ${expect.size}")
+  }
+
+  test("triangles: degree-ordered orientation counts each triangle once (clique + hub)") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles, each member in 3) plus a hub 9
+    // attached to 0 and 1 — closing edge (0,1) exists so hub adds one
+    // triangle through it
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val pairs = (k4 ++ Seq((0L, 9L), (1L, 9L))).toDF("doc_a", "doc_b")
+    val got = Dedup.trianglesFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 4L, 1L -> 4L, 2L -> 3L, 3L -> 3L, 9L -> 1L),
+      s"got $got")
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 5))
