@@ -313,7 +313,31 @@ object Curation {
       .orderBy("source")
   }
 
+  private val ValPermille = 100 // 10.0% of CLUSTERS go to validation
+
+  /** Near-dup-aware train/validation split — the leakage guard of an
+    * eval protocol: the split coordinate is the keyed hash of the
+    * near-dup CLUSTER REPRESENTATIVE, not of the doc, so every member
+    * of a near-dup cluster lands on the same side and no training doc
+    * has a near-duplicate sitting in validation (a doc-level hash
+    * split cannot prevent that leak; at web scale most eval
+    * contamination IS a near-dup of a training doc). Composes the
+    * session-memoized [[Dedup.clusters]] (MinHash-band connected
+    * components); the split itself is map-only arithmetic over the
+    * linear cluster map — no new shuffle at any scale. */
+  def leakFreeSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(s, dir)
+      .withColumn("h",
+        pmod(conv(substring(md5(concat(lit("split:"),
+          col("cluster_rep").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(1000)))
+      .withColumn("split",
+        when(col("h") < ValPermille, lit("val")).otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_leakfree_split" -> (leakFreeSplit _),
     "sample_source_mixture"  -> (sourceMixture _),
     "sample_weighted"        -> (weightedSample _),
     "pipeline_decontaminate" -> (decontaminate _),
@@ -325,6 +349,16 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same reachability CTE as dedup_clusters; the split coordinate
+    // is the identical md5-60 hash of the rep, mod 1000
+    "pipeline_leakfree_split" ->
+      s"""WITH RECURSIVE ${Dedup.clustersCteSql}
+         |SELECT r.doc_id, r.cluster_rep,
+         |  CASE WHEN CAST(concat('0x', substr(md5('split:' || r.cluster_rep), 1, 15))
+         |      AS BIGINT) % 1000 < $ValPermille
+         |    THEN 'val' ELSE 'train' END AS split
+         |FROM rep r ORDER BY r.doc_id""".stripMargin,
+
     // rate derives through the identical double tree; the hash
     // coordinate is an exact rational on both engines
     "sample_source_mixture" ->

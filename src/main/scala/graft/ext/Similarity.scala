@@ -75,6 +75,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Label-aware hard-negative mining — the contrastive-training
+    * counterpart of kNN: for each query vector, the top-[[K]]
+    * most-similar corpus vectors carrying a DIFFERENT class label.
+    * Similar-but-wrong-class is exactly what a contrastive loss needs
+    * as negatives; random negatives are trivially far and teach
+    * nothing, while same-label neighbors are latent positives that
+    * would poison the batch. Same broadcast-query / stream-corpus
+    * shape as [[bruteForceTopK]] (the query workload is bounded by
+    * construction, the corpus streams once with partial top-k before
+    * the final per-query window); at 100 TB the candidate stage swaps
+    * for the LSH buckets exactly as [[lshAnn]] does. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val vs = labeledVectors(s, dir)
+    val q = vs.toDF("query_id", "qlabel", "qv", "qnrm")
+      .filter(col("query_id") < NQueries)
+    val c = vs.toDF("neighbor_id", "neg_label", "cv", "cnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // different-label already excludes the query row itself
+    c.join(broadcast(q), col("neg_label") =!= col("qlabel"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        r4(col("cos")).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic ±1 hyperplane component: `+1` iff the top bit of
     * `md5("t_j_k")` is 0 (equivalently the first hex digit is '0'-'7'
     * — the form the DuckDB oracle uses). Computed driver-side once per
@@ -545,6 +573,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (bruteForceTopK _),
+    "sim_hard_negatives"  -> (hardNegatives _),
     "sim_topk_lsh_ann"    -> (lshAnn _),
     "sim_topk_ivf"        -> (ivfTopK _),
     "sim_topk_pq"         -> (pqTopK _),
@@ -683,6 +712,23 @@ object Similarity {
          |      ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM p)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+         |  FROM e),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neg_label,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.label != q.label
+         |  WHERE q.vec_id < $NQueries),
+         |r AS (SELECT query_id, neighbor_id, neg_label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, neg_label, round(cos, 4) AS cos, rank
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_lsh_ann" ->

@@ -464,7 +464,54 @@ object Text {
       .limit(25)
   }
 
+  private val PmiMinCount = 5
+  private val PmiTopK = 20
+
+  /** Collocation mining: the [[PmiTopK]] most-associated ADJACENT
+    * token pairs by pointwise mutual information — the phrase /
+    * multi-word-expression detector a tokenizer-construction pass
+    * runs over a pretraining corpus. PMI(w1,w2) =
+    * log2(p(w1,w2) / (p(w1)·p(w2))) with probabilities from corpus
+    * counts (bigram stream / unigram stream).
+    *
+    * Plan shape: bigrams come from a per-doc `lead` window (never a
+    * self-join of the token stream); both count tables are
+    * pre-combined vocabulary-sized aggregates; the two unigram-count
+    * joins run SHUFFLE-HASH (a corpus-derived vocabulary never
+    * broadcasts) while the two one-row totals cross-join broadcast.
+    * The [[PmiMinCount]] floor kills hapax pairs — whose PMI is
+    * maximal noise — BEFORE the joins. The log2 argument assembles
+    * through one fixed double tree and rounds to 6 decimals before
+    * ranking (libm ulp discipline); the ranked total order
+    * (pmi desc, w1, w2) runs as TakeOrderedAndProject, never a
+    * global window. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+    val bgCounts = tok
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = tok.groupBy("w1").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum("c").as("n_tokens"))
+    val nBg = bgCounts.agg(sum("c12").as("n_bigrams"))
+    bgCounts.filter(col("c12") >= PmiMinCount)
+      .join(uni.toDF("w1", "c1").hint("shuffle_hash"), Seq("w1"))
+      .join(uni.toDF("w2", "c2").hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .withColumn("pmi", round(log2(
+        col("c12").cast("double") * col("n_tokens") * col("n_tokens") /
+          (col("n_bigrams").cast("double") * col("c1") * col("c2"))), 6))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_bigrams" -> (pmiBigrams _),
     "text_keyword_search" -> (keywordSearch _),
     "text_winsorized_tokens" -> (winsorizedTokens _),
     "text_top_terms_per_lang" -> (topTermsPerLang _),
@@ -483,6 +530,26 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // parallel unnests zip positionally; the PMI argument assembles
+    // through the identical ((c12*N)*N) / ((NB*c1)*c2) double tree
+    "text_pmi_bigrams" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+         |  FROM d),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |u AS (SELECT unnest(tk) AS w FROM d),
+         |uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uc),
+         |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM bc)
+         |SELECT w1, w2, c12,
+         |  round(log2(((CAST(c12 AS DOUBLE) * n_tokens) * n_tokens) /
+         |    ((CAST(n_bigrams AS DOUBLE) * u1.c) * u2.c)), 6) AS pmi
+         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+         |CROSS JOIN nt CROSS JOIN nb
+         |WHERE c12 >= $PmiMinCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
     "text_keyword_search" -> {
       val lst = SearchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, lang, source,

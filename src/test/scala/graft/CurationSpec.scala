@@ -237,6 +237,31 @@ class CurationSpec extends SparkSpec {
       s"chunking must not hash-shuffle:\n$plan")
   }
 
+  test("leak-free split: cluster members never straddle, coordinate is the rep hash") {
+    val out = Curation.leakFreeSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // every member of a cluster carries its rep's split
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $rep straddles the split")
+    }
+    // the coordinate is md5-60("split:" + rep) % 1000 < 100
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(rep: Long): Long = {
+      md.reset()
+      val hex = md.digest(s"split:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    out.foreach { case (doc, rep, split) =>
+      val want = if (h(rep) < 100) "val" else "train"
+      assert(split == want, s"doc $doc rep $rep: $split != $want")
+    }
+    val vals = out.count(_._3 == "val")
+    assert(vals > 0 && vals < out.length, s"degenerate split: $vals/${out.length}")
+  }
+
   test("pipeline_curation joins the cluster map shuffle-hash, never broadcast") {
     SessionMemo.clear(spark)
     val plan = Curation.pipeline(spark, sf0001)

@@ -132,6 +132,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.3f — PQ codebooks degenerate")
   }
 
+  test("hard negatives: top-k different-label neighbors, recomputed driver-side") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = rows.filter(_._1 < 10).flatMap { case (qid, qlabel, qv) =>
+      rows.filter(_._2 != qlabel)
+        .map { case (nid, nl, nv) => (nid, nl, cos(qv, nv)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, nl, _), i) => (qid, nid, nl, i + 1L) }
+    }.toSeq.sortBy(t => (t._1, t._4))
+    val got = Similarity.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("neg_label"), r.getAs[Long]("rank"))).toSeq
+    assert(got == expect, s"${got.size} rows vs expected ${expect.size}")
+    // and the label constraint holds against the queries' own labels
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (q, n, nl, _) =>
+      assert(labels(n) == nl && nl != labels(q), s"negative $n shares label with query $q")
+    }
+  }
+
   test("LSH ANN finds a nontrivial fraction of the exact top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf0001)
       .select("query_id", "neighbor_id").collect()

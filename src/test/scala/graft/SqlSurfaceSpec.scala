@@ -26,6 +26,11 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
     "graph_pagerank" -> "minhash CTE (string_split_regex + hex-string casts)",
     "dedup_jaccard_pairs" -> "unnest() lateral",
+    "dedup_containment_pairs" -> "unnest() lateral",
+    "graph_triangles" -> "minhash CTE (string_split_regex + hex-string casts)",
+    "sim_hard_negatives" -> "list_dot_product",
+    "text_pmi_bigrams" -> "unnest() zipped list_transform bigrams",
+    "pipeline_leakfree_split" -> "recursive CTE reachability + hex-string casts",
     "dedup_shingle_jaccard" -> "string_split_regex",
     "dedup_shingle_novelty" -> "string_split_regex + list_transform shingles",
     "dedup_simhash" -> "unnest() lateral",

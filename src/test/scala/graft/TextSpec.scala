@@ -97,4 +97,31 @@ class TextSpec extends SparkSpec {
     val twoPhase = Text.topTermsPerLang(spark, sf0001).collect().toSeq
     assert(twoPhase.nonEmpty && twoPhase == oneWindow)
   }
+
+  test("pmi bigrams match a driver-side recomputation") {
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val tk = t.trim.split("\\s+")
+      tk.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); bg(k) = bg.getOrElse(k, 0L) + 1
+      }
+    }
+    val n = uni.values.sum.toDouble
+    val nb = bg.values.sum.toDouble
+    val expect = bg.toSeq.collect { case ((w1, w2), c12) if c12 >= 5 =>
+      val pmi = math.log(c12 * n * n / (nb * uni(w1) * uni(w2))) / math.log(2.0)
+      (w1, w2, c12, BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(20)
+    val got = Text.pmiBigrams(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == expect.map(t => (t._1, t._2, t._3)),
+      s"bigram ranking mismatch: got ${got.take(3)}… expected ${expect.take(3)}…")
+    got.zip(expect).foreach { case ((w1, w2, _, g), (_, _, _, e)) =>
+      assert(math.abs(g - e) <= 1e-6, s"pmi($w1,$w2): $g vs $e")
+    }
+  }
 }
