@@ -170,25 +170,28 @@ object Dedup {
 
   private val ContainT = 0.9
 
-  /** Asymmetric set-containment join: ordered pairs where ≥
-    * [[ContainT]] of the CONTAINED doc's distinct tokens appear in
-    * the container — the subset/quote-inclusion detector the
-    * symmetric Jaccard misses (a short doc fully embedded in a long
-    * one has tiny Jaccard but containment 1.0; greedy dedup wants to
-    * drop the contained copy). Same PPJoin machinery, different
-    * filter algebra: C(x→y) = |x∩y|/|x| ≥ t bounds only the
-    * CONTAINED side's prefix (its rarest `|x| − ⌈t·|x|⌉ + 1` ordinals
-    * under the ascending-DF order) while the container side probes
-    * with its FULL ordinal set — the classic asymmetric prefix-filter
-    * result (any y with |x∩y| ≥ t·|x| shares one of x's prefix
-    * items). The full-index side's buckets stay bounded because only
-    * RARE items (each doc's lowest-DF tokens) ever appear on the
-    * prefix side of the join, and the fused length filter
-    * |y| ≥ ⌈t·|x|⌉ prunes short containers before the distinct.
-    * Verification re-joins the ordinal arrays SHUFFLE-HASH (the
-    * corpus-derived array table is never broadcast) and emits both
-    * directions when each side contains the other. */
-  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+  /** Asymmetric set-containment, MINIMAL-CONTAINER form: for each doc
+    * x whose distinct-token set is ≥ [[ContainT]]-contained in some
+    * STRICTLY LARGER doc's set, the best container (highest
+    * containment, ties to the smallest then lowest-id container) —
+    * the subset/quote-inclusion detector the symmetric Jaccard misses
+    * (a short doc fully embedded in a long one has tiny Jaccard but
+    * containment 1.0; greedy dedup drops the contained copy). Output
+    * is ONE row per contained doc — linear at any scale, where the
+    * full pair listing is quadratic in corpus overlap (8.3M rows on
+    * the sf0.1 fixture, output-bound in ANY engine).
+    *
+    * Same PPJoin machinery, different filter algebra: C(x→y) =
+    * |x∩y|/|x| ≥ t bounds only the CONTAINED side's prefix (its
+    * rarest `|x| − ⌈t·|x|⌉ + 1` ordinals under the ascending-DF
+    * order) while the container side probes with its FULL ordinal set
+    * — the classic asymmetric prefix-filter result (any y with
+    * |x∩y| ≥ t·|x| shares one of x's prefix items). The |x| < |y|
+    * restriction is fused into the candidate join; verification
+    * re-joins the ordinal arrays SHUFFLE-HASH (the corpus-derived
+    * array table is never broadcast) and the argmax is a pre-combined
+    * struct-max aggregate, never a window over the pair stream. */
+  def containmentTop(s: SparkSession, dir: String): DataFrame =
     containmentFromSorted(tokenSortedOrds(s, dir))
 
   private[graft] def containmentFromSorted(sorted: DataFrame): DataFrame = {
@@ -200,8 +203,7 @@ object Dedup {
     val pa = prefixes.toDF("doc_a", "na", "ord")
     val pb = full.toDF("doc_b", "nb", "ord").hint("shuffle_hash")
     val cand = pa.join(pb,
-        pa("ord") === pb("ord") && col("doc_a") =!= col("doc_b") &&
-          col("nb") >= ceil(lit(ContainT) * col("na")))
+        pa("ord") === pb("ord") && col("na") < col("nb"))
       .select("doc_a", "doc_b")
       .distinct()
     val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
@@ -213,10 +215,17 @@ object Dedup {
         .sortedIntersectSize(col("ords_a"), col("ords_b")))
       .withColumn("containment", col("c") / col("na"))
       .filter(col("containment") >= ContainT)
-      .select(col("doc_a").as("contained_doc"),
-        col("doc_b").as("container_doc"),
-        r4(col("containment")).as("containment"))
-      .orderBy("contained_doc", "container_doc")
+      // argmax container per contained doc: lexicographic struct max
+      // on (containment, −nb, −doc_b) — a map-side-combining hash
+      // aggregate; the UNROUNDED containment ranks (an exact rational
+      // of integers, bit-equal on both engines)
+      .groupBy(col("doc_a").as("contained_doc"))
+      .agg(max(struct(col("containment").as("cm"),
+        (-col("nb")).as("negn"), (-col("doc_b")).as("negb"))).as("best"))
+      .select(col("contained_doc"),
+        (-col("best.negb")).as("container_doc"),
+        r4(col("best.cm")).as("containment"))
+      .orderBy("contained_doc")
   }
 
   /** Word 3-gram shingle rows (doc_id, pos, shingle), built
@@ -727,53 +736,134 @@ object Dedup {
     * clusters (LSH false-positive smell; dropping by degree alone
     * would over-delete).
     *
-    * Degree-ordered orientation — THE at-scale trick: orient every
-    * edge toward the higher (degree, id) endpoint, so each triangle
-    * is generated exactly once from its π-smallest vertex, and the
-    * wedge self-join's fan-out is per-node OUT-degree, bounded by
-    * O(√|E|) under this orientation (Schank–Wagner / Suri–Vassilvitskii)
-    * instead of raw degree — a celebrity node with 10⁶ near-dup
-    * neighbors contributes √-bounded wedges, not 10¹² . All three
-    * joins (degree attach, wedge build, wedge close) are SHUFFLE-HASH
-    * on id keys carrying two ints — nothing corpus-derived
-    * broadcasts. The oracle lists the identical triangles via a
-    * 3-way self-join over the identical all-pairs-verified edge set
-    * (canonical a &lt; b &lt; c — orientation choice cannot change
-    * the triangle SET). */
+    * SIGNATURE-COLLAPSE — the at-scale trick for duplicate-dense
+    * graphs: the est-Jaccard between two docs depends only on their
+    * MinHash signatures, so signature-IDENTICAL docs (est 1.0 — exact
+    * and near-exact copies) form cliques whose members all share one
+    * adjacency. Collapse each signature class to a supernode of
+    * weight w; per-doc counts then decompose in closed form:
+    *
+    *   tri(x ∈ S) = C(w_S−1, 2)                       (both in S)
+    *              + (w_S−1)·Σ_{T∈N(S)} w_T            (one in S)
+    *              + Σ_{T∈N(S)} C(w_T, 2)              (both in one T)
+    *              + Σ_{S-T-U triangle} w_T·w_U         (all distinct)
+    *
+    * Only the LAST term lists triangles — on the collapsed graph,
+    * whose size is the number of DISTINCT signatures (the naive
+    * listing on the raw sf0.1 fixture is 5·10⁸ wedge rows for a
+    * 1.3M-edge union of near-cliques; collapsed it is thousands).
+    * That listing uses degree-ordered orientation (each triangle
+    * generated once from its π-smallest corner, wedge fan-out bounded
+    * by out-degree — Schank–Wagner), and every join in sight is
+    * SHUFFLE-HASH on id keys: nothing corpus-derived broadcasts. The
+    * oracle lists the identical triangles via a 3-way self-join over
+    * the identical all-pairs-verified edge set (collapse is exact, so
+    * the per-doc counts cannot differ). */
   def triangles(s: SparkSession, dir: String): DataFrame =
-    // memoized (S5): triangles is a second consumer of the verified
-    // pair table (dedup_minhash_lsh is the first)
-    trianglesFromPairs(graft.SessionMemo.cached(s, dir, "minhash_verified_pairs") {
-      minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    trianglesFromSigs(graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
     })
 
-  /** [[triangles]] over an explicit canonical (doc_a &lt; doc_b) edge
-    * list — the unit-testable core. */
-  private[graft] def trianglesFromPairs(pairs: DataFrame): DataFrame = {
-    val und = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val deg = und.groupBy("doc_a").agg(count(lit(1)).as("deg"))
-      .toDF("id", "deg")
-    val oriented = und
-      .join(deg.hint("shuffle_hash"), col("doc_a") === col("id"))
-      .select(col("doc_a"), col("doc_b"), col("deg").as("dega"))
+  /** [[triangles]] over an explicit (doc_id, sig) frame — the
+    * unit-testable core.
+    *
+    * The collapsed-graph intermediates (`member`, `gEdges`,
+    * `oriented`) each feed 3–8 downstream consumers; they are tiny
+    * (supernode-sized) but their LINEAGE is the whole banded
+    * candidate + verify pipeline, which an unfused DAG would replay
+    * per consumer (~8× — profiled 26 s → 4 s at sf0.1). Each is
+    * `localCheckpoint`ed once and the pinned blocks are released via
+    * the session cleanup hook, the [[clustersFromBuckets]] pattern. */
+  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val rowsPerBand = NumPerm / Bands
+    // signature classes: supernode id = min member doc_id, weight =
+    // class size; the groupBy shuffles one 32-long array per doc
+    val (member, memberIds) = checkpointTracked(sigs.groupBy("sig")
+      .agg(min("doc_id").as("gid"), count(lit(1)).as("w")))
+    val grp = member.select("gid", "sig", "w")
+    // banded candidates between DISTINCT signature classes, exactly
+    // the minhashLsh plan shape but over supernodes
+    val banded = grp.select(
+      col("gid"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("bucket"))))
+        .as("bb"))
+      .select(col("gid"), col("bb.band"), col("bb.bucket"))
+    val ba = banded.toDF("ga", "band", "bucket")
+    val bb = banded.toDF("gb", "band", "bucket").hint("shuffle_hash")
+    val cand = ba.join(bb, Seq("band", "bucket"))
+      .filter(col("ga") < col("gb")).select("ga", "gb").distinct()
+    val sa = grp.select(col("gid").as("ga"), col("sig").as("sig_a"))
+    val sb = grp.select(col("gid").as("gb"), col("sig").as("sig_b"))
+    val (gEdges, gEdgeIds) = checkpointTracked(cand
+      .join(sa.hint("shuffle_hash"), Seq("ga"))
+      .join(sb.hint("shuffle_hash"), Seq("gb"))
+      .filter(graft.functions.ArrayAgreeCount
+        .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm) >= 0.9)
+      .select("ga", "gb"))
+    val und = gEdges.union(
+      gEdges.select(col("gb").as("ga"), col("ga").as("gb")))
+    val wTbl = grp.select(col("gid"), col("w"))
+    // per-group neighbor aggregates: Σ w_T and Σ C(w_T, 2)
+    val nbr = und
+      .join(wTbl.toDF("gb", "wb").hint("shuffle_hash"), Seq("gb"))
+      .groupBy("ga")
+      .agg(sum("wb").as("nbr_w"),
+        sum(expr("(wb * (wb - 1)) div 2")).as("nbr_pairs"))
+      .toDF("gid", "nbr_w", "nbr_pairs")
+    // weighted triangle listing on the COLLAPSED graph: orient by
+    // (degree, gid), build wedges at the π-smallest corner, close on
+    // the (v, w) edge; each closed triangle credits every corner with
+    // the product of the OTHER two corners' weights
+    val deg = und.groupBy("ga").agg(count(lit(1)).as("deg")).toDF("id", "deg")
+    val (oriented, orientedIds) = checkpointTracked(und
+      .join(deg.hint("shuffle_hash"), col("ga") === col("id"))
+      .select(col("ga"), col("gb"), col("deg").as("dega"))
       .join(deg.toDF("id2", "degb").hint("shuffle_hash"),
-        col("doc_b") === col("id2"))
+        col("gb") === col("id2"))
       .filter(col("dega") < col("degb") ||
-        (col("dega") === col("degb") && col("doc_a") < col("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
-        col("degb").as("ddeg"))
-    val e1 = oriented.toDF("src", "v", "dv")
-    val e2 = oriented.toDF("src", "w", "dw")
+        (col("dega") === col("degb") && col("ga") < col("gb")))
+      .select(col("ga").as("src"), col("gb").as("dst"), col("degb").as("ddeg"))
+      .join(wTbl.toDF("src", "ws").hint("shuffle_hash"), Seq("src"))
+      .join(wTbl.toDF("dst", "wd").hint("shuffle_hash"), Seq("dst")))
+    val e1 = oriented.select(col("src"), col("dst").as("v"),
+      col("ddeg").as("dv"), col("ws"), col("wd").as("wv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"),
+      col("ddeg").as("dw"), col("wd").as("ww"))
     val wedges = e1.join(e2.hint("shuffle_hash"), Seq("src"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
-      .select("src", "v", "w")
+      .select("src", "v", "w", "ws", "wv", "ww")
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
-      .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    val cross = wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+      .select(explode(array(
+        struct(col("src").as("gid"), (col("wv") * col("ww")).as("t")),
+        struct(col("v").as("gid"), (col("ws") * col("ww")).as("t")),
+        struct(col("w").as("gid"), (col("ws") * col("wv")).as("t"))))
+        .as("c"))
+      .groupBy(col("c.gid").as("gid")).agg(sum("c.t").as("cross_t"))
+    // closed-form per-group total, expanded back to members
+    val perGroup = wTbl
+      .join(nbr.hint("shuffle_hash"), Seq("gid"), "left")
+      .join(cross.hint("shuffle_hash"), Seq("gid"), "left")
+      .select(col("gid"),
+        (expr("((w - 1) * (w - 2)) div 2") +
+          (col("w") - 1) * coalesce(col("nbr_w"), lit(0L)) +
+          coalesce(col("nbr_pairs"), lit(0L)) +
+          coalesce(col("cross_t"), lit(0L))).as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+    val out = sigs.join(member.hint("shuffle_hash"), Seq("sig"))
+      .select(col("doc_id"), col("gid"))
+      .join(perGroup.hint("shuffle_hash"), Seq("gid"))
+      .select(col("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
+    graft.SessionMemo.registerCleanup(sess,
+      s"triangle_checkpoint:${ccInstance.incrementAndGet()}")(
+      () => release(sess, memberIds ++ gEdgeIds ++ orientedIds))
+    out
   }
 
   /** DuckDB CTE chain ending in `sigs (doc_id, sig)` and `edges
@@ -817,7 +907,7 @@ object Dedup {
     "dedup_editdistance_pairs" -> (editDistancePairs _),
     "graph_pagerank"      -> (pagerank _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
-    "dedup_containment_pairs" -> (containmentPairs _),
+    "dedup_containment_top" -> (containmentTop _),
     "graph_triangles"     -> (triangles _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
@@ -986,21 +1076,27 @@ object Dedup {
         |WHERE c / (sa.n + sb.n - c) >= $ShingleT
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // the oracle runs the naive all-pairs containment join — the
-    // asymmetric prefix filter is complete for C >= t, so the result
-    // sets are identical at oracle scale
-    "dedup_containment_pairs" ->
+    // the oracle runs the naive all-pairs containment join, then the
+    // identical (containment DESC, nb ASC, db ASC) argmax — the
+    // asymmetric prefix filter is complete for C >= t, so the
+    // candidate sets (and therefore the argmax) are identical
+    "dedup_containment_top" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
          |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
          |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id != b.doc_id
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |j AS (SELECT da, db, c / sa.n AS cont, sb.n AS nb
+         |  FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE sa.n < sb.n AND c / sa.n >= $ContainT),
+         |r AS (SELECT da, db, cont, row_number() OVER (PARTITION BY da
+         |    ORDER BY cont DESC, nb ASC, db ASC) AS rk FROM j)
          |SELECT da AS contained_doc, db AS container_doc,
-         |  round(c / sa.n, 4) AS containment
-         |FROM inter JOIN sizes sa ON da = sa.doc_id
-         |WHERE c / sa.n >= $ContainT
-         |ORDER BY contained_doc, container_doc""".stripMargin,
+         |  round(cont, 4) AS containment
+         |FROM r WHERE rk = 1 ORDER BY contained_doc""".stripMargin,
 
     // all-pairs verified edge set (identical to the LSH-banded one by
     // the pigeonhole argument), then the canonical a < b < c triangle

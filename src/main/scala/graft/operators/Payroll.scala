@@ -364,6 +364,60 @@ object Payroll {
       .orderBy("month")
   }
 
+  /** Holt coefficients — literals on both engines for the same
+    * exact-parse reason as [[EwmaAlpha]]/[[EwmaBeta]]. */
+  private val HoltAlpha  = 0.5
+  private val HoltAlpha2 = 0.5
+  private val HoltGamma  = 0.3
+  private val HoltGamma2 = 0.7
+
+  /** Holt double-exponential smoothing — EWMA's trend-aware upgrade
+    * (EWMA lags a trending series by design; Holt carries an explicit
+    * trend state and forecasts one step ahead):
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),  l_1 = x_1
+    *   b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1},  b_1 = 0
+    *
+    * Same execution shape as [[ewma]]: the pre-reduced calendar-grain
+    * series collapses to one sorted array and a higher-order
+    * `aggregate` fold threads BOTH states (level, trend) through it —
+    * no window expresses a coupled recursion, no UDF needed. The
+    * trend update reuses the level update's EXPRESSION (both engines
+    * evaluate the identical IEEE tree twice, so duplicating the
+    * subexpression cannot fork the value); the oracle replays the
+    * recursion as a recursive CTE with the same duplicated tree. */
+  def holt(s: SparkSession, dir: String): DataFrame = {
+    val outType =
+      "array<struct<month:date,emp:bigint,level:double,trend:double>>"
+    val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      lit(false).as("init"), array().cast(outType).as("out"))
+    val folded = aggregate(
+      col("ser"),
+      zero,
+      (acc, x) => {
+        val lNew = when(acc("init"),
+          lit(HoltAlpha) * x("emp") +
+            lit(HoltAlpha2) * (acc("l") + acc("b")))
+          .otherwise(x("emp").cast("double"))
+        val bNew = when(acc("init"),
+          lit(HoltGamma) * (lNew - acc("l")) + lit(HoltGamma2) * acc("b"))
+          .otherwise(lit(0.0))
+        struct(lNew.as("l"), bNew.as("b"), lit(true).as("init"),
+          concat(acc("out"), array(struct(
+            x("month").as("month"), x("emp").as("emp"),
+            lNew.as("level"), bNew.as("trend")))).as("out"))
+      },
+      acc => acc("out"))
+    series(s, dir)
+      .agg(sort_array(collect_list(struct(col("month"), col("emp"))))
+        .as("ser"))
+      .select(explode(folded).as("r"))
+      .select(col("r.month").as("month"), col("r.emp").as("emp"),
+        r4(col("r.level")).as("level"), r4(col("r.trend")).as("trend"),
+        r4(col("r.level") + col("r.trend")).as("forecast_next"))
+      .orderBy("month")
+  }
+
   /** Seasonality index — the month-of-year profile every calendar
     * roll-up dashboard adds after YoY: average level per calendar
     * month over the whole corpus, normalized by the global average
@@ -522,6 +576,7 @@ object Payroll {
     "payroll_recovery"            -> (recovery _),
     "payroll_rolling_stats"       -> (rollingStats _),
     "payroll_ewma"                -> (ewma _),
+    "payroll_holt"                -> (holt _),
     "payroll_seasonality"         -> (seasonality _),
     "payroll_gap_fill"            -> (gapFill _),
     "payroll_decompose"           -> (decompose _),
@@ -705,6 +760,28 @@ object Payroll {
          |    CAST($EwmaAlpha AS DOUBLE) * n.emp + CAST($EwmaBeta AS DOUBLE) * r.s
          |  FROM n JOIN r ON n.rn = r.rn + 1)
          |SELECT month, emp, round(s, 4) AS ewma FROM r ORDER BY month""".stripMargin,
+
+    // the trend column repeats the level column's expression tree —
+    // same-tree-twice is value-identical on both engines
+    "payroll_holt" ->
+      s"""WITH RECURSIVE series AS ($S),
+         |n AS (SELECT month, emp,
+         |  row_number() OVER (ORDER BY month) AS rn FROM series),
+         |r AS (
+         |  SELECT rn, month, emp, CAST(emp AS DOUBLE) AS l,
+         |    CAST(0.0 AS DOUBLE) AS b
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.rn, n.month, n.emp,
+         |    CAST($HoltAlpha AS DOUBLE) * n.emp +
+         |      CAST($HoltAlpha2 AS DOUBLE) * (r.l + r.b),
+         |    CAST($HoltGamma AS DOUBLE) * ((CAST($HoltAlpha AS DOUBLE) * n.emp +
+         |        CAST($HoltAlpha2 AS DOUBLE) * (r.l + r.b)) - r.l) +
+         |      CAST($HoltGamma2 AS DOUBLE) * r.b
+         |  FROM n JOIN r ON n.rn = r.rn + 1)
+         |SELECT month, emp, round(l, 4) AS level, round(b, 4) AS trend,
+         |  round(l + b, 4) AS forecast_next
+         |FROM r ORDER BY month""".stripMargin,
 
     "payroll_seasonality" ->
       s"""WITH series AS ($S),

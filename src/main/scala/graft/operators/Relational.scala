@@ -480,7 +480,41 @@ object Relational {
       .limit(20)
   }
 
+  private val SmallQtyBrand = "Brand#13"
+  private val SmallQtyType  = "ECONOMY"
+
+  /** Small-quantity-order revenue (TPC-H Q17's correlated-aggregate
+    * shape): average yearly revenue lost if orders below 20% of their
+    * part's average quantity were no longer taken, over one
+    * brand+type part slice. The per-part correlated scalar subquery
+    * decorrelates into a pre-combined per-part average joined back to
+    * the same sliced fact — the standard Catalyst-friendly rewrite.
+    *
+    * Plan shape: the part slice broadcasts as a LEFT-SEMI prune of
+    * the fact FIRST, so both the average and the final filter touch
+    * only the slice's lineitems (a ~1/150 fraction at any SF); the
+    * per-part average table re-joins SHUFFLE-HASH (it is fact-derived
+    * and SF-proportional — broadcasting it is the at-scale OOM).
+    * Sums ride the exact decimal path; the 0.2 threshold compares in
+    * double through the identical tree on both engines. */
+  def smallOrderRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(s, dir)
+      .filter(col("p_brand") === SmallQtyBrand && col("p_type") === SmallQtyType)
+      .select("p_partkey")
+    val sliced = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgq = sliced.groupBy("l_partkey")
+      .agg(davg(col("l_quantity")).as("aq"))
+      .toDF("ak", "aq")
+    sliced.join(avgq.hint("shuffle_hash"), col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(r4(dsumExact(col("l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_small_order_revenue" -> (smallOrderRevenue _),
     "rel_promo_share_monthly" -> (promoShareMonthly _),
     "rel_large_volume_customers" -> (largeVolumeCustomers _),
     "rel_top_supplier" -> (topSupplierByRevenue _),
@@ -504,6 +538,18 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the correlated form decorrelates to the identical grouped
+    // average; sums ride the shared exact-decimal path
+    "rel_small_order_revenue" ->
+      s"""WITH pk AS (SELECT p_partkey FROM part
+         |  WHERE p_brand = '$SmallQtyBrand' AND p_type = '$SmallQtyType'),
+         |sl AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN pk ON l_partkey = p_partkey),
+         |aq AS (SELECT l_partkey AS ak, ${davgSql("l_quantity")} AS aq
+         |  FROM sl GROUP BY 1)
+         |SELECT round(${dsumSql("l_extendedprice")} / 7.0, 4) AS avg_yearly
+         |FROM sl JOIN aq ON l_partkey = ak
+         |WHERE l_quantity < 0.2 * aq""".stripMargin,
     "rel_promo_share_monthly" ->
       s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
          |  round(100 * CAST(${dsumExactSql(

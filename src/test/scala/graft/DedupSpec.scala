@@ -171,20 +171,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("containment: symmetric >=0.95 Jaccard pairs appear in BOTH directions") {
-    // C(x→y) = |x∩y|/|x| >= |x∩y|/|x∪y| = J always, so J >= 0.95
-    // forces both containments past the 0.9 threshold
-    val jac = Dedup.jaccardPairs(spark, sf0001)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val cont = Dedup.containmentPairs(spark, sf0001)
-      .select("contained_doc", "container_doc").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(jac.nonEmpty, "fixture has no >=0.95 Jaccard pairs")
-    jac.foreach { case (a, b) =>
-      assert(cont((a, b)) && cont((b, a)),
-        s"Jaccard pair ($a,$b) missing a containment direction")
-    }
+  test("containment top: best container matches a driver-side recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSet)
+    val expect = docs.flatMap { case (a, sa) =>
+      val best = docs.collect {
+        case (b, sb) if sa.size < sb.size &&
+          sa.count(sb).toDouble / sa.size >= 0.9 =>
+          (b, sa.count(sb).toDouble / sa.size, sb.size)
+      }
+      if (best.isEmpty) None
+      else Some {
+        val (b, c, _) = best.minBy { case (id, c, nb) => (-c, nb, id) }
+        (a, b, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(_._1).toSeq
+    val got = Dedup.containmentTop(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expect.nonEmpty, "fixture has no contained docs")
+    assert(got == expect, s"${got.size} rows vs expected ${expect.size}")
   }
 
   test("containment catches a strict subset doc that symmetric Jaccard misses") {
@@ -220,17 +226,30 @@ class DedupSpec extends SparkSpec {
       s"${got.size} docs with triangles vs expected ${expect.size}")
   }
 
-  test("triangles: degree-ordered orientation counts each triangle once (clique + hub)") {
+  test("triangles: signature collapse covers every closed-form term (clique + hub)") {
     import spark.implicits._
-    // K4 on {0,1,2,3} (4 triangles, each member in 3) plus a hub 9
-    // attached to 0 and 1 — closing edge (0,1) exists so hub adds one
-    // triangle through it
-    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
-    val pairs = (k4 ++ Seq((0L, 9L), (1L, 9L))).toDF("doc_a", "doc_b")
-    val got = Dedup.trianglesFromPairs(pairs).collect()
+    import org.apache.spark.sql.functions._
+    // 4 docs share signature A (a K4 supernode of weight 4); a hub doc
+    // carries signature B differing from A in 3 of 32 positions
+    // (est = 29/32 ≥ 0.9 → A-B edge). Per-doc counts: each A member
+    // is in C(3,2)=3 internal + 3·1 one-in-A-one-hub = 6 triangles;
+    // the hub closes a triangle with every A pair: C(4,2) = 6.
+    val sigA = (0 until 32).map(i => 1000L + i)
+    val sigB = sigA.updated(0, 1L).updated(1, 2L).updated(2, 3L)
+    val sigs = ((0 until 4).map(d => (d.toLong, sigA)) :+ (9L, sigB))
+      .toDF("doc_id", "sig")
+    val got = Dedup.trianglesFromSigs(sigs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(0L -> 4L, 1L -> 4L, 2L -> 3L, 3L -> 3L, 9L -> 1L),
+    assert(got == Map(0L -> 6L, 1L -> 6L, 2L -> 6L, 3L -> 6L, 9L -> 6L),
       s"got $got")
+    // distinct-signature triangle (three supernodes of weight 1): C
+    // rewrites the SAME 3 positions as B with third values, so all
+    // three pairs differ in exactly 3 of 32 → est 29/32 ≥ 0.9
+    val sigC = sigA.updated(0, 7L).updated(1, 8L).updated(2, 9L)
+    val tri3 = Seq((1L, sigA), (2L, sigB), (3L, sigC)).toDF("doc_id", "sig")
+    val got3 = Dedup.trianglesFromSigs(tri3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got3")
   }
 
   test("simhash pairs respect the declared hamming bound") {

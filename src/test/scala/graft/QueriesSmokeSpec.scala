@@ -287,6 +287,47 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("holt fold matches the coupled scalar recursion") {
+    val series = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect().map(_.getLong(1))
+    val got = operators.Payroll.holt(spark, sf0001).collect()
+    assert(got.length == series.length)
+    var l = series.head.toDouble
+    var b = 0.0
+    got.zipWithIndex.foreach { case (row, i) =>
+      if (i > 0) {
+        val lNew = 0.5 * series(i) + 0.5 * (l + b)
+        b = 0.3 * (lNew - l) + 0.7 * b
+        l = lNew
+      }
+      assert(math.abs(row.getDouble(2) - l) < 1e-3, s"level at row $i")
+      assert(math.abs(row.getDouble(3) - b) < 1e-3, s"trend at row $i")
+      assert(math.abs(row.getDouble(4) - (row.getDouble(2) + row.getDouble(3))) < 2e-4,
+        s"forecast at row $i")
+    }
+  }
+
+  test("small-order revenue matches a driver-side decorrelated recomputation") {
+    val pk = spark.read.parquet(s"$sf0001/part.parquet").collect()
+      .filter(r => r.getAs[String]("p_brand") == "Brand#13" &&
+        r.getAs[String]("p_type") == "ECONOMY")
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(t => pk(t._1))
+    assert(li.nonEmpty, "fixture slice is empty — pick another brand/type")
+    val avg = li.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(t => BigDecimal(t._2)).sum.toDouble / rows.length
+    }
+    val expect = li.collect {
+      case (k, q, p) if q < 0.2 * avg(k) => BigDecimal(p)
+    }.sum.toDouble / 7.0
+    val got = operators.Relational.smallOrderRevenue(spark, sf0001)
+      .collect().head.getDouble(0)
+    assert(math.abs(got - expect) < 1e-2, s"$got vs $expect")
+  }
+
   test("seasonality indexes average to ~1 weighted by month frequency") {
     val rows = operators.Payroll.seasonality(spark, sf0001).collect()
     assert(rows.length == 12)

@@ -26,7 +26,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
     "graph_pagerank" -> "minhash CTE (string_split_regex + hex-string casts)",
     "dedup_jaccard_pairs" -> "unnest() lateral",
-    "dedup_containment_pairs" -> "unnest() lateral",
+    "dedup_containment_top" -> "unnest() lateral",
     "graph_triangles" -> "minhash CTE (string_split_regex + hex-string casts)",
     "sim_hard_negatives" -> "list_dot_product",
     "text_pmi_bigrams" -> "unnest() zipped list_transform bigrams",
