@@ -774,16 +774,19 @@ object Dedup {
     * per consumer (~8× — profiled 26 s → 4 s at sf0.1). Each is
     * `localCheckpoint`ed once and the pinned blocks are released via
     * the session cleanup hook, the [[clustersFromBuckets]] pattern. */
-  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
-    val sess = sigs.sparkSession
+  /** The collapsed signature graph shared by the graph-analytics
+    * family: signature classes as weighted supernodes (`member`:
+    * (sig, gid, w)) and the est ≥ 0.9 verified edges between DISTINCT
+    * classes (`gEdges`: (ga, gb), ga &lt; gb) — the minhashLsh plan
+    * shape run over supernodes. Both frames are `localCheckpoint`ed
+    * (each feeds several consumers; unfused lineage would replay the
+    * banded candidate + verify pipeline per consumer); callers fold
+    * the returned block ids into their cleanup registration. */
+  private def sigGraph(sigs: DataFrame): (DataFrame, DataFrame, Set[Int]) = {
     val rowsPerBand = NumPerm / Bands
-    // signature classes: supernode id = min member doc_id, weight =
-    // class size; the groupBy shuffles one 32-long array per doc
     val (member, memberIds) = checkpointTracked(sigs.groupBy("sig")
       .agg(min("doc_id").as("gid"), count(lit(1)).as("w")))
     val grp = member.select("gid", "sig", "w")
-    // banded candidates between DISTINCT signature classes, exactly
-    // the minhashLsh plan shape but over supernodes
     val banded = grp.select(
       col("gid"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
@@ -804,6 +807,13 @@ object Dedup {
       .filter(graft.functions.ArrayAgreeCount
         .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm) >= 0.9)
       .select("ga", "gb"))
+    (member, gEdges, memberIds ++ gEdgeIds)
+  }
+
+  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (member, gEdges, graphIds) = sigGraph(sigs)
+    val grp = member.select("gid", "sig", "w")
     val und = gEdges.union(
       gEdges.select(col("gb").as("ga"), col("ga").as("gb")))
     val wTbl = grp.select(col("gid"), col("w"))
@@ -862,7 +872,58 @@ object Dedup {
       .orderBy("doc_id")
     graft.SessionMemo.registerCleanup(sess,
       s"triangle_checkpoint:${ccInstance.incrementAndGet()}")(
-      () => release(sess, memberIds ++ gEdgeIds ++ orientedIds))
+      () => release(sess, graphIds ++ orientedIds))
+    out
+  }
+
+  private val AaTopK = 20
+
+  /** Adamic–Adar link prediction over the collapsed signature graph —
+    * LSH FALSE-NEGATIVE recovery: two signature classes never paired
+    * by banding but sharing many (rare) common neighbors are almost
+    * certainly near-dups whose bands all narrowly missed; ranking
+    * non-edges by Σ_C 1/ln(deg(C)) over common neighbors C surfaces
+    * exactly those, discounting promiscuous hub neighbors. The
+    * [[AaTopK]] highest-scoring missing links are what a pipeline
+    * would re-verify exactly.
+    *
+    * Shape: wedges enumerate at each CENTER over the supernode graph
+    * (thousands of nodes where the raw doc graph has clique blow-up);
+    * the non-edge anti-join and degree attach are shuffle-hash; every
+    * common-neighbor term rounds to 12 decimals and sums through an
+    * exact DECIMAL(25,15) (the PageRank discipline), so accumulation
+    * order cannot move the ranking; top-k runs as
+    * TakeOrderedAndProject with an (a, b) tie-break. A common
+    * neighbor has degree ≥ 2, so 1/ln(deg) is always finite. */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame =
+    adamicAdarFromSigs(graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    })
+
+  private[graft] def adamicAdarFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (_, gEdges, graphIds) = sigGraph(sigs)
+    val und = gEdges.union(
+      gEdges.select(col("gb").as("ga"), col("ga").as("gb")))
+    val deg = und.groupBy("ga").agg(count(lit(1)).as("deg")).toDF("c", "deg")
+    val n1 = und.toDF("c", "a")
+    val n2 = und.toDF("c", "b")
+    val wedges = n1.join(n2.hint("shuffle_hash"), Seq("c"))
+      .filter(col("a") < col("b"))
+    val out = wedges
+      .join(gEdges.toDF("a", "b").hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+      .join(deg.hint("shuffle_hash"), Seq("c"))
+      .groupBy("a", "b")
+      .agg(sum(round(lit(1.0) / log(col("deg")), 12).cast("decimal(25,15)"))
+        .as("sc"), count(lit(1)).as("common_neighbors"))
+      .select(col("a").as("group_a"), col("b").as("group_b"),
+        col("common_neighbors"),
+        round(col("sc").cast("double"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("group_a").asc, col("group_b").asc)
+      .limit(AaTopK)
+    graft.SessionMemo.registerCleanup(sess,
+      s"aa_checkpoint:${ccInstance.incrementAndGet()}")(
+      () => release(sess, graphIds))
     out
   }
 
@@ -909,6 +970,7 @@ object Dedup {
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_containment_top" -> (containmentTop _),
     "graph_triangles"     -> (triangles _),
+    "graph_link_prediction" -> (adamicAdar _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
@@ -1118,6 +1180,37 @@ object Dedup {
          |m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
          |SELECT doc_id, count(*) AS n_triangles
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // identical collapse (signature classes keyed by min doc_id),
+    // identical wedge/non-edge algebra, and the shared rounded-term
+    // exact-decimal sum, so the ranking cannot fork between engines
+    "graph_link_prediction" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |mh AS (SELECT doc_id, kk.k AS k,
+         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+         |grp AS (SELECT min(doc_id) AS gid, any_value(sig) AS sig
+         |  FROM (SELECT doc_id, sig, CAST(sig AS VARCHAR) AS s FROM sigs)
+         |  GROUP BY s),
+         |ge AS (SELECT a.gid AS ga, b.gid AS gb
+         |  FROM grp a JOIN grp b ON a.gid < b.gid
+         |  WHERE len(list_filter(range(0, $NumPerm), i -> a.sig[i+1] = b.sig[i+1]))
+         |    / ${NumPerm}.0 >= 0.9),
+         |und AS (SELECT ga, gb FROM ge UNION ALL SELECT gb AS ga, ga AS gb FROM ge),
+         |deg AS (SELECT ga AS c, count(*) AS deg FROM und GROUP BY 1),
+         |wd AS (SELECT u1.ga AS c, u1.gb AS a, u2.gb AS b
+         |  FROM und u1 JOIN und u2 ON u1.ga = u2.ga AND u1.gb < u2.gb),
+         |ne AS (SELECT wd.c, wd.a, wd.b FROM wd
+         |  LEFT JOIN ge ON ge.ga = wd.a AND ge.gb = wd.b
+         |  WHERE ge.ga IS NULL),
+         |sc AS (SELECT a, b, count(*) AS common_neighbors,
+         |    SUM(CAST(round(1.0 / ln(deg.deg), 12) AS DECIMAL(25,15))) AS sc
+         |  FROM ne JOIN deg USING (c) GROUP BY 1, 2)
+         |SELECT a AS group_a, b AS group_b, common_neighbors,
+         |  round(CAST(sc AS DOUBLE), 6) AS aa_score
+         |FROM sc ORDER BY aa_score DESC, group_a, group_b LIMIT $AaTopK""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH dt AS (SELECT DISTINCT doc_id,

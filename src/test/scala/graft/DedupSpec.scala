@@ -252,6 +252,40 @@ class DedupSpec extends SparkSpec {
     assert(got3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got3")
   }
 
+  test("adamic-adar: path fixture scores the missing closing edge") {
+    import spark.implicits._
+    // path A–B–C: B differs from A in positions 0-2 (est 29/32 →
+    // edge), C differs from B in positions 3-5 (edge) and from A in
+    // all six (est 26/32 → NON-edge). The wedge at B predicts the
+    // missing (A, C) link with score 1/ln(deg B) = 1/ln 2
+    val sigA = (0 until 32).map(i => 1000L + i)
+    val sigB = sigA.updated(0, 1L).updated(1, 2L).updated(2, 3L)
+    val sigC = sigB.updated(3, 4L).updated(4, 5L).updated(5, 6L)
+    val sigs = Seq((1L, sigA), (2L, sigB), (3L, sigC)).toDF("doc_id", "sig")
+    val got = Dedup.adamicAdarFromSigs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 3L, 1L, want)), s"got ${got.mkString(",")}")
+  }
+
+  test("adamic-adar predictions are wedge-connected non-edges on the fixture") {
+    val preds = Dedup.adamicAdarFromSigs(
+      Dedup.signatures(
+        spark.read.parquet(s"$sf0001/documents.parquet")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.array_distinct(
+                graft.ext.Text.tokens(
+                  org.apache.spark.sql.functions.col("text")))).as("tok"))))
+      .collect()
+    assert(preds.nonEmpty, "no predicted links on the fixture graph")
+    assert(preds.forall(_.getLong(2) >= 1))
+    // scores decrease down the ranking (rounded ties broken by ids)
+    val scores = preds.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 5))

@@ -28,6 +28,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_jaccard_pairs" -> "unnest() lateral",
     "dedup_containment_top" -> "unnest() lateral",
     "graph_triangles" -> "minhash CTE (string_split_regex + hex-string casts)",
+    "graph_link_prediction" -> "minhash CTE (string_split_regex + hex-string casts)",
     "sim_hard_negatives" -> "list_dot_product",
     "text_pmi_bigrams" -> "unnest() zipped list_transform bigrams",
     "pipeline_leakfree_split" -> "recursive CTE reachability + hex-string casts",
