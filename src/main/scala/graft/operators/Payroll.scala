@@ -517,6 +517,65 @@ object Payroll {
       .orderBy("month")
   }
 
+  /** CUSUM slack and alarm threshold in σ units — standard tabular
+    * CUSUM tuning (k = σ/2 targets a 1σ mean shift, h = 4σ bounds
+    * the false-alarm rate); literals so both engines parse the exact
+    * same doubles. */
+  private val CusumK = 0.5
+  private val CusumH = 4.0
+
+  /** Tabular CUSUM change-point detection — the sequential mean-shift
+    * detector a payroll analyst runs to find WHEN the level moved
+    * (recessions, recoveries), upgrading [[graft.streaming.Events]]'
+    * pointwise z-score anomalies to drift that no single month
+    * triggers:
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − kσ))
+    *   S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − kσ))
+    *
+    * The max(0, ·) recursion LOOKS sequential like [[ewma]], but has
+    * a closed window form: S_t = P_t − min(0, min_{j≤t} P_j) where P
+    * is the running sum of the increments — so it runs as two
+    * window passes over the pre-reduced calendar-grain series, no
+    * fold needed. Determinism: μ and σ derive from exact integer
+    * sums (emp is a count) through one fixed double tree; increments
+    * round to 8 decimals and prefix-sum in exact DECIMAL, so the
+    * running min is order-independent; the alarm compares doubles
+    * cast from those exact decimals against h·σ. */
+  def cusum(s: SparkSession, dir: String): DataFrame = {
+    val stats = series(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("emp")).cast("double").as("s1"),
+      sum(col("emp") * col("emp")).cast("double").as("s2"))
+    val D = "decimal(25,8)"
+    val withStats = series(s, dir).crossJoin(broadcast(stats))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("sigma",
+        sqrt(greatest(col("s2") / col("n") - (col("s1") / col("n")) *
+          (col("s1") / col("n")), lit(0.0))))
+      .withColumn("dp",
+        round(col("emp") - col("mu") - lit(CusumK) * col("sigma"), 8).cast(D))
+      .withColumn("dn",
+        round(col("mu") - col("emp") - lit(CusumK) * col("sigma"), 8).cast(D))
+    val wRun = wGlobal.rowsBetween(Window.unboundedPreceding, 0)
+    val prefixed = withStats
+      .withColumn("pp", sum(col("dp")).over(wRun))
+      .withColumn("pn", sum(col("dn")).over(wRun))
+    prefixed
+      .withColumn("sp", col("pp").cast("double") -
+        least(min(col("pp")).over(wRun).cast("double"), lit(0.0)))
+      .withColumn("sn", col("pn").cast("double") -
+        least(min(col("pn")).over(wRun).cast("double"), lit(0.0)))
+      .select(col("month"), col("emp"),
+        r4(col("sp")).as("cusum_pos"),
+        r4(col("sn")).as("cusum_neg"),
+        when(col("sp") > lit(CusumH) * col("sigma"), 1).otherwise(0)
+          .as("alarm_up"),
+        when(col("sn") > lit(CusumH) * col("sigma"), 1).otherwise(0)
+          .as("alarm_down"))
+      .orderBy("month")
+  }
+
   /** Pivot (the OLAP cross-tab the dashboard renders as its month ×
     * year matrix): one row per year, one column per month. Explicit
     * pivot values skip Spark's extra distinct-discovery job; the
@@ -580,6 +639,7 @@ object Payroll {
     "payroll_seasonality"         -> (seasonality _),
     "payroll_gap_fill"            -> (gapFill _),
     "payroll_decompose"           -> (decompose _),
+    "payroll_cusum"               -> (cusum _),
   )
 
   private val S = Tables.monthlySeriesSql
@@ -791,6 +851,34 @@ object Payroll {
          |SELECT month_num, round(avg_emp, 4) AS avg_emp,
          |  round(avg_emp / global_avg, 4) AS seasonal_index
          |FROM m, g ORDER BY month_num""".stripMargin,
+
+    // the same prefix-sum-minus-running-min closed form of the
+    // max(0, ·) recursion; increments round to 8 dp into exact
+    // DECIMAL, so both engines' running sums and mins are bit-equal
+    "payroll_cusum" ->
+      s"""WITH series AS ($S),
+         |st AS (SELECT count(*) AS n, CAST(sum(emp) AS DOUBLE) AS s1,
+         |    CAST(sum(emp * emp) AS DOUBLE) AS s2 FROM series),
+         |p AS (SELECT month, emp, s1 / n AS mu,
+         |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+         |  FROM series, st),
+         |d AS (SELECT month, emp, sigma,
+         |    CAST(round(emp - mu - $CusumK * sigma, 8) AS DECIMAL(25,8)) AS dp,
+         |    CAST(round(mu - emp - $CusumK * sigma, 8) AS DECIMAL(25,8)) AS dn
+         |  FROM p),
+         |pr AS (SELECT month, emp, sigma, sum(dp) OVER w AS pp,
+         |    sum(dn) OVER w AS pn
+         |  FROM d
+         |  WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sc AS (SELECT month, emp, sigma,
+         |    CAST(pp AS DOUBLE) - least(CAST(min(pp) OVER w AS DOUBLE), 0.0) AS sp,
+         |    CAST(pn AS DOUBLE) - least(CAST(min(pn) OVER w AS DOUBLE), 0.0) AS sn
+         |  FROM pr
+         |  WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT month, emp, round(sp, 4) AS cusum_pos, round(sn, 4) AS cusum_neg,
+         |  CASE WHEN sp > $CusumH * sigma THEN 1 ELSE 0 END AS alarm_up,
+         |  CASE WHEN sn > $CusumH * sigma THEN 1 ELSE 0 END AS alarm_down
+         |FROM sc ORDER BY month""".stripMargin,
 
     "payroll_decompose" ->
       s"""WITH series AS ($S),

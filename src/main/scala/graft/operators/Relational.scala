@@ -513,7 +513,121 @@ object Relational {
         .as("avg_yearly"))
   }
 
+  private val WaitLagDays = 90
+
+  /** Suppliers who alone held up multi-supplier orders (TPC-H Q21's
+    * double-correlated EXISTS / NOT EXISTS shape, re-keyed to this
+    * schema's columns: "late" = shipped more than [[WaitLagDays]]
+    * after the order date, over finished orders). A supplier is
+    * blamed for an order when its line shipped late, at least one
+    * OTHER supplier fed the same order, and NO other supplier was
+    * late — the sole-culprit condition.
+    *
+    * The two correlated subqueries decorrelate into grouped counts
+    * over ONE per-(order, supplier) pre-reduction: the orders join is
+    * hinted shuffle-hash (fact×fact — a broadcast would OOM at
+    * scale), which leaves the stream hash-partitioned by order key,
+    * so BOTH the (order, supplier) aggregate and the per-order window
+    * reuse that single shuffle (HashPartitioning(orderkey) satisfies
+    * the subset clustering requirement). Per-supplier counts then
+    * shuffle once more on the supplier key; nation broadcasts; the
+    * top-20 runs as TakeOrderedAndProject. The oracle keeps the
+    * correlated EXISTS/NOT EXISTS form over the same pre-reduction,
+    * proving the rewrite. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $WaitLagDays DAYS"), 1L)
+          .otherwise(0L).as("late1"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late1")).as("late"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    soleLateCounts(perSupp)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** The decorrelated sole-culprit core over a (l_orderkey,
+    * l_suppkey, late) pre-reduction: per-supplier counts of orders
+    * where this supplier was late, another supplier participated,
+    * and no other was late. */
+  private[graft] def soleLateCounts(perSupp: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late", sum(col("late")).over(wOrd))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+  }
+
+  /** Nation-to-nation trade volume by ship year (TPC-H Q7's shape,
+    * all nation pairs): the one query that needs the nation dimension
+    * attached TWICE — once through supplier, once through
+    * orders→customer. Both nation copies broadcast under distinct
+    * aliases; revenue pre-reduces to one row per (order, supplier
+    * nation, year) BEFORE the orders join — co-keyed on the order key
+    * so the big fact×fact shuffle carries pre-combined rows; the
+    * final aggregate re-sums exact decimals. */
+  def nationTrade(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n1 = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    val byOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        CalCols.yearOf(col("l_shipdate")).as("ship_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("sn_key"))
+      .groupBy("l_orderkey", "supp_nation", "ship_year")
+      .agg(dsumExact(col("rev")).as("rev"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    byOrder.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(r4(sum(col("rev")).cast("double")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** Customer order-count distribution (TPC-H Q13): how many
+    * customers placed exactly k non-urgent orders, INCLUDING the
+    * zero-order customers an inner join would drop. The classic form
+    * is a left outer join with the priority filter in the ON clause;
+    * the scale shape pre-reduces orders to per-customer counts FIRST
+    * (the outer join then carries one row per customer key instead of
+    * one per order), left-joins customer to the counts shuffle-hash
+    * (count table is fact-derived), and coalesces the miss to 0. The
+    * second aggregate is histogram-sized. */
+  def orderCountDist(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(cnt.hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_waiting_suppliers" -> (waitingSuppliers _),
+    "rel_nation_trade" -> (nationTrade _),
+    "rel_order_count_dist" -> (orderCountDist _),
     "rel_small_order_revenue" -> (smallOrderRevenue _),
     "rel_promo_share_monthly" -> (promoShareMonthly _),
     "rel_large_volume_customers" -> (largeVolumeCustomers _),
@@ -538,6 +652,52 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the correlated EXISTS / NOT EXISTS pair over the identical
+    // per-(order, supplier) pre-reduction — what the window counts
+    // decorrelate
+    "rel_waiting_suppliers" ->
+      s"""WITH ls AS (SELECT l_orderkey, l_suppkey,
+         |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL $WaitLagDays DAY
+         |      THEN 1 ELSE 0 END) AS late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+         |SELECT s_name, n_name, count(*) AS numwait
+         |FROM ls l1
+         |  JOIN supplier ON s_suppkey = l1.l_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE l1.late = 1
+         |  AND EXISTS (SELECT 1 FROM ls l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM ls l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+         |GROUP BY 1, 2
+         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "rel_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS ship_year,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
+         |FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the classic ON-clause-filtered left outer join form; the engine
+    // runs the pre-reduced-counts rewrite of the same semantics
+    "rel_order_count_dist" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // the correlated form decorrelates to the identical grouped
     // average; sums ride the shared exact-decimal path
     "rel_small_order_revenue" ->

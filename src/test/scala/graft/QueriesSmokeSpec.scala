@@ -464,4 +464,58 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2)) <= 1.0, "corr out of [-1, 1]")
     }
   }
+
+  test("sole-culprit fixture: only the lone late supplier of a multi-supplier order is blamed") {
+    import spark.implicits._
+    // order 1: supplier 10 late, 11 on time    -> 10 blamed
+    // order 2: suppliers 10 and 11 BOTH late   -> neither blamed
+    // order 3: single-supplier 12 late         -> not blamed (no co-supplier)
+    // order 4: supplier 11 late, 12 on time    -> 11 blamed
+    val perSupp = Seq(
+      (1L, 10L, 1L), (1L, 11L, 0L),
+      (2L, 10L, 1L), (2L, 11L, 1L),
+      (3L, 12L, 1L),
+      (4L, 11L, 1L), (4L, 12L, 0L)
+    ).toDF("l_orderkey", "l_suppkey", "late")
+    val got = operators.Relational.soleLateCounts(perSupp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L), s"got $got")
+  }
+
+  test("cusum closed form replays the max(0, ...) recursion") {
+    val ser = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect().map(_.getLong(1).toDouble)
+    val n = ser.length
+    val mu = ser.sum / n
+    val sigma = math.sqrt(math.max(
+      ser.map(x => x * x).sum / n - mu * mu, 0.0))
+    var sp = 0.0; var sn = 0.0
+    val want = ser.map { x =>
+      sp = math.max(0.0, sp + (x - mu - 0.5 * sigma))
+      sn = math.max(0.0, sn + (mu - x - 0.5 * sigma))
+      (sp, sn)
+    }
+    val got = operators.Payroll.cusum(spark, sf0001)
+      .orderBy("month").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(got.length == n)
+    got.zip(want).zipWithIndex.foreach { case (((gp, gn), (wp, wn)), i) =>
+      assert(math.abs(gp - wp) < 1e-3, s"cusum_pos row $i: $gp vs $wp")
+      assert(math.abs(gn - wn) < 1e-3, s"cusum_neg row $i: $gn vs $wn")
+    }
+  }
+
+  test("nation trade excludes intra-nation pairs and sums to the cross-nation total") {
+    val rows = operators.Relational.nationTrade(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+    assert(rows.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("order-count distribution partitions the customer table") {
+    val dist = operators.Relational.orderCountDist(spark, sf0001)
+      .agg(sum("custdist")).head().getLong(0)
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(dist == nCust, s"$dist vs $nCust")
+  }
 }
