@@ -245,6 +245,38 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("waiting suppliers: per-order aggregate and window reuse the join shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val plan = executed(operators.Relational.waitingSuppliers(spark, sf0001))
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"orders join lost its shuffle-hash shape:\n$plan")
+    // HashPartitioning(l_orderkey) from the join must satisfy both
+    // the (l_orderkey, l_suppkey) aggregate and the per-order window:
+    // exactly ONE exchange keyed on the lineitem order key (the
+    // join's own), none added after it
+    val ex = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    val onOrderKey = ex.filter(
+      _.outputPartitioning.toString.contains("l_orderkey"))
+    assert(onOrderKey.size == 1,
+      s"expected 1 order-key exchange (the join's), got ${onOrderKey.size}:\n$plan")
+  }
+
+  test("order-count distribution: the outer join carries pre-reduced counts, not orders") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val plan = executed(operators.Relational.orderCountDist(spark, sf0001))
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    assert(bx.isEmpty,
+      s"fact-derived count table must not broadcast:\n$plan")
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"customer left join lost shuffle-hash:\n$plan")
+    // the aggregate below the join pre-reduces orders to one row per
+    // customer key BEFORE the outer join
+    val aggBelowJoin = shj.exists(_.right.toString.contains("HashAggregate"))
+    assert(aggBelowJoin, s"orders not pre-reduced below the join:\n$plan")
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
