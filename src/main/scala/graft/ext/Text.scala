@@ -512,6 +512,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi_bigrams" -> (pmiBigrams _),
+    "text_bigram_lm" -> (bigramLm _),
     "text_keyword_search" -> (keywordSearch _),
     "text_winsorized_tokens" -> (winsorizedTokens _),
     "text_top_terms_per_lang" -> (topTermsPerLang _),
@@ -529,7 +530,75 @@ object Text {
     "text_vocab_stats" -> (vocabStats _),
   )
 
+  /** Bigram language model with add-one smoothing, scored as per-doc
+    * perplexity — the CCNet-style quality gate a corpus pipeline runs
+    * where [[lmScore]]'s unigram model only sees vocabulary oddity:
+    * a doc of common words in impossible ORDER scores fluent under a
+    * unigram LM and perplexed here. P(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1)+V); per-doc cross-entropy is the mean −ln P over its
+    * bigram instances; docs under 2 tokens have no bigrams and drop.
+    *
+    * Shape mirrors [[lmScore]] one order up: bigram counts and the
+    * per-bigram log-prob table are vocabulary²-bounded (in practice
+    * near-linear in corpus tokens), the instance→logp join is
+    * shuffle-hash on the bigram key (both sides corpus-derived), and
+    * only the 1-row vocabulary count broadcasts. Instance bigrams
+    * come from a per-doc `lead` — never a token-stream self-join.
+    * Log-probs round to 8 decimals into exact DECIMAL before the
+    * per-doc mean ([[lmScore]]'s libm-ulp discipline). */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+    val inst = tok
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w1", "w2")
+    val bgCounts = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = tok.groupBy("w1").agg(count(lit(1)).as("c1")).toDF("u1", "c1")
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val logp = bgCounts
+      .join(uni.hint("shuffle_hash"), col("w1") === col("u1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + 1.0) / (col("c1") + col("v"))), 8)
+          .cast("decimal(25,8)").as("logp"))
+    val mean = sum(col("logp")).cast("double") / count(lit(1))
+    inst.join(logp.hint("shuffle_hash"), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(-mean).as("xent_nats"),
+        r4(exp(-mean)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // identical smoothing tree and the shared 8-dp-rounded
+    // exact-decimal log-prob discipline, one order up from
+    // text_lm_score; bigrams zip positionally like text_pmi_bigrams
+    "text_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+         |  FROM d),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |u AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(tk) AS w1 FROM d) GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM u),
+         |lp AS (SELECT bc.w1, bc.w2,
+         |    CAST(round(ln((c12 + 1.0) / (c1 + v)), 8)
+         |      AS DECIMAL(25,8)) AS logp
+         |  FROM bc JOIN u ON bc.w1 = u.w1 CROSS JOIN v),
+         |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(logp) AS DOUBLE) / count(*) AS mean
+         |  FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bigrams, round(-mean, 4) AS xent_nats,
+         |  round(exp(-mean), 4) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // parallel unnests zip positionally; the PMI argument assembles
     // through the identical ((c12*N)*N) / ((NB*c1)*c2) double tree
     "text_pmi_bigrams" ->

@@ -173,11 +173,13 @@ object Events {
     * Equi-join on user_id carrying the time-range predicate — at
     * scale both sides shuffle once on the user key and the range
     * filter runs inside the join, never as a post-join explosion. */
-  private def viewPurchasePairs(purchases: DataFrame, views: DataFrame): DataFrame =
+  private def viewPurchasePairs(purchases: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame =
     purchases.join(views,
       purchases("user_id") === views("v_user_id") &&
         col("view_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
-        col("view_ts") <= col("purchase_ts"))
+        col("view_ts") <= col("purchase_ts"),
+      joinType)
 
   private def purchasesOf(ev: DataFrame): DataFrame =
     ev.filter(col("event_type") === "purchase")
@@ -205,6 +207,40 @@ object Events {
     * watermark − 1 h) — the canonical unbounded-join-with-bounded-
     * state shape. Emits the raw joined pairs in append mode;
     * `EventsStreamSpec` asserts they equal the batch pairs. */
+  /** Batch form (oracled): purchase conversion attribution INCLUDING
+    * the view-less purchases [[purchaseViewJoin]]'s inner join drops —
+    * the left-outer variant every funnel report needs (the
+    * unattributed count IS the headline number). `count(view_id)`
+    * counts matches only, so no-view purchases carry 0 and a null
+    * last-view timestamp. */
+  def purchaseConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    viewPurchasePairs(purchasesOf(ev), viewsOf(ev), "left_outer")
+      .groupBy("purchase_id", "user_id", "purchase_ts")
+      .agg(count(col("view_id")).as("n_views_1h"),
+        max("view_ts").as("last_view_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("n_views_1h"),
+        when(col("n_views_1h") > 0, 1).otherwise(0).as("attributed"),
+        col("last_view_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** Streaming left-outer interval join: same pair semantics, but
+    * unmatched purchases emit their null-view row only once BOTH
+    * watermarks pass the purchase's join window — the state-cleanup
+    * contract that bounds the join buffer at scale. Stream ≡ batch
+    * asserted in `EventsStreamSpec` (with sentinel rows advancing
+    * the watermarks so trailing outer rows flush). */
+  def purchaseConversionStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def raw() = fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    val p = purchasesOf(raw()).withWatermark("purchase_ts", "2 hours")
+    val v = viewsOf(raw()).withWatermark("view_ts", "2 hours")
+    viewPurchasePairs(p, v, "left_outer")
+      .select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+  }
+
   def purchaseViewStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def raw() = fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
@@ -719,6 +755,7 @@ object Events {
     "events_value_histogram" -> (valueHistogram _),
     "events_cms_heavy_users" -> (cmsHeavyUsers _),
     "events_purchase_view_join" -> (purchaseViewJoin _),
+    "events_purchase_conversion" -> (purchaseConversion _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -916,6 +953,16 @@ object Events {
          |CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (0.95), (0.99)) p(pctl)
          |ORDER BY event_type, pctl""".stripMargin,
 
+    "events_purchase_conversion" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  count(v.event_id) AS n_views_1h,
+        |  CASE WHEN count(v.event_id) > 0 THEN 1 ELSE 0 END AS attributed,
+        |  max(v.ts) AS last_view_ts
+        |FROM events p
+        |LEFT JOIN events v ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "events_purchase_view_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
         |  count(*) AS n_views_1h, max(v.ts) AS last_view_ts

@@ -22,6 +22,56 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join == batch (outer rows flush via watermark)") {
+    import org.apache.spark.sql.functions._
+    // batch truth: outer pair level, null view_id for unattributed
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .join(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user_id"), col("ts").as("view_ts")),
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+          col("view_ts") <= col("purchase_ts"),
+        "left_outer")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(batch.exists(_._2.isEmpty), "fixture has no unattributed purchase")
+
+    // stage the corpus plus two far-future sentinel events (one per
+    // join side, impossible user ids) so BOTH watermarks advance past
+    // every real purchase and the trailing outer rows flush
+    val tmp = java.nio.file.Files.createTempDirectory("pv_outer").toString
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw.write.parquet(s"$tmp/events.parquet")
+    val maxTs = raw.agg(max("ts")).head().getLong(0)
+    val far = maxTs + 10L * 24 * 3600 * 1000 * 1000 * 1000 // +10 days in ns
+    val sentinels = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, far, -1L, "purchase", 0.0, "{}"),
+        org.apache.spark.sql.Row(-2L, far, -2L, "view", 0.0, "{}")),
+      raw.schema)
+    sentinels.write.parquet(s"$tmp/events_sentinel.parquet")
+
+    val q = Events.purchaseConversionStream(spark, tmp)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pv_outer_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pv_outer_out")
+        .filter(col("user_id") >= 0)
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} pairs != batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("micro-batch partial CMS sketches merge to the one-shot batch sketch exactly") {
     import org.apache.spark.sql.functions._
     // CMS is linear: counters add, so merged per-batch partials must be

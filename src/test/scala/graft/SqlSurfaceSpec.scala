@@ -31,6 +31,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "graph_link_prediction" -> "minhash CTE (string_split_regex + hex-string casts)",
     "sim_hard_negatives" -> "list_dot_product",
     "text_pmi_bigrams" -> "unnest() zipped list_transform bigrams",
+    "text_bigram_lm" -> "unnest() zipped list_transform bigrams",
     "pipeline_leakfree_split" -> "recursive CTE reachability + hex-string casts",
     "dedup_shingle_jaccard" -> "string_split_regex",
     "dedup_shingle_novelty" -> "string_split_regex + list_transform shingles",

@@ -124,4 +124,39 @@ class TextSpec extends SparkSpec {
       assert(math.abs(g - e) <= 1e-6, s"pmi($w1,$w2): $g vs $e")
     }
   }
+
+  test("bigram LM perplexity matches a driver-side recomputation") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, t) =>
+      val tk = t.trim.split("\\s+")
+      tk.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); bg(k) = bg.getOrElse(k, 0L) + 1
+      }
+    }
+    val v = uni.size
+    val expect = docs.flatMap { case (id, t) =>
+      val pairs = t.trim.split("\\s+").sliding(2).filter(_.length == 2).toSeq
+      if (pairs.isEmpty) None else {
+        val lps = pairs.map { p =>
+          math.log((bg((p(0), p(1))) + 1.0) / (uni(p(0)) + v))
+        }
+        Some(id -> (pairs.size.toLong, -lps.sum / lps.size))
+      }
+    }.toMap
+    val got = Text.bigramLm(spark, sf0001).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (n, xent) = expect(r.getLong(0))
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} bigram count")
+      assert(math.abs(r.getDouble(2) - xent) < 1e-3,
+        s"doc ${r.getLong(0)} xent: ${r.getDouble(2)} vs $xent")
+      assert(math.abs(r.getDouble(3) - math.exp(xent)) < 1e-2,
+        s"doc ${r.getLong(0)} ppl")
+    }
+  }
 }
