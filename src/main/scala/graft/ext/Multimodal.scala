@@ -206,6 +206,90 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** 64-bit difference hash (dHash) of a decoded raster: area-average
+    * the luminance onto a 9×8 grid, then bit i = (cell > its right
+    * neighbor) — 8 comparisons × 8 rows. Robust to uniform rescale
+    * and mild recompression (the gradient SIGN survives what exact
+    * byte hashes don't), which is exactly the near-dup class image
+    * dedup needs to catch. */
+  private[graft] def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = im.getWidth; val h = im.getHeight
+    val acc = Array.ofDim[Double](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000.0
+        acc(cy)(math.min(gw - 1, x * gw / w)) += lum
+        cnt(cy)(math.min(gw - 1, x * gw / w)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L; var i = 0; var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < gw - 1) {
+        val a = acc(yy)(xx) / math.max(1L, cnt(yy)(xx))
+        val b = acc(yy)(xx + 1) / math.max(1L, cnt(yy)(xx + 1))
+        if (a > b) bits |= (1L << i)
+        i += 1; xx += 1
+      }
+      yy += 1
+    }
+    bits
+  }
+
+  /** dHash of a payload the JVM can decode as an image; None for
+    * everything else (no stub — a fake perceptual hash would MINT
+    * false near-dup pairs, the one failure mode dedup can't have). */
+  def imageDHash(row: MediaRow): Option[Long] =
+    if (!looksLikeImage(row.content)) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.content))).map(dHash64)
+      catch { case _: Exception => None }
+
+  /** (media_id, dhash) for decodable payloads — the per-partition
+    * iterator shape of [[extractFeatures]]; undecodable rows drop. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(rows =>
+        rows.flatMap(r => imageDHash(r).map(h => (r.media_id, h))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-dup image pairs by dHash Hamming distance — the SimHash
+    * banding pattern on the perceptual hash: 4×16-bit band equi-join
+    * (pigeonhole: ≤ 3 differing bits leave at least one band equal),
+    * shuffle-hash both sides, exact `bit_count(xor)` verify after.
+    * The shuffle carries (id, one long) — payloads never move. */
+  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole covers Hamming <= 3, got $maxHamming")
+    val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          (shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("id_a", "h_a", "band", "key")
+    val b = banded.toDF("id_b", "h_b", "band", "key")
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Long,
       channels: Long, n_samples: Long)
 

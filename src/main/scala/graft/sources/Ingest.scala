@@ -184,6 +184,46 @@ object Ingest {
     }
   }
 
+  /** Compact a snapshot's small files — the maintenance pass the
+    * streaming sink makes necessary: every micro-batch rewrite leaves
+    * a touched partition with one file per write task, and at scale a
+    * long-lived snapshot degrades into thousands of KB-files whose
+    * open/footer cost dominates scans. Each partition holding more
+    * files than `ceil(bytes / maxBytesPerFile)` is rewritten to
+    * exactly that many; right-sized partitions are left untouched
+    * (their files stay byte-identical — no gratuitous rewrite ahead
+    * of an incremental consumer). The rewrite rides the SAME
+    * stage-to-`.next` → [[swapStaged]] path as the sink, so a crash
+    * mid-compaction loses nothing. Returns the number of partitions
+    * compacted. */
+  def compactSnapshot(s: org.apache.spark.sql.SparkSession, path: String,
+      maxBytesPerFile: Long = 128L << 20): Int = {
+    recoverSnapshot(path)
+    val live = new java.io.File(path)
+    val plan = Option(live.listFiles).getOrElse(Array.empty)
+      .filter(p => p.isDirectory && p.getName.startsWith("__part="))
+      .flatMap { p =>
+        val files = Option(p.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        val bytes = files.map(_.length).sum
+        val k = math.max(1L,
+          math.ceil(bytes.toDouble / maxBytesPerFile).toLong).toInt
+        if (files.length > k)
+          Some(p.getName.stripPrefix("__part=").toInt -> k)
+        else None
+      }
+    if (plan.isEmpty) return 0
+    val full = s.read.parquet(path)
+    plan.map { case (part, k) =>
+        full.filter(col("__part") === part).repartition(k)
+      }
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).partitionBy("__part")
+      .parquet(path + ".next")
+    swapStaged(path)
+    plan.length
+  }
+
   private def hasChildren(dir: java.io.File): Boolean =
     dir.isDirectory && Option(dir.listFiles).exists(_.nonEmpty)
 

@@ -97,6 +97,37 @@ class IngestSpec extends SparkSpec {
       (Date.valueOf("2021-02-01"), 30L)))
   }
 
+  test("compaction merges small files per partition and leaves right-sized ones alone") {
+    val snap = Files.createTempDirectory("graft_cmp").toString + "/snap"
+    val byYear = (c: org.apache.spark.sql.Column) => year(c)
+    // 12 micro-rows across two years, written with forced parallelism
+    // so each partition holds many small files
+    val rows = (1 to 6).map(m => (f"2020-$m%02d-01", m.toLong, 1L)) ++
+      (1 to 6).map(m => (f"2021-$m%02d-01", 10L + m, 1L))
+    // write the snapshot with forced parallelism so each year
+    // partition holds several small files (the shape a long-lived
+    // streaming sink accumulates)
+    series(rows: _*).withColumn("__part", year(col("month")))
+      .repartition(6, col("month"))
+      .write.partitionBy("__part").parquet(snap)
+    assert(partFiles(snap, "__part=2020").size > 1, "fixture needs small files")
+    val before = snapRows(snap)
+    val n = Ingest.compactSnapshot(spark, snap)
+    assert(n == 2, s"both partitions should compact, got $n")
+    assert(partFiles(snap, "__part=2020").size == 1)
+    assert(partFiles(snap, "__part=2021").size == 1)
+    assert(snapRows(snap) == before, "compaction must not change content")
+    // second pass: nothing left to do, files untouched
+    val stable = partFiles(snap, "__part=2020")
+    assert(Ingest.compactSnapshot(spark, snap) == 0)
+    assert(partFiles(snap, "__part=2020") == stable,
+      "a no-op compaction must not rewrite files")
+    // the sink keeps merging into the compacted snapshot
+    Ingest.mergeBatch(series(("2021-01-01", 99L, 2L)), snap, "month",
+      "ingest_v", byYear)
+    assert(snapRows(snap).contains((Date.valueOf("2021-01-01"), 99L)))
+  }
+
   test("snapshot swap survives a crash between the two renames") {
     val snap = Files.createTempDirectory("graft_crash").toString + "/snap"
     val byYear = (c: org.apache.spark.sql.Column) => year(c)

@@ -76,6 +76,57 @@ class MultimodalSpec extends SparkSpec {
       st.channels == 1L + txt.length % 2 && st.n_samples == txt.length)
   }
 
+  private def gradientPng(w: Int, h: Int, invert: Boolean = false,
+      tweak: Option[(Int, Int)] = None): Array[Byte] =
+    imageBytes("png", w, h) { im =>
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (x * 255) / (w - 1)
+        val v0 = if (invert) 255 - base else base
+        val v = tweak match {
+          case Some((tx, ty))
+            if math.abs(x - tx) <= 1 && math.abs(y - ty) <= 1 =>
+            math.min(255, v0 + 4)
+          case _ => v0
+        }
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+
+  test("dHash: stable under re-encode + tiny touch-ups, far for reversed content") {
+    val base = gradientPng(64, 48)
+    val hBase = Multimodal.imageDHash(
+      Multimodal.MediaRow(1L, base, "s")).get
+    // deterministic: same payload, same hash
+    assert(Multimodal.imageDHash(Multimodal.MediaRow(9L, base, "s")).get == hBase)
+    // a 3x3 patch nudged by 4 luminance steps flips at most a bit or two
+    val near = gradientPng(64, 48, tweak = Some((30, 20)))
+    val hNear = Multimodal.imageDHash(Multimodal.MediaRow(2L, near, "s")).get
+    assert(java.lang.Long.bitCount(hBase ^ hNear) <= 3,
+      s"near-dup drifted ${java.lang.Long.bitCount(hBase ^ hNear)} bits")
+    // reversed gradient: every left>right comparison flips
+    val far = gradientPng(64, 48, invert = true)
+    val hFar = Multimodal.imageDHash(Multimodal.MediaRow(3L, far, "s")).get
+    assert(java.lang.Long.bitCount(hBase ^ hFar) > 32,
+      s"distinct images too close: ${java.lang.Long.bitCount(hBase ^ hFar)}")
+    // a text payload is not minted a perceptual hash
+    assert(Multimodal.imageDHash(
+      Multimodal.MediaRow(4L, "not an image".getBytes, "s")).isEmpty)
+  }
+
+  test("near-dup image pairs: banded join finds the touch-up, not the reversal") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, gradientPng(64, 48), "s"),
+      Multimodal.MediaRow(2L, gradientPng(64, 48, tweak = Some((30, 20))), "s"),
+      Multimodal.MediaRow(3L, gradientPng(64, 48, invert = true), "s"),
+      Multimodal.MediaRow(4L, "text payload, dropped".getBytes, "s"))
+    val hashes = Multimodal.imageHashes(spark.createDataset(rows))
+    assert(hashes.count() == 3, "undecodable payloads must drop")
+    val pairs = Multimodal.nearDupImagePairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("feature extraction runs distributed, one row per media item") {
     val n = Tables.documents(spark, sf0001).count()
     val feats = Multimodal.extractFeatures(spark, sf0001)
