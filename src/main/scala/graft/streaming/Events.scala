@@ -543,6 +543,39 @@ object Events {
       .select(col("event_type"), col("exact_users"), col("within_bound"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch ROLLUP — the re-aggregation property that makes
+    * sketches the 100 TB cube currency: the monthly distinct-user
+    * estimate derives ONLY from unioning the per-day Datasketches HLL
+    * sketches ([[org.apache.spark.sql.functions.hll_union_agg]]) —
+    * the raw events are never rescanned at the coarser grain, which
+    * is exactly how an OLAP cube serves COUNT(DISTINCT) at every
+    * hierarchy level from one pass. `countDistinct` cannot do this
+    * (distinct counts don't add); [[hllUsersPerType]]'s
+    * `approx_count_distinct` can't either (it exposes no sketch to
+    * re-union). Certified in-plan against the exact monthly count, so the
+    * oracle expects TRUE and any estimate drift breaks the gate. */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ud.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val monthly = daily
+      .groupBy(graft.functions.CalendarColumns.monthStart(col("day"))
+        .as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = ud.distinct()
+      .groupBy(graft.functions.CalendarColumns.monthStart(col("day"))
+        .as("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    monthly.join(exact, Seq("month"))
+      .select(col("month"), col("n_days"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          greatest(lit(3L), (col("exact_users") * 0.05).cast("long")))
+          .as("certified"))
+      .orderBy("month")
+  }
+
   /** DAU / rolling-7-day WAU / stickiness per day — the
     * product-analytics staple that needs a DISTINCT over a sliding
     * window, which no window function expresses: the scalable shape
@@ -756,6 +789,7 @@ object Events {
     "events_cms_heavy_users" -> (cmsHeavyUsers _),
     "events_purchase_view_join" -> (purchaseViewJoin _),
     "events_purchase_conversion" -> (purchaseConversion _),
+    "events_hll_rollup" -> (hllRollup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -892,6 +926,16 @@ object Events {
 
     // the sketch estimate is engine-specific; the oracle checks the
     // exact counts and that the estimate certified inside its bound
+    // the estimate is sketch-derived on the Spark side; the oracle
+    // pins the exact counts and expects the in-plan certification
+    "events_hll_rollup" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events)
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS certified
+        |FROM ud GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_hll_users" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -465,6 +465,28 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("hll rollup: unioned day sketches equal the one-shot month sketch") {
+    // HLL union is exact over sketches: merging per-day sketches must
+    // give the SAME estimate as sketching the month directly — the
+    // property that lets a cube serve every grain from one pass
+    val ud = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val viaDays = ud.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(functions.CalendarColumns.monthStart(col("day")).as("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val oneShot = ud
+      .groupBy(functions.CalendarColumns.monthStart(col("day")).as("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val a = viaDays.orderBy("month").collect().map(r => (r.getDate(0), r.getLong(1)))
+    val b = oneShot.orderBy("month").collect().map(r => (r.getDate(0), r.getLong(1)))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"union-of-sketches diverged from one-shot: ${a.take(2).toSeq} vs ${b.take(2).toSeq}")
+    // and the declared query certifies every month
+    val cert = streaming.Events.hllRollup(spark, sf0001).collect()
+    assert(cert.nonEmpty && cert.forall(_.getBoolean(3)))
+  }
+
   test("sole-culprit fixture: only the lone late supplier of a multi-supplier order is blamed") {
     import spark.implicits._
     // order 1: supplier 10 late, 11 on time    -> 10 blamed
