@@ -61,6 +61,10 @@ object SeriesSource {
 
   /** Test observability: splits planned by the most recent scan. */
   @volatile var lastPlannedSplits: Int = -1
+
+  /** Test observability: micro-batches planned by the most recent
+    * streaming read. */
+  @volatile var lastStreamBatches: Int = 0
 }
 
 private[v2] class SeriesTable(options: CaseInsensitiveStringMap)
@@ -68,16 +72,19 @@ private[v2] class SeriesTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_series_generator"
   override def schema(): StructType = SeriesSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SeriesScanBuilder(
       months = o.getLong("months", 480L),
       startDay = java.time.LocalDate
         .parse(o.getOrDefault("startMonth", "1990-01-01")).toEpochDay,
-      perSplit = o.getLong("monthsPerSplit", 120L).toInt)
+      perSplit = o.getLong("monthsPerSplit", 120L).toInt,
+      perBatch = o.getLong("monthsPerBatch", 120L))
 }
 
-private[v2] class SeriesScanBuilder(months: Long, startDay: Long, perSplit: Int)
+private[v2] class SeriesScanBuilder(months: Long, startDay: Long,
+    perSplit: Int, perBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -126,18 +133,30 @@ private[v2] class SeriesScanBuilder(months: Long, startDay: Long, perSplit: Int)
   }
 
   override def build(): Scan =
-    new SeriesScan(startDay, math.min(lo, hi), hi, perSplit, required)
+    new SeriesScan(startDay, math.min(lo, hi), hi, perSplit, perBatch, required)
 }
 
 private[v2] case class SeriesRange(startDay: Long, from: Long, until: Long,
     fields: Array[String]) extends InputPartition
 
 private[v2] class SeriesScan(startDay: Long, lo: Long, hi: Long,
-    perSplit: Int, required: StructType) extends Scan with Batch {
+    perSplit: Int, perBatch: Long, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-series range=[$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** Streaming face: the same generator as an unbounded-style
+    * micro-batch source — each trigger admits `monthsPerBatch` more
+    * months until the range is exhausted, offsets are plain month
+    * indices, and each batch's range splits exactly like the batch
+    * scan. The replayability contract holds trivially: regenerating
+    * [start, end) yields identical rows, so recovery from a
+    * checkpointed offset is exact. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeriesMicroBatchStream(startDay, lo, hi, perSplit, perBatch, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = Iterator.range(lo, hi, perSplit.toLong)
@@ -149,25 +168,66 @@ private[v2] class SeriesScan(startDay: Long, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val r = p.asInstanceOf[SeriesRange]
-        new PartitionReader[InternalRow] {
-          private var i = r.from - 1
-          override def next(): Boolean = { i += 1; i < r.until }
-          override def get(): InternalRow = {
-            // explicit boxing: a bare match would WIDEN the Int
-            // branch to Long (weak conformance) and break DateType
-            val vals: Array[Any] = r.fields.map[Any] {
-              case "month" =>
-                // DateType is days-since-epoch at the InternalRow level
-                Int.box(SeriesSource.monthEpochDay(r.startDay, i).toInt)
-              case "emp" => Long.box(SeriesSource.empAt(i))
-            }
-            InternalRow.fromSeq(vals.toIndexedSeq)
-          }
-          override def close(): Unit = ()
+    SeriesReaderFactory
+}
+
+private[v2] object SeriesReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SeriesRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.from - 1
+      override def next(): Boolean = { i += 1; i < r.until }
+      override def get(): InternalRow = {
+        // explicit boxing: a bare match would WIDEN the Int
+        // branch to Long (weak conformance) and break DateType
+        val vals: Array[Any] = r.fields.map[Any] {
+          case "month" =>
+            // DateType is days-since-epoch at the InternalRow level
+            Int.box(SeriesSource.monthEpochDay(r.startDay, i).toInt)
+          case "emp" => Long.box(SeriesSource.empAt(i))
         }
+        InternalRow.fromSeq(vals.toIndexedSeq)
       }
+      override def close(): Unit = ()
     }
+  }
+}
+
+/** Micro-batch stream over the generator: offsets are month indices;
+  * `latestOffset` admits [[perBatch]] more months per trigger, so a
+  * bounded option set still exercises multi-batch incremental
+  * processing (and an unbounded one would run forever, like `rate`). */
+private[v2] class SeriesMicroBatchStream(startDay: Long, lo: Long, hi: Long,
+    perSplit: Int, perBatch: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class MonthOffset(i: Long) extends Offset {
+    override def json(): String = i.toString
+  }
+
+  @volatile private var admitted = lo
+
+  override def initialOffset(): Offset = MonthOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    MonthOffset(json.toLong)
+  override def latestOffset(): Offset = {
+    admitted = math.min(hi, admitted + perBatch)
+    MonthOffset(admitted)
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MonthOffset].i
+    val e = end.asInstanceOf[MonthOffset].i
+    if (e > s) SeriesSource.lastStreamBatches += 1
+    Iterator.range(s, e, perSplit.toLong)
+      .map(f => SeriesRange(startDay, f, math.min(e, f + perSplit),
+        required.fieldNames): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeriesReaderFactory
 }

@@ -58,6 +58,26 @@ class SeriesSourceSpec extends SparkSpec {
     assert(s == (0L until 240L).map(SeriesSource.empAt).sum)
   }
 
+  test("streaming face: micro-batches admit monthsPerBatch at a time, total equals batch") {
+    SeriesSource.lastStreamBatches = 0
+    val q = spark.readStream.format("graft-series")
+      .option("months", 300).option("monthsPerBatch", 100)
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("series_stream_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("series_stream_out").orderBy("month").collect()
+      assert(got.length == 300)
+      assert(SeriesSource.lastStreamBatches >= 3,
+        s"expected >= 3 micro-batches, got ${SeriesSource.lastStreamBatches}")
+      val batch = read(300).orderBy("month").collect()
+      assert(got.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+        "stream total must equal the batch read")
+    } finally q.stop()
+  }
+
   test("the generated series drives the engine's window operators") {
     // the source composes with ordinary plans: a MoM growth over the
     // generated series (what a scale benchmark would do at any sf)
