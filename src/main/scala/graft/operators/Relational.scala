@@ -624,7 +624,49 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Trailing 90-day spend per customer — the RANGE-frame interval
+    * window (`RANGE BETWEEN 89 days PRECEDING AND CURRENT ROW`) the
+    * ROWS-based rolling stats can't express: the frame is defined by
+    * VALUE distance, so sparse/bursty order histories window
+    * correctly (a customer with 3 orders in a week and none for a
+    * year must not average across the gap). Partitioned per customer
+    * — never a global ranking; sums ride the exact decimal path.
+    * Same-day ties share one frame, so tied output rows are fully
+    * identical (order-stable under the positional compare). */
+  def trailing90dSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("days"))
+      .rangeBetween(-89, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("days",
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
+      .withColumn("spend_90d",
+        r4(dsumExact(col("o_totalprice")).over(w).cast("double")))
+      .select("o_custkey", "o_orderdate", "spend_90d")
+      .orderBy("o_custkey", "o_orderdate")
+  }
+
+  private val Q6Year = 1995
+  private val Q6MaxQty = 24
+
+  /** Forecast-revenue-change (TPC-H Q6): one scan, three conjunctive
+    * range predicates, one aggregate — the pushdown showcase. All
+    * three predicates (ship year, discount band, quantity cap) reach
+    * the parquet scan as `PushedFilters` (plan-asserted), so at 100 TB
+    * row groups outside the year or discount band never decompress. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(s"$Q6Year-01-01") &&
+        col("l_shipdate") < lit(s"${Q6Year + 1}-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < Q6MaxQty)
+      .agg(r4(dsum(col("l_extendedprice") * col("l_discount")))
+        .as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_trailing_90d_spend" -> (trailing90dSpend _),
+    "rel_forecast_revenue" -> (forecastRevenue _),
     "rel_waiting_suppliers" -> (waitingSuppliers _),
     "rel_nation_trade" -> (nationTrade _),
     "rel_order_count_dist" -> (orderCountDist _),
@@ -652,6 +694,24 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the interval RANGE frame stated natively; day-grain peers are
+    // identical rows, so positional compare is tie-stable
+    "rel_trailing_90d_spend" ->
+      """SELECT o_custkey, o_orderdate,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 89 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 4) AS spend_90d
+        |FROM orders ORDER BY o_custkey, o_orderdate""".stripMargin,
+
+    "rel_forecast_revenue" ->
+      s"""SELECT round(${dsumSql("l_extendedprice * l_discount")}, 4) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$Q6Year-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '${Q6Year + 1}-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < $Q6MaxQty""".stripMargin,
+
     // the correlated EXISTS / NOT EXISTS pair over the identical
     // per-(order, supplier) pre-reduction — what the window counts
     // decorrelate

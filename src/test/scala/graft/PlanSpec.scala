@@ -277,6 +277,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(aggBelowJoin, s"orders not pre-reduced below the join:\n$plan")
   }
 
+  test("forecast revenue: all three Q6 predicates push to the parquet scan") {
+    val s = operators.Relational.forecastRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters"), s.take(800))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      val pushed = s.linesIterator.filter(_.contains("PushedFilters"))
+        .exists(_.contains(c))
+      assert(pushed, s"$c not in PushedFilters:\n${s.take(1200)}")
+    }
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)

@@ -534,6 +534,32 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) > 0.0))
   }
 
+  test("trailing 90-day spend matches a driver-side replay") {
+    def epochDay(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime / 86400000L
+      case d: java.time.LocalDateTime => d.toLocalDate.toEpochDay
+      case d: java.time.Instant => d.getEpochSecond / 86400L
+    }
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0), epochDay(r.get(1)), r.getDouble(2)))
+    val want = orders.groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+      rows.toSeq.map { case (_, d, _) =>
+        val s = rows.filter(r => r._2 >= d - 89 && r._2 <= d)
+          .map(r => BigDecimal(r._3).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        (c, d) -> s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = operators.Relational.trailing90dSpend(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getLong(0), epochDay(r.get(1)))
+      assert(math.abs(r.getDouble(2) - want(k)) < 1e-6,
+        s"spend at $k: ${r.getDouble(2)} vs ${want(k)}")
+    }
+  }
+
   test("order-count distribution partitions the customer table") {
     val dist = operators.Relational.orderCountDist(spark, sf0001)
       .agg(sum("custdist")).head().getLong(0)
