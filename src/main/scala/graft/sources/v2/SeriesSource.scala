@@ -141,9 +141,26 @@ private[v2] case class SeriesRange(startDay: Long, from: Long, until: Long,
 
 private[v2] class SeriesScan(startDay: Long, lo: Long, hi: Long,
     perSplit: Int, perBatch: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Accurate row/byte statistics AFTER pushdown — without this a
+    * DSv2 source defaults to `defaultSizeInBytes` (effectively
+    * infinite), so a 12-row generated dimension would never broadcast
+    * and every join against it would shuffle. Stats reflect the
+    * pruned range, so a filtered slice plans like the small table it
+    * is (broadcast choice asserted in `SeriesSourceSpec`). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows = math.max(0L, hi - lo)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * 16L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   override def description(): String =
     s"graft-series range=[$lo, $hi) cols=${required.fieldNames.mkString(",")}"
 

@@ -78,6 +78,21 @@ class SeriesSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reported statistics make a small generated slice broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // 24 generated rows join the lineitem-derived series: without
+    // SupportsReportStatistics the source sizes as defaultSizeInBytes
+    // (never broadcast); with it the planner picks BHJ
+    val dim = read(24).withColumnRenamed("emp", "gen_emp")
+    val fact = Tables.monthlySeriesCached(spark, sf0001)
+    val joined = fact.join(dim, Seq("month"))
+    val plan = joined.queryExecution.executedPlan
+    val bhj = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected a broadcast join from reported stats:\n$plan")
+    assert(joined.count() <= 24)
+  }
+
   test("the generated series drives the engine's window operators") {
     // the source composes with ordinary plans: a MoM growth over the
     // generated series (what a scale benchmark would do at any sf)
