@@ -810,8 +810,14 @@ object Dedup {
     (member, gEdges, memberIds ++ gEdgeIds)
   }
 
-  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
-    val sess = sigs.sparkSession
+  /** Per-signature-class triangle statistics shared by
+    * [[trianglesFromSigs]] and [[clusteringFromSigs]]: for every class
+    * (gid, w) the neighbor-weight sum and the per-member triangle
+    * count from the closed-form decomposition (internal C(w−1,2) +
+    * one-in-group + both-in-neighbor + cross listing). Returns
+    * (member, DF(gid, w, nbr_w, n_triangles), checkpoint ids). */
+  private def groupTriangleStats(sigs: DataFrame)
+      : (DataFrame, DataFrame, Set[Int]) = {
     val (member, gEdges, graphIds) = sigGraph(sigs)
     val grp = member.select("gid", "sig", "w")
     val und = gEdges.union(
@@ -855,24 +861,67 @@ object Dedup {
         struct(col("w").as("gid"), (col("ws") * col("wv")).as("t"))))
         .as("c"))
       .groupBy(col("c.gid").as("gid")).agg(sum("c.t").as("cross_t"))
-    // closed-form per-group total, expanded back to members
+    // closed-form per-group totals (zeros kept — the coefficient
+    // consumer needs degree-positive triangle-free classes too)
     val perGroup = wTbl
       .join(nbr.hint("shuffle_hash"), Seq("gid"), "left")
       .join(cross.hint("shuffle_hash"), Seq("gid"), "left")
-      .select(col("gid"),
+      .select(col("gid"), col("w"),
+        coalesce(col("nbr_w"), lit(0L)).as("nbr_w"),
         (expr("((w - 1) * (w - 2)) div 2") +
           (col("w") - 1) * coalesce(col("nbr_w"), lit(0L)) +
           coalesce(col("nbr_pairs"), lit(0L)) +
           coalesce(col("cross_t"), lit(0L))).as("n_triangles"))
-      .filter(col("n_triangles") > 0)
+    (member, perGroup, graphIds ++ orientedIds)
+  }
+
+  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (member, perGroup, ids) = groupTriangleStats(sigs)
     val out = sigs.join(member.hint("shuffle_hash"), Seq("sig"))
       .select(col("doc_id"), col("gid"))
-      .join(perGroup.hint("shuffle_hash"), Seq("gid"))
+      .join(perGroup.filter(col("n_triangles") > 0).hint("shuffle_hash"),
+        Seq("gid"))
       .select(col("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
     graft.SessionMemo.registerCleanup(sess,
       s"triangle_checkpoint:${ccInstance.incrementAndGet()}")(
-      () => release(sess, graphIds ++ orientedIds))
+      () => release(sess, ids))
+    out
+  }
+
+  /** Local clustering coefficient per doc — the graph-analytics
+    * capstone over the verified near-dup graph: coeff = 2T / d(d−1),
+    * how close a doc's neighborhood is to a clique (template/
+    * boilerplate families score 1, bridge docs score near 0). Both
+    * inputs come from the collapsed graph in closed form: a doc of
+    * class g has degree (w−1) + Σ w(neighbor classes) and the class's
+    * member triangle count; the ratio divides exact integers through
+    * one fixed double tree, so both engines agree to the 6-dp output
+    * rounding. Docs with degree &lt; 2 have no defined coefficient and
+    * drop (matching the oracle's WHERE). */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringFromSigs(graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    })
+
+  private[graft] def clusteringFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (member, perGroup, ids) = groupTriangleStats(sigs)
+    val withDeg = perGroup
+      .select(col("gid"),
+        (col("w") - 1 + col("nbr_w")).as("degree"), col("n_triangles"))
+      .filter(col("degree") >= 2)
+    val out = sigs.join(member.hint("shuffle_hash"), Seq("sig"))
+      .select(col("doc_id"), col("gid"))
+      .join(withDeg.hint("shuffle_hash"), Seq("gid"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        round(lit(2.0) * col("n_triangles") /
+          (col("degree") * (col("degree") - 1)), 6).as("clustering_coeff"))
+      .orderBy("doc_id")
+    graft.SessionMemo.registerCleanup(sess,
+      s"clustering_checkpoint:${ccInstance.incrementAndGet()}")(
+      () => release(sess, ids))
     out
   }
 
@@ -971,6 +1020,7 @@ object Dedup {
     "dedup_containment_top" -> (containmentTop _),
     "graph_triangles"     -> (triangles _),
     "graph_link_prediction" -> (adamicAdar _),
+    "graph_clustering" -> (clusteringCoeff _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
@@ -1211,6 +1261,36 @@ object Dedup {
          |SELECT a AS group_a, b AS group_b, common_neighbors,
          |  round(CAST(sc AS DOUBLE), 6) AS aa_score
          |FROM sc ORDER BY aa_score DESC, group_a, group_b LIMIT $AaTopK""".stripMargin,
+
+    // doc-level brute force like graph_triangles, plus the degree
+    // from the undirected edge list; the ratio divides exact integers
+    // through the identical double tree
+    "graph_clustering" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |mh AS (SELECT doc_id, kk.k AS k,
+         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+         |e AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(0, $NumPerm), i -> a.sig[i+1] = b.sig[i+1]))
+         |    / ${NumPerm}.0 >= 0.9),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |deg AS (SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM und GROUP BY 1),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+         |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM m GROUP BY 1)
+         |SELECT d.doc_id, d.degree,
+         |  CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  round(2.0 * COALESCE(tc.n_triangles, 0) /
+         |    (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+         |FROM deg d LEFT JOIN tc USING (doc_id)
+         |WHERE d.degree >= 2 ORDER BY d.doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH dt AS (SELECT DISTINCT doc_id,

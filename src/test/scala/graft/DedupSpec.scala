@@ -286,6 +286,29 @@ class DedupSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("clustering coefficient: clique scores 1, path center scores 0, leaves drop") {
+    import spark.implicits._
+    // three signature-identical docs = a 3-clique: every doc has
+    // degree 2 and exactly the one triangle -> coeff 1.0
+    val sig = (0 until 32).map(i => 500L + i)
+    val clique = Seq((1L, sig), (2L, sig), (3L, sig))
+      .toDF("doc_id", "sig")
+    val gotClique = Dedup.clusteringFromSigs(clique).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotClique.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 2L, 1L, 1.0)), s"got ${gotClique.mkString(",")}")
+
+    // the adamic-adar path fixture: A-B-C open wedge — center B has
+    // degree 2 and no triangle (coeff 0); leaves have degree 1 (drop)
+    val sigA = (0 until 32).map(i => 1000L + i)
+    val sigB = sigA.updated(0, 1L).updated(1, 2L).updated(2, 3L)
+    val sigC = sigB.updated(3, 4L).updated(4, 5L).updated(5, 6L)
+    val path = Seq((1L, sigA), (2L, sigB), (3L, sigC)).toDF("doc_id", "sig")
+    val gotPath = Dedup.clusteringFromSigs(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotPath.toSeq == Seq((2L, 2L, 0L, 0.0)), s"got ${gotPath.mkString(",")}")
+  }
+
   test("simhash pairs respect the declared hamming bound") {
     val p = Dedup.simhashPairs(spark, sf0001).collect()
     assert(p.forall(_.getAs[Int]("hamming") <= 5))
