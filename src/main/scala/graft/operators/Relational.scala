@@ -664,7 +664,34 @@ object Relational {
       .agg(r4(dsum(col("l_extendedprice") * col("l_discount")))
         .as("revenue"))
 
+  /** Discounted-revenue under OR-of-ANDs (TPC-H Q19's shape): three
+    * disjunct brand/size/quantity branches over the part join — the
+    * optimizer stress test where a naive planner degrades to a
+    * nested-loop because the join predicate "looks" non-equi.
+    * Catalyst keeps the common `l_partkey = p_partkey` equi-key and
+    * pushes the per-table halves of each disjunct down both scans
+    * (part: brand ∧ size bands; lineitem: the quantity-range union) —
+    * plan-asserted: a hash join, never BNLJ, with a disjunctive
+    * PushedFilters on the part side. The filtered part slice
+    * broadcasts (bounded by construction). */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val branch = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#11", 5, 1, 11) ||
+        branch("Brand#22", 10, 10, 20) ||
+        branch("Brand#33", 15, 20, 30))
+      .agg(r4(dsum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
     "rel_trailing_90d_spend" -> (trailing90dSpend _),
     "rel_forecast_revenue" -> (forecastRevenue _),
     "rel_waiting_suppliers" -> (waitingSuppliers _),
@@ -694,6 +721,18 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_disjunctive_revenue" ->
+      s"""SELECT round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4)
+         |    AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     // the interval RANGE frame stated natively; day-grain peers are
     // identical rows, so positional compare is tie-stable
     "rel_trailing_90d_spend" ->

@@ -288,6 +288,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("disjunctive Q19 predicate keeps the hash equi-join and pushes the OR filter") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val df = operators.Relational.disjunctiveRevenue(spark, sf0001)
+    val plan = executed(df)
+    val bnl = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.isEmpty, s"OR-of-ANDs degraded to a nested loop:\n$plan")
+    val hj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(hj.nonEmpty, s"expected the common equi-key hash join:\n$plan")
+    // the part-only half of the disjunction reaches the part scan
+    val s = plan.toString
+    val pushedOnPart = s.linesIterator
+      .filter(_.contains("PushedFilters")).exists(l =>
+        l.contains("p_brand") && l.contains("Or"))
+    assert(pushedOnPart, s"disjunctive part filter not pushed:\n${s.take(1500)}")
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)
