@@ -37,6 +37,53 @@ object AsOf {
         attr(lp, leftTs), attr(rp, rightTs), tolerance))
   }
 
+  /** FORWARD as-of: each left row joined to the EARLIEST same-key
+    * right row at or AFTER its timestamp — the time-to-event join
+    * (next purchase after a view, next failure after a deploy).
+    * Reuses the backward merge-scan unchanged by running it over
+    * NEGATED microsecond timestamps: the latest `−r ≤ −l` is exactly
+    * the earliest `r ≥ l`, and the tolerance bound `−l − (−r) ≤ t`
+    * is exactly `r − l ≤ t`. Costs two projections, zero new
+    * operator code. */
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    // negate in the column's internal unit: µs for timestamps, the
+    // raw value for integral ts columns (mirrors `join`'s contract)
+    def neg(df: DataFrame, ts: String) = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => -unix_micros(col(ts))
+      case _ => -col(ts)
+    }
+    val l = left.withColumn("__neg_lts", neg(left, leftTs))
+    val r = right.withColumn("__neg_rts", neg(right, rightTs))
+    join(l, r, leftKey, rightKey, "__neg_lts", "__neg_rts", tolerance)
+      .drop("__neg_lts", "__neg_rts")
+  }
+
+  private val ConversionToleranceMicros = 2L * 3600 * 1000 * 1000
+
+  /** Time-to-conversion: each view as-of joined FORWARD to the user's
+    * next purchase within 2 hours — the funnel-latency readout (how
+    * long from view to buy), null for views that never converted in
+    * window. Same custom operator, opposite direction. */
+  def viewToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    joinForward(views, purchases, "user_id", "p_user", "view_ts",
+        "purchase_ts", Some(ConversionToleranceMicros))
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("micros_to_purchase"))
+      .orderBy("view_id")
+  }
+
   /** Attribution query: each purchase event as-of joined to the
     * user's most recent prior (or simultaneous) `view` event, with
     * the elapsed microseconds — the "last touch before conversion"
@@ -61,6 +108,7 @@ object AsOf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof_attribution" -> (purchaseAttribution _),
+    "events_asof_next_purchase" -> (viewToPurchase _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -74,5 +122,24 @@ object AsOf {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.v_user AND p.purchase_ts >= v.view_ts
         |ORDER BY purchase_id""".stripMargin,
+
+    // DuckDB's native ASOF is backward-only, so the forward oracle
+    // states the semantics directly: earliest in-window purchase per
+    // view via a LEFT JOIN + rank-1 filter (a lone null row ranks 1)
+    "events_asof_next_purchase" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+        |    FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |    ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT v.view_id, v.user_id, v.view_ts, p.purchase_id,
+        |    p.purchase_ts,
+        |    row_number() OVER (PARTITION BY v.view_id
+        |      ORDER BY p.purchase_ts, p.purchase_id) AS rk
+        |  FROM v LEFT JOIN p ON p.p_user = v.user_id
+        |    AND p.purchase_ts >= v.view_ts
+        |    AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR)
+        |SELECT view_id, user_id, view_ts, purchase_id, purchase_ts,
+        |  epoch_us(purchase_ts) - epoch_us(view_ts) AS micros_to_purchase
+        |FROM c WHERE rk = 1 ORDER BY view_id""".stripMargin,
   )
 }

@@ -39,6 +39,64 @@ class AsOfJoinSpec extends SparkSpec {
       (103L, "b")))  // 103 - 100 = 3 <= 5
   }
 
+  test("forward as-of: earliest right row at-or-after, per key") {
+    val deploys = Seq((1L, 10L, "d1"), (1L, 30L, "d2"), (2L, 5L, "d3"))
+      .toDF("dk", "dts", "deploy")
+    val alerts = Seq((1L, 5L), (1L, 10L), (1L, 31L), (2L, 6L), (3L, 1L))
+      .toDF("ak", "ats")
+    val got = AsOf.joinForward(alerts, deploys, "ak", "dk", "ats", "dts")
+      .select("ak", "ats", "deploy").orderBy("ak", "ats")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, "d1"),    // earliest at-or-after, not latest
+      (1L, 10L, "d1"),   // equal timestamp matches (>=)
+      (1L, 31L, null),   // after every deploy
+      (2L, 6L, null),    // key 2's deploy already happened
+      (3L, 1L, null)))   // key with no right rows at all
+  }
+
+  test("forward tolerance bounds the lookahead window") {
+    val deploys = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("dk", "dts", "deploy")
+    val alerts = Seq((1L, 8L), (1L, 50L), (1L, 97L)).toDF("ak", "ats")
+    val got = AsOf.joinForward(alerts, deploys, "ak", "dk", "ats", "dts",
+        tolerance = Some(5L))
+      .select("ats", "deploy").orderBy("ats")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (8L, "a"),     // 10 - 8 = 2 <= 5
+      (50L, null),   // 100 - 50 = 50 > 5: too far ahead
+      (97L, "b")))   // 100 - 97 = 3 <= 5
+  }
+
+  test("forward as-of matches the window-composed equivalent on events") {
+    val r = AsOf.viewToPurchase(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val w = Window.partitionBy("view_id")
+      .orderBy(col("purchase_ts").asc, col("purchase_id").asc)
+    val composed = views
+      .join(purchases,
+        views("user_id") === purchases("p_user") &&
+          purchases("purchase_ts") >= views("view_ts") &&
+          unix_micros(purchases("purchase_ts")) -
+            unix_micros(views("view_ts")) <= 2L * 3600 * 1000 * 1000,
+        "left")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("micros_to_purchase"))
+      .orderBy("view_id")
+    assert(r.collect().map(_.toSeq).toSeq ==
+      composed.collect().map(_.toSeq).toSeq)
+  }
+
   test("null keys and timestamps never match, never crash") {
     val quotes = Seq((Some(1L), Some(10L), "a"), (None, Some(5L), "x"),
       (Some(1L), None, "y"))
