@@ -75,13 +75,20 @@ object Bench {
         case (Some(m), _)    => (name, math.min(t1, t2), Some(m))
       }
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
+    // The driver captures only the TAIL of the run's output, so the
+    // one JSON line must stay small or its head is truncated away and
+    // `parsed` comes back null: times round to 3 decimals (ms grain —
+    // nothing here is sub-ms meaningful) and error strings truncate
+    // to their first 120 chars (the exception class + headline; the
+    // full text already went to stderr).
+    def r3(v: Double): String = "%.3f".format(v)
+    def jstr(s: String): String = "\"" + s.take(120).flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => " " // any control char breaks the JSON line
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A failed query must not read as a (fast) success: its partial
@@ -90,7 +97,7 @@ object Bench {
     // parses the JSON line regardless).
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Canonical readers for the driver-generated parquet corpus
   * (`TESTDATA.md`). All date-typed semantics are made explicit here:
@@ -18,15 +19,36 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as raw nanos (legacy conf) and convert to a
-    * microsecond timestamp with integer arithmetic (a double divide
-    * would lose precision at 2024-epoch nanos ≈ 1.7e18). DuckDB's
-    * reader does the same ns→µs truncation, so oracle values align. */
+  /** The events corpus has shipped `ts` under two physical parquet
+    * types across driver regenerations: TIMESTAMP(NANOS) — which
+    * Spark 4 rejects outright unless the legacy conf lands it as raw
+    * int64 — and TIMESTAMP(MICROS) with isAdjustedToUTC=false, which
+    * arrives typed as TIMESTAMP_NTZ. [[normalizeTs]] branches on what
+    * actually arrived instead of assuming one, so a corpus
+    * regeneration can't silently break every events query. The
+    * session timezone is pinned to UTC ([[Sessions]]), so the
+    * NTZ→session-TZ cast is a pure type relabel: wall-clock values —
+    * and therefore DuckDB oracle alignment — are unchanged. The
+    * nanos branch divides with integer arithmetic (a double divide
+    * would lose precision at 2024-epoch nanos ≈ 1.7e18); DuckDB's
+    * reader does the same ns→µs truncation. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(types.TimestampType))
+      case types.TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as $other; expected int64 nanos or a timestamp")
+    }
+
   def events(s: SparkSession, dir: String): DataFrame = {
+    // Not dead config: a TIMESTAMP(NANOS) footer fails the scan outright
+    // unless it lands as raw int64 — this is what makes normalizeTs's
+    // LongType branch reachable. No-op for MICROS/NTZ files.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

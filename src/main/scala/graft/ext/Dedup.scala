@@ -155,7 +155,7 @@ object Dedup {
     * set family (symmetric Jaccard and asymmetric containment). Its
     * `plen` column is Jaccard-specific ([[JaccardT]]); containment
     * derives its own prefix length from `n`. */
-  private def tokenSortedOrds(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenSortedOrds(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "jaccard_sorted_ords")(
       ppSortedOrds(
         distinctTokens(s, dir).withColumnRenamed("tok", "item"), JaccardT))
@@ -169,6 +169,7 @@ object Dedup {
   }
 
   private val ContainT = 0.9
+  private val ContainSalts = 16
 
   /** Asymmetric set-containment, MINIMAL-CONTAINER form: for each doc
     * x whose distinct-token set is ≥ [[ContainT]]-contained in some
@@ -194,17 +195,79 @@ object Dedup {
   def containmentTop(s: SparkSession, dir: String): DataFrame =
     containmentFromSorted(tokenSortedOrds(s, dir))
 
+  /** The bounded probe side of the containment join. Unpruned, the
+    * probe explodes EVERY doc's FULL ordinal set — a frequency-
+    * proportional hot-key fan-out (the one plan-level scale risk this
+    * family had). Two corpus-wide scalars, computed from the per-doc
+    * frame (one row per doc — bounded driver data, the J2
+    * scalar-through-driver pattern) and pushed as literals BELOW the
+    * probe's explode, so pruned rows never reach the exchange:
+    *  - maxPrefixOrd: the largest ordinal any doc's prefix reaches.
+    *    Ordinals ascend with document frequency, so every ordinal
+    *    beyond it is a token too common for ANY prefix — at web scale
+    *    that is almost the whole token stream (the boilerplate tail),
+    *    and it leaves the map side without ever shuffling.
+    *  - minReach = ⌈t·min(n)⌉: a probe item at 0-based position jb
+    *    can only witness containment of some x if
+    *    1 + (nb − jb − 1) ≥ ⌈t·na⌉ ≥ ⌈t·min(n)⌉ — deeper probe
+    *    positions cannot reach any doc's threshold. */
+  private[graft] def containmentProbe(sorted: DataFrame): DataFrame = {
+    val cplen = col("n") - ceil(lit(ContainT) * col("n")).cast("int") + 1
+    val bounds = sorted.agg(
+      max(element_at(col("ords"), cplen)).as("maxPrefixOrd"),
+      min(col("n")).as("minNa")).head()
+    val maxPrefixOrd = bounds.getLong(0)
+    val minReach = math.ceil(ContainT * bounds.getInt(1)).toLong
+    sorted.select(col("doc_id"), col("n"),
+        posexplode(col("ords")).as(Seq("jb", "ord")))
+      .filter(col("ord") <= lit(maxPrefixOrd) &&
+        col("jb") <= col("n") - lit(minReach))
+  }
+
   private[graft] def containmentFromSorted(sorted: DataFrame): DataFrame = {
     val cplen = col("n") - ceil(lit(ContainT) * col("n")).cast("int") + 1
     val prefixes = sorted.select(col("doc_id"), col("n"),
-      explode(slice(col("ords"), lit(1), cplen)).as("ord"))
-    val full = sorted.select(col("doc_id"), col("n"),
-      explode(col("ords")).as("ord"))
-    val pa = prefixes.toDF("doc_a", "na", "ord")
-    val pb = full.toDF("doc_b", "nb", "ord").hint("shuffle_hash")
-    val cand = pa.join(pb,
-        pa("ord") === pb("ord") && col("na") < col("nb"))
+      posexplode(slice(col("ords"), lit(1), cplen)).as(Seq("ia", "ord")))
+    val full = containmentProbe(sorted)
+    // Salted candidate join: the join key is a single token ordinal,
+    // and ordinal frequency is Zipfian — the hottest surviving
+    // ordinals would otherwise land their whole probe bucket on ONE
+    // reducer (on the 31-token sf0.1 fixture the unsalted join runs
+    // on ≤31 of 32 cores). Salting by hash(doc_b) splits every probe
+    // bucket [[ContainSalts]] ways and replicates only the PREFIX
+    // side (the ~(1−t)·|tokens| smaller stream) across salts — the
+    // same widened-key discipline as [[graft.operators.SkewJoin]],
+    // applied pre-shuffle so no reducer ever owns a full hot bucket.
+    val pa = prefixes.toDF("doc_a", "na", "ia", "ord")
+      .withColumn("salt", explode(lit((0 until ContainSalts).toArray)))
+    val pb = full.toDF("doc_b", "nb", "jb", "ord")
+      .withColumn("salt", pmod(hash(col("doc_b")), lit(ContainSalts)))
+      .hint("shuffle_hash")
+    // Positional filter (PPJoin's, in its asymmetric form): matching
+    // at (ia, jb) caps the intersection at 1 + min(na−ia−1, nb−jb−1),
+    // which must reach ⌈t·na⌉. Safe: a qualifying pair's FIRST common
+    // item sits in x's prefix (else none does) at the minimal (ia,
+    // jb), and that witness row always satisfies the cap.
+    val witnesses = pa.join(pb,
+        pa("ord") === pb("ord") && pa("salt") === pb("salt") &&
+          col("na") < col("nb") &&
+          lit(1) + least(col("na") - col("ia") - 1,
+            col("nb") - col("jb") - 1) >= ceil(lit(ContainT) * col("na")))
       .select("doc_a", "doc_b")
+    // Pair dedup, exchange-first: a pair typically matches on several
+    // prefix items, and a straight `.distinct()` would build map-side
+    // partial-aggregate tables over the whole witness stream at its
+    // ~2× combine ratio — the tables exceed memory and spill (profiled
+    // 3× slower than this shape at sf0.1). Repartitioning on the pair
+    // key first makes every duplicate land in one task, so the
+    // aggregate runs at full combine ratio with bounded tables; the
+    // widened partition count keeps each dedup table small — pair
+    // dedup is the widest point of the whole query (witness rows >>
+    // docs), so it gets more reducers than the session default.
+    val spark = sorted.sparkSession
+    val cand = witnesses
+      .repartition(4 * spark.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
     val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
     val da = sets.toDF("doc_a", "ords_a", "na")

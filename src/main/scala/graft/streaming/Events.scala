@@ -15,15 +15,27 @@ import graft.functions.Num._
   */
 object Events {
 
-  /** File-source schema: `ts` lands as raw nanos (see
-    * [[graft.Tables.events]]) and is converted in [[fromRaw]]. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** File-source schema for the events stream: a stream can't infer
+    * its schema, so sniff the batch footer once (metadata-only read)
+    * and declare `ts` as whatever physical type the corpus actually
+    * has — raw int64 nanos or a typed timestamp (see
+    * [[graft.Tables.normalizeTs]] for why both exist). */
+  def rawSchema(s: SparkSession, dir: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
 
-  private def fromRaw(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `readStream` over the events corpus with `ts` normalized — the
+    * single entry every streaming builder goes through, sharing the
+    * schema-branching normalizer with the batch reader so stream and
+    * batch can never diverge on the ts type again. */
+  private[graft] def streamEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(
+      s.readStream.schema(rawSchema(s, dir)).parquet(s"$dir/events*.parquet"))
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
@@ -43,12 +55,8 @@ object Events {
   /** Streaming form: file-source → watermark → windowed agg. Late
     * data beyond 2 h is dropped and state is bounded — the shape that
     * runs unbounded at 100 TB/day. */
-  def hourlyStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    hourlyTransform(
-      fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
-        .withWatermark("ts", "2 hours"))
-  }
+  def hourlyStream(s: SparkSession, dir: String): DataFrame =
+    hourlyTransform(streamEvents(s, dir).withWatermark("ts", "2 hours"))
 
   /** JSON property extraction (`props` is a JSON string): typed
     * `from_json` parse, then per-type stats on the extracted field.
@@ -86,8 +94,7 @@ object Events {
   def userTotalsStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    streamEvents(s, dir)
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
@@ -104,12 +111,10 @@ object Events {
       .toDF()
   }
 
-  def dedupStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+  def dedupStream(s: SparkSession, dir: String): DataFrame =
+    streamEvents(s, dir)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
-  }
 
   case class AttrEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
       event_type: String)
@@ -129,8 +134,7 @@ object Events {
   def attributionStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    streamEvents(s, dir)
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .as[AttrEvent]
@@ -233,8 +237,7 @@ object Events {
     * asserted in `EventsStreamSpec` (with sentinel rows advancing
     * the watermarks so trailing outer rows flush). */
   def purchaseConversionStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def raw() = fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    def raw() = streamEvents(s, dir)
     val p = purchasesOf(raw()).withWatermark("purchase_ts", "2 hours")
     val v = viewsOf(raw()).withWatermark("view_ts", "2 hours")
     viewPurchasePairs(p, v, "left_outer")
@@ -242,8 +245,7 @@ object Events {
   }
 
   def purchaseViewStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def raw() = fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    def raw() = streamEvents(s, dir)
     val p = purchasesOf(raw()).withWatermark("purchase_ts", "2 hours")
     val v = viewsOf(raw()).withWatermark("view_ts", "2 hours")
     viewPurchasePairs(p, v)
@@ -388,8 +390,7 @@ object Events {
   def funnelStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fromRaw(s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
+    streamEvents(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
@@ -502,10 +503,7 @@ object Events {
     * snapshot, re-read per micro-batch, dimension side broadcast.
     * `EventsStreamSpec` asserts stream ≡ batch. */
   def enrichedStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = fromRaw(
-      s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
-      .withWatermark("ts", "2 hours")
+    val stream = streamEvents(s, dir).withWatermark("ts", "2 hours")
     enrichedTransform(stream, typeWeights(Tables.events(s, dir)))
   }
 
@@ -693,10 +691,7 @@ object Events {
     * builder, same oracle-checked semantics ([[enrichedDailySalted]]);
     * `EventsStreamSpec` asserts stream ≡ batch. */
   def enrichedStreamSalted(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = fromRaw(
-      s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet"))
-      .withWatermark("ts", "2 hours")
+    val stream = streamEvents(s, dir).withWatermark("ts", "2 hours")
     dailyWeightedAgg(graft.operators.SkewJoin.saltedEquiJoin(
       stream, typeWeights(Tables.events(s, dir)),
       "event_type", col("event_id"), salts = 8))

@@ -208,6 +208,32 @@ class DedupSpec extends SparkSpec {
       s"expected only (1 contained-in 2, 1.0), got ${got.mkString(",")}")
   }
 
+  test("containment probe is bounded: boilerplate ordinal and deep positions never shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 50 docs: ONE shared high-DF item + 20 unique rare items each —
+    // the same pure-skew shape as the shingle bucket test. The
+    // boilerplate item sorts LAST under the ascending-DF order and
+    // (n=21, t=0.9 → prefix = 3 rarest) enters no prefix, so the
+    // bounded probe must carry NO row for its ordinal; and with
+    // minReach = ⌈0.9·21⌉ = 19 only positions 0..2 of each doc can
+    // ever witness a qualifying pair, so exactly 3 rows per doc
+    // survive of the 21 a full explode would shuffle.
+    val items = (0 until 50).flatMap { d =>
+      ("common" +: (0 until 20).map(j => s"u${d}_$j")).map(it => (d.toLong, it))
+    }.toDF("doc_id", "item")
+    val sorted = Dedup.ppSortedOrds(items, 0.9)
+    val hotOrd = sorted.select(element_at(col("ords"), col("n")).as("h"))
+      .agg(max("h")).head.getLong(0) // "common" is every doc's last ordinal
+    val probe = Dedup.containmentProbe(sorted)
+    assert(probe.filter(col("ord") === hotOrd).count() == 0,
+      "the boilerplate ordinal must be pruned before the candidate shuffle")
+    assert(probe.count() == 50 * 3,
+      "positional bound must keep only the 3 reachable positions per doc")
+    // and the full query still returns no pairs (max containment 1/21)
+    assert(Dedup.containmentFromSorted(sorted).collect().isEmpty)
+  }
+
   test("triangle counts match a brute-force recount of the same edge set") {
     val edges = Dedup.minhashLsh(spark, sf0001)
       .select("doc_a", "doc_b").collect()

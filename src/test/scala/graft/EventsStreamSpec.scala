@@ -47,14 +47,17 @@ class EventsStreamSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("pv_outer").toString
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
     raw.write.parquet(s"$tmp/events.parquet")
-    val maxTs = raw.agg(max("ts")).head().getLong(0)
-    val far = maxTs + 10L * 24 * 3600 * 1000 * 1000 * 1000 // +10 days in ns
-    val sentinels = spark.createDataFrame(
-      java.util.Arrays.asList(
-        org.apache.spark.sql.Row(-1L, far, -1L, "purchase", 0.0, "{}"),
-        org.apache.spark.sql.Row(-2L, far, -2L, "view", 0.0, "{}")),
-      raw.schema)
-    sentinels.write.parquet(s"$tmp/events_sentinel.parquet")
+    // sentinel ts = max(ts) + 10 days, derived from the corpus rows
+    // themselves so the sentinel file's ts physical type always
+    // matches the corpus file (the stream reads both under one schema)
+    def sentinel(id: Long, et: String) =
+      raw.orderBy(col("ts").desc).limit(1)
+        .select(lit(id).as("event_id"),
+          (col("ts") + expr("interval 10 days")).as("ts"),
+          lit(id).as("user_id"), lit(et).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+    sentinel(-1L, "purchase").union(sentinel(-2L, "view"))
+      .write.parquet(s"$tmp/events_sentinel.parquet")
 
     val q = Events.purchaseConversionStream(spark, tmp)
       .writeStream.outputMode("append")
@@ -79,8 +82,7 @@ class EventsStreamSpec extends SparkSpec {
     val batchSketch = Events.userCms(
       Tables.events(spark, sf0001).select("user_id"))
     var merged: org.apache.spark.util.sketch.CountMinSketch = null
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val q = spark.readStream.schema(Events.rawSchema)
+    val q = spark.readStream.schema(Events.rawSchema(spark, sf0001))
       .option("maxFilesPerTrigger", "1") // force multiple micro-batches
       .parquet(s"$sf0001/events*.parquet")
       .select("user_id")

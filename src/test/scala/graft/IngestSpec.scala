@@ -50,8 +50,7 @@ class IngestSpec extends SparkSpec {
     // stream the events files; last-write-wins per user keyed by the
     // (unique) event_id as the version — the final snapshot must hold
     // each user's max-event_id row
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(Events.rawSchema)
+    val stream = spark.readStream.schema(Events.rawSchema(spark, sf0001))
       .option("maxFilesPerTrigger", "1") // force multiple micro-batches
       .parquet(s"$sf0001/events*.parquet")
       .select("user_id", "event_id", "value")

@@ -40,6 +40,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_simhash_pairs" -> "unnest() lateral",
     "dedup_winnow_pairs" -> "string_split_regex",
     "events_asof_attribution" -> "epoch_us() timestamp arithmetic",
+    "events_asof_next_purchase" -> "epoch_us() timestamp arithmetic",
     "events_json_kv" -> "json_extract_string",
     "events_retention_cohorts" -> "DATE - DATE integer subtraction (Spark: interval)",
     "events_value_quantiles" -> "quantile_cont (Spark: percentile)",
