@@ -27,6 +27,7 @@ object SparkEntry {
       ext.Multimodal.queries ++
       sources.Ingest.queries ++
       sources.Layout.queries ++
+      sources.v2.SeriesQueries.queries ++
       streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
@@ -43,5 +44,6 @@ object SparkEntry {
       ext.Multimodal.oracleSql ++
       sources.Ingest.oracleSql ++
       sources.Layout.oracleSql ++
+      sources.v2.SeriesQueries.oracleSql ++
       streaming.Events.oracleSql
 }

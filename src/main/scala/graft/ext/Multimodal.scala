@@ -333,12 +333,70 @@ object Multimodal {
     }).toDF().orderBy("media_id")
   }
 
+  /** Deterministic 9×8 grayscale PNG built from a payload's first 72
+    * bytes (pixel (x,y) = byte y·9+x, zero beyond length) — the
+    * corpus-derived REAL-image fixture for the perceptual-dedup
+    * query: the PNG round-trips through the actual `javax.imageio`
+    * encode/decode, and because the raster is exactly dHash's 9×8
+    * grid, each grid cell averages ONE pixel, so every dHash bit
+    * collapses to `byte[p] > byte[p+1]` — a comparison the DuckDB
+    * oracle replays with `ascii(substr(text, …))`. */
+  private[graft] def toGrayPng(bytes: Array[Byte]): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val idx = y * 9 + x
+        val v = if (idx < bytes.length) bytes(idx) & 0xFF else 0
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual image dedup, end-to-end on REAL codecs: render each
+    * payload to a PNG ([[toGrayPng]], per-partition — payloads never
+    * visit the driver), decode it back through `javax.imageio`, dHash
+    * the raster, and pair by banded Hamming ([[nearDupImagePairs]]:
+    * 4×16-bit band equi-join, shuffle-hash, exact `bit_count(xor)`
+    * verify — only (id, long) tuples ever shuffle). Exact-duplicate
+    * docs land at Hamming 0; docs sharing a 72-byte prefix pattern at
+    * ≤ 3. */
+  def imageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pngs = mediaTable(s, dir)
+      .mapPartitions(_.map(r => MediaRow(r.media_id, toGrayPng(r.content), r.source)))
+    nearDupImagePairs(imageHashes(pngs))
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // DuckDB replay of the dHash bits on the 9×8 raster: byte p of the
+  // ASCII payload (0 past end), bit i compares positions (i/8)·9+i%8
+  // and its right neighbor, accumulated as two 32-bit halves so the
+  // bigint arithmetic never touches the sign bit.
+  private def duckByte(pos: Int): String =
+    s"CASE WHEN length(text) > $pos THEN ascii(substr(text, ${pos + 1}, 1)) ELSE 0 END"
+  private def duckBit(i: Int): String = {
+    val p = (i / 8) * 9 + (i % 8)
+    s"CASE WHEN ${duckByte(p)} > ${duckByte(p + 1)} THEN ${1L << (i % 32)} ELSE 0 END"
+  }
+  private def duckDHashHalf(from: Int, until: Int): String =
+    (from until until).map(duckBit).mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> (features _),
     "mm_meta"         -> (meta _),
     "mm_resize"       -> (resize _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_meta"   -> (audioMeta _),
+    "mm_image_dedup"  -> (imageDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -398,5 +456,20 @@ object Multimodal {
         |  CAST(64 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS width,
         |  CAST(64 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS BIGINT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // dHash on the 9×8 corpus-byte raster == adjacent-byte
+    // comparisons (see imageDedup); banding is exact for Hamming ≤ 3
+    // by pigeonhole, so the brute-force replay states the same pairs
+    "mm_image_dedup" ->
+      s"""WITH h AS (SELECT doc_id AS media_id,
+         |    CAST(${duckDHashHalf(0, 32)} AS BIGINT) AS lo,
+         |    CAST(${duckDHashHalf(32, 64)} AS BIGINT) AS hi
+         |  FROM documents)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |    AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

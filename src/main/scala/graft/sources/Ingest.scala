@@ -403,14 +403,72 @@ object Ingest {
       .orderBy("event_type", "day")
   }
 
+  /** Declared compaction query — [[compactSnapshot]] under the oracle
+    * gate. Builds a deterministically fragmented snapshot: three
+    * appends of the monthly series (split by month-of-year mod 3,
+    * `coalesce(1)` per append → exactly one file per year-partition
+    * per non-empty slice), so a year holding k distinct month
+    * residues starts with k files. Compacting with an unbounded
+    * per-file byte budget plans one file per partition and rewrites
+    * only the partitions above that — the report is per-partition
+    * (files_before, files_after, n_rows), and the oracle restates the
+    * same arithmetic from the series itself (file counts here are
+    * functions of the data, not of cluster layout, by construction).
+    * Driver-side listing touches only partition DIRECTORIES — bounded
+    * by #years, never by data volume. */
+  def compactionReport(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/snap"
+    val series = graft.Tables.monthlySeriesCached(s, dir)
+      .withColumn("__part", year(col("month")))
+      .withColumn("__b", pmod(month(col("month")), lit(3)))
+    (0 until 3).foreach { b =>
+      series.filter(col("__b") === b).drop("__b").coalesce(1)
+        .write.mode(SaveMode.Append).partitionBy("__part").parquet(base)
+    }
+    def filesPer: Map[Int, Long] = Option(new java.io.File(base).listFiles)
+      .getOrElse(Array.empty)
+      .filter(p => p.isDirectory && p.getName.startsWith("__part="))
+      .map(p => p.getName.stripPrefix("__part=").toInt ->
+        Option(p.listFiles).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong)
+      .toMap
+    val before = filesPer
+    compactSnapshot(s, base, Long.MaxValue)
+    val after = filesPer
+    val rowsPer = s.read.parquet(base).groupBy("__part")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    deleteRecursively(new java.io.File(base).getParentFile)
+    before.toSeq.sortBy(_._1)
+      .map { case (p, fb) => (p.toLong, fb, after(p), rowsPer(p)) }
+      .toDF("part", "files_before", "files_after", "n_rows")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map(
       "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
       "ingest_incremental_agg" -> (incrementalAgg _),
+      "ingest_compaction" -> (compactionReport _),
       "ingest_bucketed_join" -> (bucketedColocatedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    // file counts restated from the data: a year holds one pre-
+    // compaction file per distinct month-mod-3 residue (one append
+    // each), and compaction leaves 1 file wherever it had > 1
+    "ingest_compaction" ->
+      s"""WITH m AS (${graft.Tables.monthlySeriesSql}),
+         |y AS (SELECT CAST(year(month) AS BIGINT) AS part,
+         |    CAST(count(DISTINCT month(month) % 3) AS BIGINT) AS files_before,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM m GROUP BY 1)
+         |SELECT part, files_before,
+         |  CAST(CASE WHEN files_before > 1 THEN 1
+         |    ELSE files_before END AS BIGINT) AS files_after,
+         |  n_rows
+         |FROM y ORDER BY part""".stripMargin,
     // the partial-merge refresh must equal the one-shot aggregate:
     // decimal partial sums are associative, so the oracle states the
     // full recompute

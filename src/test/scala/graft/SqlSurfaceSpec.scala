@@ -45,6 +45,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "events_retention_cohorts" -> "DATE - DATE integer subtraction (Spark: interval)",
     "events_value_quantiles" -> "quantile_cont (Spark: percentile)",
     "mm_features" -> "octet_length(CAST AS BLOB) + regexp_extract_all/len",
+    "mm_image_dedup" -> "xor() function (Spark spells it ^) + brute-force pair replay",
     "mm_frame_sample" -> "list_transform byte slicing",
     "mm_meta" -> "octet_length(CAST AS BLOB)",
     "mm_audio_meta" -> "octet_length(CAST AS BLOB)",
@@ -54,6 +55,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_lm_score" -> "string_split_regex",
     "text_quality_by_source" -> "string_split_regex",
     "payroll_recovery" -> "non-equality correlated scalar subqueries",
+    "series_source_scan" -> "range(n) t(i) table alias + INTERVAL (i) MONTH",
     "pipeline_curation" -> "recursive CTE cluster map + hex-string casts",
     "sample_hash_bernoulli" -> "hex-string CAST to BIGINT",
     "sample_weighted" -> "string_split_regex + hex-string CAST",
