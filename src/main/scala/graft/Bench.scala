@@ -75,13 +75,19 @@ object Bench {
         case (Some(m), _)    => (name, math.min(t1, t2), Some(m))
       }
     }
-    // The driver captures only the TAIL of the run's output, so the
-    // one JSON line must stay small or its head is truncated away and
-    // `parsed` comes back null: times round to 3 decimals (ms grain —
-    // nothing here is sub-ms meaningful) and error strings truncate
-    // to their first 120 chars (the exception class + headline; the
-    // full text already went to stderr).
-    def r3(v: Double): String = "%.3f".format(v)
+    // The driver captures only the TAIL of the run's output; at 136
+    // queries the line is ~4 KB and the capture keeps ~2.2 KB, so the
+    // HEAD of the line is what gets cut. Field order is therefore
+    // load-bearing: the expendable per-query map leads the line and
+    // the fields the driver must see ("metric", "errors", "value",
+    // "unit", "sf") END it — a head-truncated line still carries them.
+    // Times round to 3 decimals (ms grain — nothing here is sub-ms
+    // meaningful) and error strings truncate to their first 120 chars
+    // (the exception class + headline; full text already on stderr).
+    // %.3f is locale-pinned: a comma-decimal default locale (de_DE)
+    // would otherwise emit `1,500` and break the JSON.
+    def r3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jstr(s: String): String = "\"" + s.take(120).flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -96,8 +102,17 @@ object Bench {
     // bench JSON carries the failure (exit stays 0 — the driver
     // parses the JSON line regardless).
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
-    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val errJson = if (errs.isEmpty) """"errors":{},"""
+      else errs.mkString(""""errors":{""", ",", "},")
+    val line =
+      s"""{"queries":$qs,$errJson"metric":"total","unit":"sec","value":${r3(total)},"sf":"$sfDir"}"""
+    // The full JSON always lands on disk too, so per-query times
+    // exist even when the captured line was truncated.
+    val out = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -216,6 +216,11 @@ object Dedup {
     val bounds = sorted.agg(
       max(element_at(col("ords"), cplen)).as("maxPrefixOrd"),
       min(col("n")).as("minNa")).head()
+    // Empty corpus → both aggregates are NULL; return an empty probe
+    // frame in the probe's shape rather than NPE on getLong.
+    if (bounds.isNullAt(0) || bounds.isNullAt(1))
+      return sorted.filter(lit(false)).select(col("doc_id"), col("n"),
+        posexplode(col("ords")).as(Seq("jb", "ord")))
     val maxPrefixOrd = bounds.getLong(0)
     val minReach = math.ceil(ContainT * bounds.getInt(1)).toLong
     sorted.select(col("doc_id"), col("n"),

@@ -377,15 +377,23 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
-  // DuckDB replay of the dHash bits on the 9×8 raster: byte p of the
-  // ASCII payload (0 past end), bit i compares positions (i/8)·9+i%8
-  // and its right neighbor, accumulated as two 32-bit halves so the
-  // bigint arithmetic never touches the sign bit.
-  private def duckByte(pos: Int): String =
-    s"CASE WHEN length(text) > $pos THEN ascii(substr(text, ${pos + 1}, 1)) ELSE 0 END"
+  // DuckDB replay of the dHash bits on the 9×8 raster: BYTE p of the
+  // payload's UTF-8 encoding (0 past end), bit i compares positions
+  // (i/8)·9+i%8 and its right neighbor, accumulated as two 32-bit
+  // halves so the bigint arithmetic never touches the sign bit.
+  // Byte access is byte-exact, not character-based: `hex(encode(text))`
+  // renders each UTF-8 byte as two uppercase hex chars ('0'-'9' < 'A'-
+  // 'F' in ASCII), so comparing the two-char slices lexicographically
+  // IS the unsigned byte compare the Spark raster performs — correct
+  // even if the corpus grows non-ASCII text (DuckDB v1.0 has no blob
+  // substring; `ascii(substr(text,…))` would return code points, not
+  // bytes, and silently desync from the UTF-8 raster). The '00' pad
+  // covers reads past end-of-payload (raster zero-fills beyond length).
+  private def duckHexByte(pos: Int): String =
+    s"substr(hx, ${2 * pos + 1}, 2)"
   private def duckBit(i: Int): String = {
     val p = (i / 8) * 9 + (i % 8)
-    s"CASE WHEN ${duckByte(p)} > ${duckByte(p + 1)} THEN ${1L << (i % 32)} ELSE 0 END"
+    s"CASE WHEN ${duckHexByte(p)} > ${duckHexByte(p + 1)} THEN ${1L << (i % 32)} ELSE 0 END"
   }
   private def duckDHashHalf(from: Int, until: Int): String =
     (from until until).map(duckBit).mkString(" + ")
@@ -404,7 +412,7 @@ object Multimodal {
     // metadata is a pure function of byte length
     "mm_audio_meta" ->
       """WITH b AS (SELECT doc_id AS media_id,
-        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |    octet_length(encode(text)) AS nb FROM documents)
         |SELECT media_id, CAST(nb AS BIGINT) AS n_bytes,
         |  CAST(8000 + (nb % 8) * 1000 AS BIGINT) AS sample_rate,
         |  CAST(1 + nb % 2 AS BIGINT) AS channels,
@@ -413,7 +421,7 @@ object Multimodal {
 
     "mm_resize" ->
       s"""WITH b AS (SELECT doc_id AS media_id, text,
-        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |    octet_length(encode(text)) AS nb FROM documents)
         |SELECT media_id, $TargetW AS out_w, $TargetH AS out_h,
         |  CAST(least(nb, ${TargetW * TargetH}) AS BIGINT) AS n_out,
         |  md5(array_to_string(list_transform(
@@ -425,7 +433,7 @@ object Multimodal {
 
     "mm_frame_sample" ->
       s"""WITH b AS (SELECT doc_id AS media_id, text,
-        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |    octet_length(encode(text)) AS nb FROM documents)
         |SELECT media_id,
         |  CAST((nb + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames,
         |  CAST(((nb + ${FrameBytes - 1}) // $FrameBytes + ${SampleEvery - 1})
@@ -439,7 +447,7 @@ object Multimodal {
 
     "mm_features" ->
       """WITH b AS (SELECT doc_id AS media_id, text,
-        |    octet_length(CAST(text AS BLOB)) AS nb FROM documents)
+        |    octet_length(encode(text)) AS nb FROM documents)
         |SELECT media_id,
         |  64 + nb % 64 AS width,
         |  64 + (nb // 64) % 64 AS height,
@@ -452,19 +460,21 @@ object Multimodal {
 
     "mm_meta" ->
       """SELECT doc_id AS media_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS width,
-        |  CAST(64 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS BIGINT) AS height
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // dHash on the 9×8 corpus-byte raster == adjacent-byte
     // comparisons (see imageDedup); banding is exact for Hamming ≤ 3
     // by pigeonhole, so the brute-force replay states the same pairs
     "mm_image_dedup" ->
-      s"""WITH h AS (SELECT doc_id AS media_id,
+      s"""WITH hb AS (SELECT doc_id,
+         |    hex(encode(text)) || repeat('00', 74) AS hx FROM documents),
+         |h AS (SELECT doc_id AS media_id,
          |    CAST(${duckDHashHalf(0, 32)} AS BIGINT) AS lo,
          |    CAST(${duckDHashHalf(32, 64)} AS BIGINT) AS hi
-         |  FROM documents)
+         |  FROM hb)
          |SELECT a.media_id AS id_a, b.media_id AS id_b,
          |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
          |    AS BIGINT) AS hamming

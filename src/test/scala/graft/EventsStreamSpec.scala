@@ -45,15 +45,27 @@ class EventsStreamSpec extends SparkSpec {
     // join side, impossible user ids) so BOTH watermarks advance past
     // every real purchase and the trailing outer rows flush
     val tmp = java.nio.file.Files.createTempDirectory("pv_outer").toString
+    // nanosAsLong set BEFORE the raw read: a TIMESTAMP(NANOS) footer
+    // fails the scan outright otherwise, and this test must not depend
+    // on another test having set the conf session-wide first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
     raw.write.parquet(s"$tmp/events.parquet")
     // sentinel ts = max(ts) + 10 days, derived from the corpus rows
     // themselves so the sentinel file's ts physical type always
-    // matches the corpus file (the stream reads both under one schema)
+    // matches the corpus file (the stream reads both under one
+    // schema). The arithmetic branches on the arrived dtype: int64
+    // nanos adds 10 days of nanos (Long + interval is a type
+    // mismatch); timestamp variants add the interval.
+    val tsPlus10d = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(10L * 24L * 3600L * 1000000000L)
+      case _ => col("ts") + expr("interval 10 days")
+    }
     def sentinel(id: Long, et: String) =
       raw.orderBy(col("ts").desc).limit(1)
         .select(lit(id).as("event_id"),
-          (col("ts") + expr("interval 10 days")).as("ts"),
+          tsPlus10d.as("ts"),
           lit(id).as("user_id"), lit(et).as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
     sentinel(-1L, "purchase").union(sentinel(-2L, "view"))
