@@ -29,7 +29,12 @@ object Profile {
       graft.ext.Dedup.lastCcStats = graft.ext.Dedup.CcStats(0, Nil)
       val cold = run(name)
       val warm = run(name)
-      println(f"[profile] $name%-28s cold ${cold}%6.2f s   warm ${warm}%6.2f s")
+      // memo-cleared, codegen-warm: the state a Bench pass 2 query
+      // runs in — separates janino/plan bring-up (absent here) from
+      // the real recomputed data path (present here)
+      SessionMemo.clear(spark)
+      val rebuilt = run(name)
+      println(f"[profile] $name%-28s cold ${cold}%6.2f s   warm ${warm}%6.2f s   rebuilt ${rebuilt}%6.2f s")
       val cc = graft.ext.Dedup.lastCcStats
       if (cc.rounds > 0) println(
         f"[profile]   cc rounds=${cc.rounds} " +

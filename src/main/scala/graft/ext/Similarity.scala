@@ -505,23 +505,59 @@ object Similarity {
       buildNearDupPairs(s, dir)
     }
 
+  /** One shuffle, zero pair-stream exchanges. The naive shape —
+    * skinny (vec_a, vec_b) candidates, `.distinct()`, then two vector
+    * re-joins — shuffles the PAIR stream three times, and at
+    * [[NearBits]] = 3 (coarse buckets for recall at cos 0.45) the
+    * pair stream is quadratic in bucket size: profiled 12.9 s at
+    * sf0.1, almost all of it the 25 M-row distinct plus the 6 GB
+    * exchange that drags 512-byte vector arrays behind every pair.
+    * This shape instead:
+    *  - carries each vector THROUGH the bucket join (shuffle volume =
+    *    [[NearTables]] × corpus — linear in the corpus, 90 MB here —
+    *    while the pair stream, the only super-linear quantity, never
+    *    leaves the mapper);
+    *  - verifies cosine INSIDE the joined stage, so only final
+    *    near-dup rows (real-dup density, tiny) survive;
+    *  - replaces the pair `.distinct()` with a FIRST-COLLISION filter:
+    *    all [[NearTables]] 3-bit signatures pack into one long
+    *    (48 bits), and a pair colliding at table t is kept only when
+    *    no lower table's 3-bit field also collides — exactly-once
+    *    emission as pure map-side bit arithmetic on the xor of the
+    *    two packs, no exchange, no aggregation state. */
   private[graft] def buildNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
-    val bk = buckets(vs, NearTables, NearBits)
-    val a = bk.toDF("vec_a", "t", "sig")
-    val b = bk.toDF("vec_b", "t", "sig").hint("shuffle_hash")
-    val cand = a.join(b, Seq("t", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct() // a pair may co-bucket in several tables
-    // Verify joins are SHUFFLE-HASH: both vector re-joins key on a
-    // vec id, and the vector table is the corpus itself — broadcast
-    // would OOM the driver at 100 TB, unhinted Catalyst sort-merges
-    // the array side (its size estimates can't see array columns).
-    val va = vs.toDF("vec_a", "va", "na")
-    val vb = vs.toDF("vec_b", "vb", "nb")
-    cand.join(va.hint("shuffle_hash"), Seq("vec_a"))
-      .join(vb.hint("shuffle_hash"), Seq("vec_b"))
+    // stage 1: one named column per table signature, so the 48 plane
+    // dots run exactly once per vector (downstream pack/explode refer
+    // to cheap attribute refs — CollapseProject cannot duplicate them)
+    val sigCols = (0 until NearTables).map(t =>
+      lshSig(col("v"), t, NearBits).as(s"sig$t"))
+    val sigs = vs.select(Seq(col("vec_id"), col("v"), col("nrm")) ++ sigCols: _*)
+    val pack = (0 until NearTables)
+      .map(t => shiftleft(col(s"sig$t"), NearBits * t)).reduce(_ + _)
+    val ts = array((0 until NearTables).map(t =>
+      struct(lit(t).as("t"), col(s"sig$t").as("sig"))): _*)
+    val bk = sigs
+      .select(col("vec_id"), col("v"), col("nrm"), pack.as("pack"),
+        explode(ts).as("ts"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("pack"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    // The one exchange: hash-partition both sides on (t, sig) and
+    // join SHUFFLE-HASH — the bucket table is the corpus itself, so
+    // broadcast is a driver OOM at 100 TB, and unhinted Catalyst
+    // would sort-merge the array-carrying side.
+    val a = bk.toDF("vec_a", "va", "na", "pa", "t", "sig")
+    val b = bk.toDF("vec_b", "vb", "nb", "pb", "t", "sig").hint("shuffle_hash")
+    val m = col("pa").bitwiseXOR(col("pb"))
+    val fieldMask = (1L << NearBits) - 1
+    // keep the pair iff no table BELOW t also collides (t' >= t terms
+    // are vacuously true; the topmost field is never below any t)
+    val firstCollision = (0 until NearTables - 1).map { tp =>
+      (col("t") <= lit(tp)) ||
+        (shiftrightunsigned(m, NearBits * tp).bitwiseAND(lit(fieldMask)) =!= lit(0L))
+    }.reduce(_ && _)
+    a.join(b, Seq("t", "sig"))
+      .filter(col("vec_a") < col("vec_b") && firstCollision)
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupCos)
       .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
