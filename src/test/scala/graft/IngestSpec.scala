@@ -127,6 +127,30 @@ class IngestSpec extends SparkSpec {
     assert(snapRows(snap).contains((Date.valueOf("2021-01-01"), 99L)))
   }
 
+  test("compaction leaves right-sized partitions byte-identical while rewriting fragmented ones") {
+    val snap = Files.createTempDirectory("graft_cmp_mix").toString + "/snap"
+    // 2020 fragmented (6 files via forced parallelism); 2021 already
+    // right-sized (a single file from a coalesced append)
+    series((1 to 6).map(m => (f"2020-$m%02d-01", m.toLong, 1L)): _*)
+      .withColumn("__part", year(col("month")))
+      .repartition(6, col("month"))
+      .write.partitionBy("__part").parquet(snap)
+    series(("2021-01-01", 50L, 1L), ("2021-02-01", 60L, 1L))
+      .withColumn("__part", year(col("month"))).coalesce(1)
+      .write.mode("append").partitionBy("__part").parquet(snap)
+    assert(partFiles(snap, "__part=2020").size > 1, "fixture needs small files")
+    assert(partFiles(snap, "__part=2021").size == 1, "fixture needs a right-sized partition")
+    val right = partFiles(snap, "__part=2021")
+    val before = snapRows(snap)
+    Thread.sleep(5) // make an mtime-equal rewrite detectable
+    assert(Ingest.compactSnapshot(spark, snap) == 1,
+      "only the fragmented partition should compact")
+    assert(partFiles(snap, "__part=2020").size == 1)
+    assert(partFiles(snap, "__part=2021") == right,
+      "right-sized partition must stay byte-identical (same name/length/mtime)")
+    assert(snapRows(snap) == before, "compaction must not change content")
+  }
+
   test("snapshot swap survives a crash between the two renames") {
     val snap = Files.createTempDirectory("graft_crash").toString + "/snap"
     val byYear = (c: org.apache.spark.sql.Column) => year(c)

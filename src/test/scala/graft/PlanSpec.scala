@@ -61,6 +61,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"near-dup pair generation degraded to an all-pairs join:\n$s")
   }
 
+  test("image dedup: banded Hamming join is shuffle-hash, never a broadcast") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // the band join's both sides are the (corpus-sized) hash table —
+    // a BroadcastExchange here is a driver OOM at 100 TB
+    val plan = executed(ext.Multimodal.imageDedup(spark, sf0001))
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    assert(bx.isEmpty, s"image band join broadcasts a corpus-derived side:\n$plan")
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"image band join lost its shuffle-hash shape:\n$plan")
+  }
+
+  test("series source: month-range filter prunes splits at planning time") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // the declared query's 2010-2014 predicate must plan exactly 1 of
+    // the 8 splits an unfiltered 480-month read would (pushdown
+    // happens at planning — pruned splits never become tasks)
+    val pruned = executed(sources.v2.SeriesQueries.seriesSourceScan(spark, sf0001))
+    val scans = collectWithSubqueries(pruned) { case b: BatchScanExec => b }
+    assert(scans.size == 1, s"expected one DSv2 scan:\n$pruned")
+    assert(scans.head.inputPartitions.size == 1,
+      s"month-range predicate should plan 1 of 8 splits, " +
+        s"planned ${scans.head.inputPartitions.size}:\n$pruned")
+    val full = executed(spark.read.format("graft-series")
+      .option("months", 480L).option("monthsPerSplit", 60L).load())
+    val fullScans = collectWithSubqueries(full) { case b: BatchScanExec => b }
+    assert(fullScans.head.inputPartitions.size == 8,
+      "unfiltered read should plan all 8 splits")
+  }
+
   test("jaccard: no Window operator (parallel ordinal assignment)") {
     val s = executed(ext.Dedup.jaccardPairs(spark, sf0001)).toString
     assert(!s.contains("Window"),
