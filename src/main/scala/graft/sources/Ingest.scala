@@ -261,6 +261,7 @@ object Ingest {
     val oT = s"graft_b_orders_$suffix"
     val cT = s"graft_b_customer_$suffix"
     if (!s.catalog.tableExists(oT)) {
+      armShutdownSweep(s)
       graft.SessionMemo.registerCleanup(s, "bucketed_tables")(() =>
         dropBucketedTables(s))
       graft.Tables.orders(s, dir)
@@ -304,11 +305,35 @@ object Ingest {
     * the warehouse held 54 such leftovers before this landed). Live
     * processes' directories are untouched, so concurrent bench +
     * verify JVMs stay isolated. */
-  private[graft] def sweepStaleBucketDirs(s: org.apache.spark.sql.SparkSession): Unit = {
+  private def warehouseDir(s: org.apache.spark.sql.SparkSession): java.io.File = {
     val whConf = s.conf.get("spark.sql.warehouse.dir")
-    val wh =
-      if (whConf.contains(":/")) new java.io.File(new java.net.URI(whConf).getPath)
-      else new java.io.File(whConf)
+    if (whConf.contains(":/")) new java.io.File(new java.net.URI(whConf).getPath)
+    else new java.io.File(whConf)
+  }
+
+  /** One JVM shutdown hook deleting THIS process's `graft_b_*_<pid>`
+    * warehouse directories — a clean exit leaves `spark-warehouse/`
+    * empty even when nothing ran `SessionMemo.clear` (sbt test,
+    * Bench). Directory-level delete, not catalog DROP: the session is
+    * already tearing down inside a shutdown hook, and the default
+    * in-memory catalog's metadata dies with the JVM anyway. Dead-PID
+    * leftovers from crashes are still covered by
+    * [[sweepStaleBucketDirs]] on the next run. */
+  private val shutdownSweepArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def armShutdownSweep(s: org.apache.spark.sql.SparkSession): Unit =
+    if (shutdownSweepArmed.compareAndSet(false, true)) {
+      val wh = warehouseDir(s)
+      val self = ProcessHandle.current().pid()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        for (d <- Option(wh.listFiles).getOrElse(Array.empty)
+             if d.isDirectory && d.getName.startsWith("graft_b_") &&
+               d.getName.endsWith("_" + self))
+          deleteRecursively(d)
+      }, "graft-warehouse-sweep"))
+    }
+
+  private[graft] def sweepStaleBucketDirs(s: org.apache.spark.sql.SparkSession): Unit = {
+    val wh = warehouseDir(s)
     val self = ProcessHandle.current().pid()
     for (d <- Option(wh.listFiles).getOrElse(Array.empty)
          if d.isDirectory && d.getName.startsWith("graft_b_")) {
