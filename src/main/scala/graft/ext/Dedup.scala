@@ -188,10 +188,12 @@ object Dedup {
     * order) while the container side probes with its FULL ordinal set
     * — the classic asymmetric prefix-filter result (any y with
     * |x∩y| ≥ t·|x| shares one of x's prefix items). The |x| < |y|
-    * restriction is fused into the candidate join; verification
-    * re-joins the ordinal arrays SHUFFLE-HASH (the corpus-derived
-    * array table is never broadcast) and the argmax is a pre-combined
-    * struct-max aggregate, never a window over the pair stream. */
+    * restriction is fused into the candidate join; both join sides
+    * carry their ordinal arrays so verification runs inside the
+    * joined stage (the pair stream never shuffles), and the argmax is
+    * a pre-combined struct-max aggregate over the verified stream —
+    * never a window, never a pair-level distinct (the argmax is
+    * duplicate-insensitive). */
   def containmentTop(s: SparkSession, dir: String): DataFrame =
     containmentFromSorted(tokenSortedOrds(s, dir))
 
@@ -219,11 +221,14 @@ object Dedup {
     // Empty corpus → both aggregates are NULL; return an empty probe
     // frame in the probe's shape rather than NPE on getLong.
     if (bounds.isNullAt(0) || bounds.isNullAt(1))
-      return sorted.filter(lit(false)).select(col("doc_id"), col("n"),
-        posexplode(col("ords")).as(Seq("jb", "ord")))
+      return sorted.filter(lit(false)).select(col("doc_id"), col("ords"),
+        col("n"), posexplode(col("ords")).as(Seq("jb", "ord")))
     val maxPrefixOrd = bounds.getLong(0)
     val minReach = math.ceil(ContainT * bounds.getInt(1)).toLong
-    sorted.select(col("doc_id"), col("n"),
+    // each surviving position carries the doc's full ordinal array:
+    // the candidate join verifies containment INLINE (see
+    // containmentFromSorted), so the arrays must arrive with the row
+    sorted.select(col("doc_id"), col("ords"), col("n"),
         posexplode(col("ords")).as(Seq("jb", "ord")))
       .filter(col("ord") <= lit(maxPrefixOrd) &&
         col("jb") <= col("n") - lit(minReach))
@@ -231,7 +236,7 @@ object Dedup {
 
   private[graft] def containmentFromSorted(sorted: DataFrame): DataFrame = {
     val cplen = col("n") - ceil(lit(ContainT) * col("n")).cast("int") + 1
-    val prefixes = sorted.select(col("doc_id"), col("n"),
+    val prefixes = sorted.select(col("doc_id"), col("ords"), col("n"),
       posexplode(slice(col("ords"), lit(1), cplen)).as(Seq("ia", "ord")))
     val full = containmentProbe(sorted)
     // Salted candidate join: the join key is a single token ordinal,
@@ -243,9 +248,21 @@ object Dedup {
     // side (the ~(1−t)·|tokens| smaller stream) across salts — the
     // same widened-key discipline as [[graft.operators.SkewJoin]],
     // applied pre-shuffle so no reducer ever owns a full hot bucket.
-    val pa = prefixes.toDF("doc_a", "na", "ia", "ord")
+    //
+    // Both sides carry their full ordinal arrays (the PPJoin-family
+    // inverted-index layout: the index entry holds the record), so
+    // verification runs INSIDE the joined stage and the pair stream
+    // — the only super-linear quantity in this query — never leaves
+    // the mapper. The previous shape shipped skinny witness pairs to
+    // a repartition + distinct (25 M rows at sf0.1) and re-joined the
+    // arrays per unique pair (11 M) through two more exchanges;
+    // profiled, that pair dedup was the dominant exchange of the
+    // whole query. There is nothing to dedup now: a pair verifying
+    // through several witness ords yields IDENTICAL verified rows,
+    // and the closing argmax is duplicate-insensitive by definition.
+    val pa = prefixes.toDF("doc_a", "ords_a", "na", "ia", "ord")
       .withColumn("salt", explode(lit((0 until ContainSalts).toArray)))
-    val pb = full.toDF("doc_b", "nb", "jb", "ord")
+    val pb = full.toDF("doc_b", "ords_b", "nb", "jb", "ord")
       .withColumn("salt", pmod(hash(col("doc_b")), lit(ContainSalts)))
       .hint("shuffle_hash")
     // Positional filter (PPJoin's, in its asymmetric form): matching
@@ -253,40 +270,21 @@ object Dedup {
     // which must reach ⌈t·na⌉. Safe: a qualifying pair's FIRST common
     // item sits in x's prefix (else none does) at the minimal (ia,
     // jb), and that witness row always satisfies the cap.
-    val witnesses = pa.join(pb,
+    pa.join(pb,
         pa("ord") === pb("ord") && pa("salt") === pb("salt") &&
           col("na") < col("nb") &&
           lit(1) + least(col("na") - col("ia") - 1,
             col("nb") - col("jb") - 1) >= ceil(lit(ContainT) * col("na")))
-      .select("doc_a", "doc_b")
-    // Pair dedup, exchange-first: a pair typically matches on several
-    // prefix items, and a straight `.distinct()` would build map-side
-    // partial-aggregate tables over the whole witness stream at its
-    // ~2× combine ratio — the tables exceed memory and spill (profiled
-    // 3× slower than this shape at sf0.1). Repartitioning on the pair
-    // key first makes every duplicate land in one task, so the
-    // aggregate runs at full combine ratio with bounded tables; the
-    // widened partition count keeps each dedup table small — pair
-    // dedup is the widest point of the whole query (witness rows >>
-    // docs), so it gets more reducers than the session default.
-    val spark = sorted.sparkSession
-    val cand = witnesses
-      .repartition(4 * spark.sparkContext.defaultParallelism,
-        col("doc_a"), col("doc_b"))
-      .distinct()
-    val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
-    val da = sets.toDF("doc_a", "ords_a", "na")
-    val db = sets.toDF("doc_b", "ords_b", "nb")
-    cand.join(da.hint("shuffle_hash"), Seq("doc_a"))
-      .join(db.hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("c", graft.functions.SortedIntersectSize
         .sortedIntersectSize(col("ords_a"), col("ords_b")))
       .withColumn("containment", col("c") / col("na"))
       .filter(col("containment") >= ContainT)
       // argmax container per contained doc: lexicographic struct max
       // on (containment, −nb, −doc_b) — a map-side-combining hash
-      // aggregate; the UNROUNDED containment ranks (an exact rational
-      // of integers, bit-equal on both engines)
+      // aggregate keyed by doc_a (bounded by the doc count), fed
+      // directly by the verified witness stream; the UNROUNDED
+      // containment ranks (an exact rational of integers, bit-equal
+      // on both engines)
       .groupBy(col("doc_a").as("contained_doc"))
       .agg(max(struct(col("containment").as("cm"),
         (-col("nb")).as("negn"), (-col("doc_b")).as("negb"))).as("best"))

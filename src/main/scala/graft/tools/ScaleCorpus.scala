@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scaler for scale-headroom benchmarking:
+  * `runMain graft.tools.ScaleCorpus <srcDir> <dstDir> <factor>`
+  * replicates every table of a driver-generated sf directory
+  * (`TESTDATA.md`) `factor`× with key-shifted copies, so a 10× corpus
+  * (~sf1 from sf0.1) exists to measure how each query family's wall
+  * time actually grows — the cheapest way to catch a
+  * driver-materialization or skew surprise an order of magnitude
+  * before a user would.
+  *
+  * Copy discipline (copy 0 is the original, byte-for-byte):
+  *  - Every primary/foreign key shifts by `i × stride(table)` where
+  *    stride is the next power of 10 above the max key — referential
+  *    integrity holds within each copy and copies never collide.
+  *  - `documents.text` tokens get a per-copy suffix: copies are
+  *    DISTINCT documents, not near-duplicates of their original, so
+  *    true near-dup pairs/clusters scale LINEARLY (10× corpus → 10×
+  *    pairs). Naive replication would make every doc a 10-way
+  *    near-dup cluster and the pair queries' OUTPUT quadratic —
+  *    measuring output explosion, not engine scaling. Vocabulary
+  *    grows ~linearly, which is what real corpus growth does.
+  *  - `embeddings.embedding` rotates its dimensions by `7i` per copy:
+  *    rotation preserves norms and all WITHIN-copy dot products
+  *    (near-dup geometry replicates exactly, 10× pairs/clusters)
+  *    while cross-copy cosines stay unstructured.
+  *  - `region`/`nation` stay fixed (TPC-H semantics) and timestamps
+  *    keep their range — 10× the rows per month/day is exactly the
+  *    density growth a bigger corpus brings.
+  */
+object ScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.builder(cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    /** Next power of 10 strictly above the column max — keeps shifted
+      * keys human-readable (copy digit in a fixed decimal place). */
+    def stride(df: DataFrame, c: String): Long = {
+      val m = df.agg(max(col(c).cast("long"))).head().getLong(0)
+      var s = 1L
+      while (s <= m) s *= 10
+      s
+    }
+
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+
+    def shift(c: String, s: Long, i: Int) = (col(c) + lit(s * i)).as(c)
+
+    // fixed dimensions: copied as-is
+    write(spark.read.parquet(s"$src/region.parquet"), "region")
+    write(spark.read.parquet(s"$src/nation.parquet"), "nation")
+
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    val part     = spark.read.parquet(s"$src/part.parquet")
+    val orders   = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val cS = stride(customer, "c_custkey")
+    val sS = stride(supplier, "s_suppkey")
+    val pS = stride(part, "p_partkey")
+    val oS = stride(orders, "o_orderkey")
+
+    write(copies(customer) { (df, i) =>
+      df.select(shift("c_custkey", cS, i), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }, "customer")
+    write(copies(supplier) { (df, i) =>
+      df.select(shift("s_suppkey", sS, i), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    }, "supplier")
+    write(copies(part) { (df, i) =>
+      df.select(shift("p_partkey", pS, i), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+    }, "part")
+    write(copies(orders) { (df, i) =>
+      df.select(shift("o_orderkey", oS, i), shift("o_custkey", cS, i),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }, "orders")
+    write(copies(lineitem) { (df, i) =>
+      df.select(shift("l_orderkey", oS, i), shift("l_partkey", pS, i),
+        shift("l_suppkey", sS, i), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }, "lineitem")
+
+    // events: normalized read (ts physical type branches per corpus)
+    val events = graft.Tables.events(spark, src)
+    val eS = stride(events, "event_id")
+    val uS = stride(events, "user_id")
+    write(copies(events) { (df, i) =>
+      df.select(shift("event_id", eS, i), col("ts"), shift("user_id", uS, i),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    val documents = spark.read.parquet(s"$src/documents.parquet")
+    val dS = stride(documents, "doc_id")
+    write(copies(documents) { (df, i) =>
+      val text =
+        if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ")
+      df.select(shift("doc_id", dS, i), text.as("text"), col("lang"),
+        col("source"), length(text).cast("long").as("n_chars"))
+    }, "documents")
+
+    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
+    val vS = stride(embeddings, "vec_id")
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    write(copies(embeddings) { (df, i) =>
+      val k = (7 * i) % dim
+      val emb =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      df.select(shift("vec_id", vS, i), emb.as("embedding"), col("label"))
+    }, "embeddings")
+
+    spark.stop()
+  }
+}
