@@ -494,12 +494,23 @@ object Dedup {
   /** `localCheckpoint` + the persistent-RDD ids it pinned, so callers
     * can release exactly those blocks once a successor materializes
     * (a checkpointed frame's lineage is truncated — its blocks must
-    * outlive every consumer, but not the whole session). */
+    * outlive every consumer, but not the whole session).
+    *
+    * The ids come from the checkpointed dataset's own `LogicalRDD` —
+    * NOT from diffing `getPersistentRDDs` around the call. The diff
+    * races: executing the checkpoint materializes every upstream
+    * `InMemoryRelation` that wasn't touched yet, and a session-
+    * memoized cache registering its RDD inside the window would be
+    * captured — and later UNPERSISTED — by the CC loop's release
+    * (this silently dropped the memoized embedding-pair cache, so
+    * every later pair query re-ran the whole candidate build). */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint()
-    (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    val ids = cp.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    assert(ids.nonEmpty, "localCheckpoint produced no LogicalRDD to track")
+    (cp, ids)
   }
 
   private def release(s: SparkSession, ids: Set[Int]): Unit =
