@@ -116,39 +116,66 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact verification on the full sets, as int-ord arrays (set ==
-    * set of ords), via SHUFFLE-HASH join with the doc→set side as
-    * build: both sides hash-partition on the doc key and each
-    * partition builds a hash table over its slice of the ord-arrays.
-    * No sort of the array side (Catalyst's size estimates are
-    * defeated by array columns, so unhinted it sort-merges — ~30×
-    * slower), and no broadcast of a corpus-derived table (the
-    * ord-arrays ARE the corpus: force-broadcasting them is a driver
-    * OOM at 100 TB, per-partition hash builds are not). The verified
-    * result is identical to the naive inverted-index plan — which is
-    * exactly what the DuckDB oracle still runs. */
-  private def ppVerified(
-      sorted: DataFrame, cand: DataFrame, t: Double): DataFrame = {
-    val sets = sorted.select(col("doc_id"), col("ords"), col("n"))
-    val da = sets.toDF("doc_a", "ords_a", "na")
-    val db = sets.toDF("doc_b", "ords_b", "nb")
-    cand.join(da.hint("shuffle_hash"), Seq("doc_a"))
-      .join(db.hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("c", graft.functions.SortedIntersectSize
-        .sortedIntersectSize(col("ords_a"), col("ords_b")))
+  /** Candidate generation and exact verification fused into ONE
+    * shuffle-hash join: both prefix sides carry their full ord arrays
+    * (the PPJoin inverted-index layout — the index entry holds the
+    * record), `sortedIntersectSize` verifies inside the joined stage,
+    * and only VERIFIED pairs (true near-dup density, tiny) reach the
+    * closing distinct. The previous shape shipped skinny witness
+    * pairs to a corpus-wide `.distinct()` and re-joined the arrays
+    * per unique pair through two more exchanges — at 10× bench scale
+    * that candidate distinct dominated the whole query. Duplicate
+    * witnesses (a pair sharing several prefix items) verify to
+    * IDENTICAL rows, so deduplicating after the threshold filter is
+    * equivalent and orders of magnitude smaller. Byte tradeoff: the
+    * prefix explode now replicates each doc's array `plen` times
+    * ((1−t)·n + 1 copies — ~5% of the corpus per copy at t = 0.95),
+    * which buys the removal of every pair-stream exchange; the
+    * verified result is identical to the naive inverted-index plan —
+    * which is exactly what the DuckDB oracle still runs. No sort of
+    * the array side (Catalyst's size estimates are defeated by array
+    * columns, so unhinted it sort-merges — ~30× slower), and no
+    * broadcast of a corpus-derived table (a forced broadcast is a
+    * driver OOM at 100 TB, per-partition hash builds are not). */
+  private def ppPairsInline(sorted: DataFrame, t: Double): DataFrame = {
+    val prefixes = sorted
+      .select(col("doc_id"), col("ords"), col("n"),
+        explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
+    val pa = prefixes.toDF("doc_a", "ords_a", "na", "ord")
+    val pb = prefixes.toDF("doc_b", "ords_b", "nb", "ord").hint("shuffle_hash")
+    // The FULL predicate — including the exact-verify threshold —
+    // lives in the join condition, cheap conjuncts first. Authoring
+    // it here is load-bearing: a threshold filter left above the join
+    // gets pushed into the condition by the optimizer AT THE FRONT,
+    // and the O(n)-per-pair intersect then runs on every raw bucket
+    // pair before the O(1) id/length cuts (profiled 2.5× slower).
+    // Conjuncts short-circuit in authored order in both codegen and
+    // interpreted evaluation.
+    def c(oa: Column, ob: Column) =
+      graft.functions.SortedIntersectSize.sortedIntersectSize(oa, ob)
+    val verified = pa.join(pb,
+      pa("ord") === pb("ord") && col("doc_a") < col("doc_b") &&
+        col("nb") >= ceil(lit(t) * col("na")) &&
+        col("nb") * lit(t) <= col("na") &&
+        c(pa("ords_a"), pb("ords_b")) /
+          (col("na") + col("nb") - c(pa("ords_a"), pb("ords_b"))) >= lit(t))
+    // survivors are true-near-dup density — recomputing the intersect
+    // for the output column costs nothing measurable
+    verified
+      .withColumn("c", c(col("ords_a"), col("ords_b")))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
   /** Full PPJoin pipeline with the sorted-ords stage session-memoized
-    * (three consumers — prefixes + both verify sides — would
-    * otherwise recompute the tokenize→join→collect_list lineage ~5×). */
+    * (the prefix explode's two self-join branches would otherwise
+    * recompute the tokenize→join→collect_list lineage per branch). */
   private def ppJoinPairs(s: SparkSession, dir: String, items: DataFrame,
       t: Double, memoKey: String): DataFrame = {
     val sorted = graft.SessionMemo.cached(s, dir, memoKey)(ppSortedOrds(items, t))
-    ppVerified(sorted, ppCandidates(sorted, t), t)
+    ppPairsInline(sorted, t)
   }
 
   /** The memoized token sorted-ords frame shared by the whole-token-
@@ -163,10 +190,8 @@ object Dedup {
   /** Exact token-set Jaccard ≥ 0.95 via the prefix-filtered PPJoin
     * above (the naive inverted-index join was 40× slower here and is
     * quadratic in duplicate-cluster size at 100 TB). */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sorted = tokenSortedOrds(s, dir)
-    ppVerified(sorted, ppCandidates(sorted, JaccardT), JaccardT)
-  }
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    ppPairsInline(tokenSortedOrds(s, dir), JaccardT)
 
   private val ContainT = 0.9
   private val ContainSalts = 16
@@ -270,15 +295,22 @@ object Dedup {
     // which must reach ⌈t·na⌉. Safe: a qualifying pair's FIRST common
     // item sits in x's prefix (else none does) at the minimal (ia,
     // jb), and that witness row always satisfies the cap.
+    //
+    // The containment threshold itself is ALSO authored into the join
+    // condition, after the cheap conjuncts (see ppPairsInline: left
+    // above the join it would be pushed in at the front and the
+    // per-pair intersect would run before the O(1) cuts); survivors
+    // recompute c for the argmax columns at contained-doc density.
+    val csize = graft.functions.SortedIntersectSize
+      .sortedIntersectSize(col("ords_a"), col("ords_b"))
     pa.join(pb,
         pa("ord") === pb("ord") && pa("salt") === pb("salt") &&
           col("na") < col("nb") &&
           lit(1) + least(col("na") - col("ia") - 1,
-            col("nb") - col("jb") - 1) >= ceil(lit(ContainT) * col("na")))
-      .withColumn("c", graft.functions.SortedIntersectSize
-        .sortedIntersectSize(col("ords_a"), col("ords_b")))
+            col("nb") - col("jb") - 1) >= ceil(lit(ContainT) * col("na")) &&
+          csize / col("na") >= lit(ContainT))
+      .withColumn("c", csize)
       .withColumn("containment", col("c") / col("na"))
-      .filter(col("containment") >= ContainT)
       // argmax container per contained doc: lexicographic struct max
       // on (containment, −nb, −doc_b) — a map-side-combining hash
       // aggregate keyed by doc_a (bounded by the doc count), fed
@@ -434,37 +466,45 @@ object Dedup {
     val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    // The band join carries only (id, band, bucket) — never the
-    // signature arrays. Pair dedup then runs on two longs, and the
-    // signature table re-joins SHUFFLE-HASH for estimation: one
-    // 32-long array per document is still a corpus-sized table, so it
-    // hash-partitions by doc key and builds per-partition (a forced
-    // broadcast dies at 100 TB; unhinted, the array column defeats
-    // Catalyst's size estimate and it sort-merges ~30× slower).
-    // Shipping arrays through the band join + array-keyed distinct
-    // was the 100×-slower version of this plan.
-    val banded = docs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val a = banded.toDF("doc_a", "band", "bucket")
-    val b = banded.toDF("doc_b", "band", "bucket").hint("shuffle_hash")
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct() // a pair may collide in several bands
-    val sa = docs.toDF("doc_a", "sig_a")
-    val sb = docs.toDF("doc_b", "sig_b")
-    pairs.join(sa.hint("shuffle_hash"), Seq("doc_a"))
-      .join(sb.hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("est_jaccard",
-        graft.functions.ArrayAgreeCount
-          .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm))
-      .filter(col("est_jaccard") >= 0.9)
+    // One shuffle, zero pair-stream exchanges: each band row carries
+    // the doc's signature (32 longs) plus the 4-long band-key array,
+    // estimation runs INSIDE the joined stage, and a FIRST-COLLISION
+    // filter on the band-key arrays (keep the pair only where no
+    // earlier band also collides) makes emission exactly-once — no
+    // `.distinct()` anywhere. The earlier shape shipped skinny (id,
+    // band, bucket) rows, deduped the PAIR stream corpus-wide, and
+    // re-joined the signature table twice; at 10× bench scale that
+    // pair distinct dominated. (The historical 100×-slower variant
+    // keyed the distinct on the ARRAYS themselves — the fix is not
+    // avoiding arrays on the wire, it is never exchanging the pair
+    // stream at all.) The join stays SHUFFLE-HASH: signatures are
+    // corpus-sized, a forced broadcast dies at 100 TB, and unhinted
+    // the array column defeats Catalyst's size estimate into a
+    // ~30×-slower sort-merge.
+    val withKeys = docs.select(col("doc_id"), col("sig"),
+      array((0 until Bands).map(b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+        .as("bks"))
+    val banded = withKeys.select(col("doc_id"), col("sig"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
+    val a = banded.toDF("doc_a", "sig_a", "bks_a", "band", "bucket")
+    val b = banded.toDF("doc_b", "sig_b", "bks_b", "band", "bucket")
+      .hint("shuffle_hash")
+    val firstCollision = (0 until Bands - 1).map { bp =>
+      (a("band") <= lit(bp)) ||
+        (element_at(col("bks_a"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+    }.reduce(_ && _)
+    // full predicate authored in the join condition, cheap conjuncts
+    // first (see ppPairsInline: a filter left above the join is
+    // pushed in AT THE FRONT and the per-pair array scan then runs on
+    // every raw bucket pair); survivors recompute the estimate for
+    // the output column at near-dup density — free
+    val est = graft.functions.ArrayAgreeCount
+      .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm)
+    a.join(b,
+        a("band") === b("band") && a("bucket") === b("bucket") &&
+          col("doc_a") < col("doc_b") && firstCollision && est >= lit(0.9))
+      .withColumn("est_jaccard", est)
       .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }

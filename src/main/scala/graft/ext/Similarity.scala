@@ -553,13 +553,21 @@ object Similarity {
     // keep the pair iff no table BELOW t also collides (t' >= t terms
     // are vacuously true; the topmost field is never below any t)
     val firstCollision = (0 until NearTables - 1).map { tp =>
-      (col("t") <= lit(tp)) ||
+      (a("t") <= lit(tp)) ||
         (shiftrightunsigned(m, NearBits * tp).bitwiseAND(lit(fieldMask)) =!= lit(0L))
     }.reduce(_ && _)
-    a.join(b, Seq("t", "sig"))
-      .filter(col("vec_a") < col("vec_b") && firstCollision)
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= NearDupCos)
+    // full predicate authored in the join condition, cheap conjuncts
+    // first (see Dedup.ppPairsInline: a threshold filter left above
+    // the join is pushed into the condition AT THE FRONT, and the
+    // 64-dim dot then runs on every raw bucket pair before the O(1)
+    // id/bit cuts); survivors recompute cos for the output column at
+    // near-dup density — free
+    val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b,
+        a("t") === b("t") && a("sig") === b("sig") &&
+          col("vec_a") < col("vec_b") && firstCollision &&
+          cos >= lit(NearDupCos))
+      .withColumn("cos", cos)
       .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
   }
 
