@@ -91,6 +91,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "unfiltered read should plan all 8 splits")
   }
 
+  test("pair verify lives in the join condition, behind the cheap cuts") {
+    // The fused pair queries author their exact-verify threshold into
+    // the join condition AFTER the O(1) id/length conjuncts: left as
+    // a Filter above the join, the optimizer pushes it in at the
+    // FRONT and the O(n)-per-pair verify runs on every raw bucket
+    // pair (profiled 2.5× slower). Guard both properties: the verify
+    // expression sits inside the ShuffledHashJoin line (not a
+    // separate Filter), and the doc-id cut precedes it there.
+    def joinLine(df: org.apache.spark.sql.DataFrame, fn: String): String = {
+      val lines = executed(df).toString.linesIterator
+        .filter(_.contains("ShuffledHashJoin")).toSeq
+      val hit = lines.filter(_.contains(fn))
+      assert(hit.nonEmpty, s"$fn not in any ShuffledHashJoin condition:\n$lines")
+      hit.head
+    }
+    val j = joinLine(ext.Dedup.jaccardPairs(spark, sf0001), "sortedintersectsize")
+    assert(j.indexOf("doc_a") < j.indexOf("sortedintersectsize"),
+      s"verify precedes the cheap cuts in the jaccard join condition:\n$j")
+    val c = joinLine(ext.Dedup.containmentTop(spark, sf0001), "sortedintersectsize")
+    // containment's cheap cut is the positional least(...) cap
+    assert(c.indexOf("least(") < c.indexOf("sortedintersectsize"),
+      s"verify precedes the cheap cuts in the containment join condition:\n$c")
+    val m = joinLine(ext.Dedup.minhashLsh(spark, sf0001), "arrayagreecount")
+    assert(m.indexOf("doc_a") < m.indexOf("arrayagreecount"),
+      s"verify precedes the cheap cuts in the minhash join condition:\n$m")
+    val e = joinLine(
+      ext.Similarity.buildNearDupPairs(spark, sf0001), "dotproduct")
+    assert(e.indexOf("vec_a") < e.indexOf("dotproduct"),
+      s"verify precedes the cheap cuts in the embedding join condition:\n$e")
+  }
+
   test("jaccard: no Window operator (parallel ordinal assignment)") {
     val s = executed(ext.Dedup.jaccardPairs(spark, sf0001)).toString
     assert(!s.contains("Window"),
