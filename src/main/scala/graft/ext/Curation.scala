@@ -336,7 +336,69 @@ object Curation {
       .select(col("doc_id"), col("cluster_rep"), col("split"))
       .orderBy("doc_id")
 
+  /** 3σ envelope for Spark's HLL++ at its default rsd = 0.05. */
+  private val ProfileRsdBound = 0.15
+
+  /** Per-column profile spec: (column name, Spark value expression,
+    * DuckDB value SQL). Every column lands in ONE comparable double
+    * coordinate — numerics cast, strings profile their length, dates
+    * profile epoch-days — so min/max/ndv mean the same thing across
+    * types and engines. */
+  private val ProfileCols: Seq[(String, Column, String)] = {
+    val nums = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => (c, col(c).cast("double"), s"CAST($c AS DOUBLE)"))
+    val strs = Seq("l_returnflag", "l_linestatus")
+      .map(c => (c, length(col(c)).cast("double"),
+        s"CAST(length($c) AS DOUBLE)"))
+    val dates = Seq("l_shipdate")
+      .map(c => (c, datediff(to_date(col(c)),
+        lit("1970-01-01").cast("date")).cast("double"),
+        s"CAST(date_diff('day', DATE '1970-01-01', CAST($c AS DATE)) AS DOUBLE)"))
+    nums ++ strs ++ dates
+  }
+
+  /** One-pass table profiler — the data-quality / stats-collection
+    * step an ingestion pipeline runs before training-data selection
+    * (and the input a cost-based optimizer wants): per column of
+    * `lineitem`, row count, null count, exact distinct count, rounded
+    * min/max, and a sketch-certification flag showing the HLL++
+    * estimate landed inside its 3σ envelope of the exact count.
+    *
+    * Plan shape: ONE scan of the table; each row unpivots to
+    * |columns| skinny (name, double) pairs map-side, and everything
+    * downstream is a pre-combined groupBy on an 11-value key. The
+    * exact ndv is the only shuffle-heavy term (distinct-mode
+    * aggregate on (col_name, v)); at 100 TB the profiler drops it and
+    * keeps the HLL++ sketch alone — a plain partial-aggregatable
+    * expression, making the whole profile a single map-combine pass
+    * with an 11-row result. The flag demonstrates on-corpus that the
+    * sketch path certifies against the exact one (same pattern as
+    * `events_hll_users`). */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val kvs = ProfileCols.map { case (n, v, _) =>
+      struct(lit(n).as("col_name"), v.as("v")) }
+    Tables.lineitem(s, dir)
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        r4(min(col("v"))).as("min_v"),
+        r4(max(col("v"))).as("max_v"),
+        approx_count_distinct(col("v")).as("est"))
+      .withColumn("sketch_ok",
+        abs(col("est") - col("n_distinct")) <=
+          lit(ProfileRsdBound) * col("n_distinct"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_profile"       -> (profileColumns _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
     "sample_source_mixture"  -> (sourceMixture _),
     "sample_weighted"        -> (weightedSample _),
@@ -349,6 +411,18 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the estimate is engine-specific; the oracle checks the exact
+    // stats and that the sketch certified (same pattern as
+    // events_hll_users) — the Spark side emits FALSE otherwise
+    "pipeline_profile" ->
+      ProfileCols.map { case (n, _, sql) =>
+        s"""SELECT '$n' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  round(min(v), 4) AS min_v, round(max(v), 4) AS max_v,
+           |  TRUE AS sketch_ok
+           |FROM (SELECT $sql AS v FROM lineitem)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // same reachability CTE as dedup_clusters; the split coordinate
     // is the identical md5-60 hash of the rep, mod 1000
     "pipeline_leakfree_split" ->

@@ -464,6 +464,58 @@ object Text {
       .limit(25)
   }
 
+  private val Bm25K1 = 1.2 // term-frequency saturation (Robertson et al.)
+  private val Bm25B  = 0.75 // doc-length normalization strength
+  private val Bm25TopK = 25
+
+  /** BM25 ranked retrieval over [[SearchTerms]] — the OR-semantics,
+    * relevance-ranked complement of [[keywordSearch]]'s boolean AND:
+    * the standard Okapi BM25 score (Robertson/Spärck Jones probabilistic
+    * relevance framework; Lucene's `+1` idf variant so idf is always
+    * positive) with k1 = [[Bm25K1]], b = [[Bm25B]].
+    *
+    * Plan shape is the inverted-index probe again, plus the two corpus
+    * statistics BM25 needs: per-doc length `dl` (one pre-combined
+    * groupBy over the token stream) and the `(N, avgdl)` scalar pair
+    * (a 1-row aggregate of the length table, broadcast — never a
+    * driver-side action). The tf table is pruned to query-term
+    * postings BEFORE its shuffle, so the scoring join's left side is
+    * |postings|, not |corpus tokens|; `dl` is corpus-keyed and
+    * therefore joined shuffle-hash (broadcasting a corpus-derived side
+    * is a driver OOM at 100 TB); the ≤|terms|-row df table and the
+    * 1-row stats ARE broadcast. Top-25 runs as TakeOrderedAndProject.
+    *
+    * Engine-stability: `avgdl` is authored as exact-long-sum / count
+    * (never the engines' own incremental `avg`), the transcendental
+    * idf rounds at 8 dp before use, each per-term partial score rounds
+    * at 8 dp before the ≤|terms|-element sum, and the final score
+    * rounds at 4 dp — the rank-feeding value, identical in DuckDB. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("token").isin(SearchTerms.map(t => t: Any): _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = round(
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8)
+    val partial = round(
+      idf * ((col("tf") * (lit(Bm25K1) + 1.0)) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))), 8)
+    tf.join(dl.hint("shuffle_hash"), Seq("doc_id"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("partial", partial)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), r4(sum(col("partial"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
   private val PmiMinCount = 5
   private val PmiTopK = 20
 
@@ -514,6 +566,7 @@ object Text {
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_lm" -> (bigramLm _),
     "text_keyword_search" -> (keywordSearch _),
+    "text_bm25"        -> (bm25Search _),
     "text_winsorized_tokens" -> (winsorizedTokens _),
     "text_top_terms_per_lang" -> (topTermsPerLang _),
     "text_quality_by_source" -> (qualityBySource _),
@@ -619,6 +672,33 @@ object Text {
          |CROSS JOIN nt CROSS JOIN nb
          |WHERE c12 >= $PmiMinCount
          |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
+    // constants authored CAST(... AS DOUBLE): bare 1.2/0.75 are DECIMAL
+    // literals in DuckDB and would run the score chain in decimal
+    // arithmetic instead of the IEEE doubles the Spark side uses
+    "text_bm25" -> {
+      val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+      val k1 = s"CAST($Bm25K1 AS DOUBLE)"
+      val b  = s"CAST($Bm25B AS DOUBLE)"
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token IN ($terms) GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |    round(round(ln((CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+         |        / (dfq.df + 0.5) + 1.0), 8)
+         |      * ((tf.tf * ($k1 + 1.0)) /
+         |         (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl))), 8)
+         |      AS partial
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+         |  CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(sum(partial), 4) AS score
+         |FROM sc GROUP BY 1
+         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+    },
     "text_keyword_search" -> {
       val lst = SearchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, lang, source,

@@ -763,7 +763,40 @@ object Events {
       .orderBy("d", "rk")
   }
 
+  /** At-least-once replay dedup — the idempotent-ingestion operator
+    * every event pipeline needs at the front door: upstream delivery
+    * (Kafka consumers, retried file loads) hands the same event more
+    * than once, and exactly one row per `event_id` must survive. The
+    * replayed input is modeled honestly as the corpus unioned with
+    * itself (every event delivered twice); the dedup is a keyed
+    * `dropDuplicates` — a partial+final aggregate on the 16-byte key,
+    * so each map task pre-dedups its partition before the one
+    * key-hash shuffle, and no task ever holds more than its share of
+    * DISTINCT keys. Duplicate deliveries are byte-identical (as
+    * replays are), so keyed dedup ≡ `SELECT DISTINCT *` — the form
+    * the oracle states. Streaming form: [[dedupReplayStream]]. */
+  def dedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.unionAll(ev)
+      .dropDuplicates("event_id")
+      .orderBy("event_id")
+  }
+
+  /** Streaming form of [[dedupReplay]]:
+    * `dropDuplicatesWithinWatermark` keyed on `event_id` under a 1 h
+    * event-time watermark — state holds only keys younger than the
+    * watermark, so an unbounded at-least-once stream dedups with
+    * BOUNDED state (plain `dropDuplicates` on a stream retains every
+    * key forever). Correct whenever the redelivery gap is under the
+    * watermark delay — the Kafka-replay regime. Stream ≡ batch is
+    * asserted in `EventsStreamSpec`. */
+  def dedupReplayStream(s: SparkSession, dir: String): DataFrame =
+    streamEvents(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dedup_replay"   -> (dedupReplay _),
     "events_daily_top_types" -> (dailyTopTypes _),
     "events_anomaly_daily"  -> (anomalyDaily _),
     "events_wau_sketch"     -> (wauSketch _),
@@ -788,6 +821,14 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // duplicate deliveries are byte-identical, so keyed dedup on the
+    // unique event_id equals full-row DISTINCT — the oracle states
+    // the set semantics directly
+    "events_dedup_replay" ->
+      """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin,
+
     "events_daily_top_types" ->
       """WITH agg AS (SELECT CAST(ts AS DATE) AS d, event_type,
         |    count(*) AS n_events

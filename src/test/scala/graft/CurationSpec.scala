@@ -271,4 +271,28 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"),
       s"corpus-derived cluster map must not broadcast:\n$plan")
   }
+
+  test("profile: one-pass stats are exact and the HLL certifies") {
+    val li = Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    val rows = Curation.profileColumns(spark, sf0001).collect()
+    assert(rows.length == 11, s"expected 11 profiled columns, got ${rows.length}")
+    rows.foreach { r =>
+      val name = r.getString(0)
+      assert(r.getLong(1) == n, s"$name n_rows ${r.getLong(1)} != $n")
+      assert(r.getLong(2) == 0L, s"$name unexpected nulls")
+      assert(r.getLong(3) > 0 && r.getLong(3) <= n, s"$name ndv out of range")
+      assert(r.getDouble(4) <= r.getDouble(5), s"$name min > max")
+      assert(r.getBoolean(6), s"$name HLL estimate escaped its 3σ envelope")
+    }
+    // spot-exact against an independent path: distinct flag lengths
+    val exact = li.select(length(col("l_returnflag"))).distinct().count()
+    val rf = rows.find(_.getString(0) == "l_returnflag").get
+    assert(rf.getLong(3) == exact)
+    // the whole profile is ONE scan of lineitem
+    val plan = Curation.profileColumns(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"profile should scan lineitem once, saw $scans:\n$plan")
+  }
 }

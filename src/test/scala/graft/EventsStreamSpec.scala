@@ -275,6 +275,29 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked replay dedup == batch replay dedup (bounded state)") {
+    // stage the corpus twice — an honest at-least-once redelivery:
+    // the stream glob picks up both files, the batch twin models the
+    // same duplication as corpus ∪ corpus
+    val tmp = java.nio.file.Files.createTempDirectory("replay_dedup").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw.write.parquet(s"$tmp/events.parquet")
+    raw.write.parquet(s"$tmp/events_replay.parquet")
+    val batch = Events.dedupReplay(spark, tmp).collect().map(_.toSeq).toSet
+    val q = Events.dedupReplayStream(spark, tmp)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("replay_dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_dedup_out")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = Events.dedupStream(spark, sf0001)
       .writeStream.outputMode("append")

@@ -98,6 +98,40 @@ class TextSpec extends SparkSpec {
     assert(twoPhase.nonEmpty && twoPhase == oneWindow)
   }
 
+  test("bm25 ranking matches a driver-side recomputation") {
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = Seq("vector", "merge", "window")
+    val dl = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").length.toLong }.toMap
+    val n = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val tf: Map[(Long, String), Long] = texts.flatMap { case (id, t) =>
+      t.trim.split("\\s+").filter(terms.contains).groupBy(identity)
+        .map { case (w, a) => ((id, w), a.length.toLong) }
+    }.toMap
+    val df = terms.map(w => w -> tf.keysIterator.count(_._2 == w).toLong).toMap
+    def rd(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k1 = 1.2; val b = 0.75
+    val expect = tf.groupBy(_._1._1).map { case (id, m) =>
+      val sc = m.map { case ((_, w), f) =>
+        val idf = rd(math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0), 8)
+        rd(idf * ((f * (k1 + 1.0)) /
+          (f + k1 * (1.0 - b + b * dl(id) / avgdl))), 8)
+      }.sum
+      (id, m.size.toLong, rd(sc, 4))
+    }.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(25)
+    val got = Text.bm25Search(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == expect.map(t => (t._1, t._2)),
+      s"bm25 ranking mismatch: got ${got.take(3)}… expected ${expect.take(3)}…")
+    got.zip(expect).foreach { case ((id, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) <= 1e-6, s"bm25($id): $g vs $e")
+    }
+  }
+
   test("pmi bigrams match a driver-side recomputation") {
     val texts = graft.Tables.documents(spark, sf0001)
       .select("text").collect().map(_.getString(0))
