@@ -600,6 +600,36 @@ object Similarity {
         .orderBy("vec_id")
     }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): within each embedding near-dup CLUSTER keep
+    * exactly one document — here the longest (`n_chars` DESC, doc_id
+    * tie-break), the "best exemplar" policy a pretraining pipeline
+    * applies after clustering semantically redundant docs. This is
+    * the cross-modal member of the dedup family: the cluster map
+    * comes from the EMBEDDING space ([[embeddingClusters]], shared
+    * memo — built once per session) and the keep criterion from the
+    * DOCUMENT table, joined on the aligned id space.
+    *
+    * Plan shape: the corpus-keyed doc-stats side joins SHUFFLE-HASH
+    * (never broadcast); the per-cluster argmax is a cluster_rep-
+    * partitioned `row_number` — cluster sizes are bounded by real
+    * near-dup density, so no task ranks more than its share (for
+    * pathological mega-clusters the salted two-phase top-1 of
+    * `sample_stratified` is the swap-in). Output is one row per
+    * cluster — the deduplicated corpus manifest. */
+  def semanticKeep(s: SparkSession, dir: String): DataFrame = {
+    val cl = embeddingClusters(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    cl.join(docs.hint("shuffle_hash"), cl("vec_id") === docs("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+        col("cluster_size"), col("n_chars"))
+      .orderBy("cluster_rep")
+  }
+
   /** Exact all-pairs near-dup scan — the recall oracle for
     * [[embeddingNearDups]], used only by `SimilaritySpec` (O(n²);
     * deliberately NOT a declared query). */
@@ -623,6 +653,7 @@ object Similarity {
     "sim_topk_pq"         -> (pqTopK _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
+    "dedup_semantic_keep" -> (semanticKeep _),
   )
 
   /** Shared oracle CTE prefix: vectors + norms, and the md5-seeded
@@ -829,25 +860,45 @@ object Similarity {
          |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_embedding_clusters" ->
-      s"""WITH RECURSIVE ${lshOracleCtes(NearTables, NearBits)},
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
-         |  WHERE a.vec_id < b.vec_id),
-         |p AS (SELECT vec_a, vec_b
-         |  FROM cand
-         |  JOIN n na ON na.vec_id = vec_a
-         |  JOIN n nb ON nb.vec_id = vec_b
-         |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $NearDupCos),
-         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
-         |  UNION ALL SELECT vec_b, vec_a FROM p),
-         |reach AS (
-         |  SELECT vec_id, vec_id AS r FROM n
-         |  UNION
-         |  SELECT e.dst AS vec_id, reach.r
-         |  FROM reach JOIN edges e ON e.src = reach.vec_id),
-         |rep AS (SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
-         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+      s"""WITH RECURSIVE $embeddingClustersCteSql
          |SELECT r.vec_id, r.cluster_rep, cs.cluster_size
          |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.vec_id""".stripMargin,
+
+    // composes the identical cluster CTEs, then replays the same
+    // (n_chars DESC, doc_id ASC) argmax the Spark window runs
+    "dedup_semantic_keep" ->
+      s"""WITH RECURSIVE $embeddingClustersCteSql,
+         |sel AS (SELECT r.vec_id, r.cluster_rep, cs.cluster_size, d.n_chars,
+         |    row_number() OVER (PARTITION BY r.cluster_rep
+         |      ORDER BY d.n_chars DESC, r.vec_id ASC) AS rk
+         |  FROM rep r JOIN cs USING (cluster_rep)
+         |  JOIN documents d ON d.doc_id = r.vec_id)
+         |SELECT cluster_rep, vec_id AS kept_doc, cluster_size, n_chars
+         |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
   )
+
+  /** Shared oracle fragment: LSH signatures → verified near-dup pairs
+    * → recursive-CTE connected components, ending with `rep` (vec_id,
+    * cluster_rep) and `cs` (cluster_rep, cluster_size) — exactly the
+    * graph [[embeddingClusters]] materializes. Composed by both the
+    * cluster query's oracle and the semantic-dedup oracle. */
+  private def embeddingClustersCteSql: String =
+    s"""${lshOracleCtes(NearTables, NearBits)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |p AS (SELECT vec_a, vec_b
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = vec_a
+       |  JOIN n nb ON nb.vec_id = vec_b
+       |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $NearDupCos),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+       |  UNION ALL SELECT vec_b, vec_a FROM p),
+       |reach AS (
+       |  SELECT vec_id, vec_id AS r FROM n
+       |  UNION
+       |  SELECT e.dst AS vec_id, reach.r
+       |  FROM reach JOIN edges e ON e.src = reach.vec_id),
+       |rep AS (SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+       |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)""".stripMargin
 }

@@ -170,4 +170,25 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH-ANN recall@3: $recall%.3f (${ann.size} returned)")
     assert(recall >= 0.2, f"recall $recall%.3f — LSH buckets degenerate")
   }
+
+  test("semantic keep retains exactly the longest doc of every cluster") {
+    val clusters = Similarity.embeddingClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (vec_id, cluster_rep)
+    val chars = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = clusters.groupBy(_._2).map { case (rep, members) =>
+      // the declared policy: n_chars DESC, doc_id ASC
+      rep -> members.map(_._1).minBy(id => (-chars(id), id))
+    }
+    val kept = Similarity.semanticKeep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.length == expect.size,
+      s"${kept.length} kept rows for ${expect.size} clusters")
+    kept.foreach { case (rep, doc, size, nc) =>
+      assert(expect(rep) == doc, s"cluster $rep kept $doc, expected ${expect(rep)}")
+      assert(nc == chars(doc))
+      assert(size == clusters.count(_._2 == rep))
+    }
+  }
 }
