@@ -782,6 +782,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val FuzzyKeyLen = 40     // record-linkage key: capped head
+  private val FuzzyBlockPrefix = 2 // blocking: shared normalized prefix
+  private val FuzzyT = 0.90        // Jaro–Winkler accept threshold
+
+  /** Fuzzy record-linkage dedup: Jaro–Winkler similarity over a
+    * capped, normalized head key with prefix blocking — the classic
+    * record-linkage member of the dedup ladder (JW was designed for
+    * linking census records; here it links documents whose heads
+    * nearly agree, catching typo-grade divergence that token-set
+    * Jaccard over-penalizes on short texts).
+    *
+    * Scale shape (same discipline as [[editDistancePairs]]): JW is
+    * quadratic per pair, so candidates BLOCK on the shared
+    * [[FuzzyBlockPrefix]]-char normalized prefix; pairs differing in
+    * the first chars are missed by design (documented blocking
+    * recall, exactly reproduced by the oracle — multi-pass blocking
+    * on secondary keys is the standard recall fix and composes here
+    * as a union of block keys). The verify predicate is the native
+    * codegen'd [[graft.functions.JaroWinkler]] expression — byte-level
+    * classic Winkler, pinned to DuckDB's `jaro_winkler_similarity` —
+    * and the block equi-join is shuffle-hash under the
+    * corpus-derived-side discipline (never broadcast). A hot block
+    * (shared boilerplate heads) salts like the containment join;
+    * at this corpus's 30 blocks the skew is bounded by the key cap:
+    * each comparison is ≤ [[FuzzyKeyLen]] bytes regardless of doc
+    * size, so a block's cost is pairs, not bytes. */
+  def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, FuzzyKeyLen)).as("k"))
+      .withColumn("blk", substring(col("k"), 1, FuzzyBlockPrefix))
+    val a = d.toDF("doc_a", "ka", "blk")
+    val b = d.toDF("doc_b", "kb", "blk").hint("shuffle_hash")
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      // threshold on the RAW double (both engines run the identical
+      // byte-level algorithm → identical doubles); round only the output
+      .withColumn("jw", graft.functions.JaroWinkler.jaroWinkler(col("ka"), col("kb")))
+      .filter(col("jw") >= FuzzyT)
+      .select(col("doc_a"), col("doc_b"), r4(col("jw")).as("jw_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val PrIters = 3
 
   /** Fixed-iteration PageRank over the near-dup star graph — the
@@ -1132,6 +1175,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_editdistance_pairs" -> (editDistancePairs _),
+    "dedup_fuzzy_pairs"   -> (fuzzyPairs _),
     "graph_pagerank"      -> (pagerank _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_containment_top" -> (containmentTop _),
@@ -1156,6 +1200,20 @@ object Dedup {
     * oracle computes the filter over all pairs and gets the identical
     * result set at oracle scale. */
   val oracleSql: Map[String, String] = Map(
+    // jaro_winkler_similarity: DuckDB's byte-level classic Winkler is
+    // the exact algorithm JaroWinkler.similarity pins (probed:
+    // 0.7-boost threshold, window floor(max/2)-1, empty -> 0)
+    "dedup_fuzzy_pairs" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    lower(substr(trim(text), 1, $FuzzyKeyLen)) AS k FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(jaro_winkler_similarity(a.k, b.k), 4) AS jw_sim
+         |FROM k a JOIN k b
+         |  ON substr(a.k, 1, $FuzzyBlockPrefix) = substr(b.k, 1, $FuzzyBlockPrefix)
+         |  AND a.doc_id < b.doc_id
+         |WHERE jaro_winkler_similarity(a.k, b.k) >= $FuzzyT
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),

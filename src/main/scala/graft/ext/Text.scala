@@ -116,6 +116,43 @@ object Text {
       .withColumn("type_token_ratio",
         r4(col("vocab_size") / col("n_tokens")))
 
+  /** Per-source lexical-diversity profile: unigram Shannon entropy
+    * (bits), token volume, vocabulary size, type-token ratio, and
+    * entropy efficiency (H / log2 vocab — 1.0 would be a uniform
+    * unigram distribution). The data-mixing signal a corpus pipeline
+    * weighs sources by: a low-entropy source is boilerplate/templated
+    * text regardless of its volume.
+    *
+    * Shape: token counts per (source, token) pre-combine map-side
+    * into a vocabulary-sized aggregate (never a token-stream
+    * shuffle); the per-source totals join back via broadcast —
+    * bounded by SOURCE cardinality (a catalog-scale entity, thousands
+    * at 100 TB), not corpus size. Determinism: each type's
+    * `p·log2 p` contribution rounds to 12 decimals and sums through
+    * exact DECIMAL(25,15) (the [[graft.functions.Num]] discipline),
+    * so shuffle order cannot move the result and the oracle lands
+    * bit-equal. */
+  def entropyBySource(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("source").agg(
+      sum("tf").as("n_tokens"), count(lit(1)).as("vocab_size"))
+    val p = col("tf") / col("n_tokens").cast("double")
+    tf.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        round(p * log2(p), 12).as("c"))
+      .groupBy("source", "n_tokens", "vocab_size")
+      .agg((-sum(col("c").cast(org.apache.spark.sql.types.DecimalType(25, 15))))
+        .cast("double").as("h"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        r4(col("vocab_size") / col("n_tokens")).as("type_token_ratio"),
+        r4(col("h")).as("entropy_bits"),
+        when(col("vocab_size") > 1, r4(col("h") / log2(col("vocab_size"))))
+          .as("entropy_efficiency"))
+      .orderBy("source")
+  }
+
   private val TfIdfK = 3
 
   /** Top-[[TfIdfK]] terms per document by smoothed TF-IDF
@@ -581,6 +618,7 @@ object Text {
     "text_repetition"  -> (repetition _),
     "text_tfidf_top"   -> (tfidfTop _),
     "text_vocab_stats" -> (vocabStats _),
+    "text_entropy_by_source" -> (entropyBySource _),
   )
 
   /** Bigram language model with add-one smoothing, scored as per-doc
@@ -894,5 +932,27 @@ object Text {
          |  count(*) AS n_tokens,
          |  round(count(DISTINCT token) / count(*), 4) AS type_token_ratio
          |FROM tok""".stripMargin,
+
+    // entropy contributions round to 12 dp then sum through exact
+    // DECIMAL(25,15) — the same order-independence discipline as the
+    // Spark side, so both engines land the identical bits
+    "text_entropy_by_source" ->
+      s"""WITH tok AS (SELECT source, unnest($tokSql) AS token FROM documents),
+         |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab_size FROM tf GROUP BY 1),
+         |c AS (SELECT tf.source, t.n_tokens, t.vocab_size,
+         |    round((tf.tf / CAST(t.n_tokens AS DOUBLE))
+         |      * log2(tf.tf / CAST(t.n_tokens AS DOUBLE)), 12) AS c
+         |  FROM tf JOIN tot t USING (source)),
+         |h AS (SELECT source, n_tokens, vocab_size,
+         |    CAST(-sum(CAST(c AS DECIMAL(25,15))) AS DOUBLE) AS h
+         |  FROM c GROUP BY 1, 2, 3)
+         |SELECT source, n_tokens, vocab_size,
+         |  round(CAST(vocab_size AS DOUBLE) / n_tokens, 4) AS type_token_ratio,
+         |  round(h, 4) AS entropy_bits,
+         |  CASE WHEN vocab_size > 1 THEN round(h / log2(vocab_size), 4) END
+         |    AS entropy_efficiency
+         |FROM h ORDER BY source""".stripMargin,
   )
 }

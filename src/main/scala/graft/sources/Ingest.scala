@@ -66,6 +66,56 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Last-write-wins merge WITH tombstones: incoming rows carry a
+    * boolean `isDelete` column; the newest version per key wins
+    * (tombstones outrank data at equal version — a delete issued "at"
+    * a version beats the record it targets), and a key whose winner
+    * is a tombstone leaves the snapshot entirely. This is the GDPR /
+    * retraction path of the S4 sink: deletion is data flowing through
+    * the same one-shuffle merge, not a second scan-and-rewrite pass —
+    * at 100 TB a delete batch costs O(batch ∪ touched partitions)
+    * exactly like an upsert batch. */
+  def upsertWithTombstones(existing: DataFrame, incoming: DataFrame,
+      key: String, version: String, isDelete: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(version).desc, col(isDelete).desc)
+    existing.withColumn(isDelete, lit(false)).unionByName(incoming)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(isDelete))
+      .drop("__rn", isDelete)
+  }
+
+  /** Declared query: deletes propagate through the snapshot round
+    * trip. Every 10th order re-arrives updated (status 'R', one day
+    * later) and every 7th arrives as a TOMBSTONE two days later; the
+    * merged snapshot is written ([[writeTimeSeries]]), re-read, and
+    * the touched keys returned — so the hash check proves updated
+    * keys survive with their new version, tombstoned keys are GONE
+    * from the persisted snapshot (a key hit by both update and delete
+    * resolves by version: the later tombstone wins), and untouched
+    * keys are untouched ([[upsertRoundtrip]] covers them in full). */
+  def deleteTombstones(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 1))
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("deleted", lit(false))
+    val tomb = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 2))
+      .withColumn("deleted", lit(true))
+    val merged = upsertWithTombstones(
+      base, upd.unionByName(tomb), "o_orderkey", "o_orderdate", "deleted")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_tombstones_" +
+      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    writeTimeSeries(merged, path, "o_orderdate")
+    s.read.parquet(path)
+      .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 7 === 0)
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** Hash-partition count for generically-keyed snapshots (time-series
     * snapshots pass `year(...)` instead — see [[upsertSink]]). */
   private val SnapParts = 16
@@ -474,6 +524,7 @@ object Ingest {
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map(
       "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
+      "ingest_delete_tombstones" -> (deleteTombstones _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
       "ingest_incremental_agg" -> (incrementalAgg _),
       "ingest_compaction" -> (compactionReport _),
@@ -516,6 +567,26 @@ object Ingest {
         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM inc))
         |SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM u WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // tombstones outrank data at equal version (deleted DESC: TRUE
+    // first in both engines); the winner-is-tombstone keys vanish
+    "ingest_delete_tombstones" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    o_totalprice, o_orderstatus, FALSE AS deleted FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderdate + 1 AS o_orderdate,
+        |    o_totalprice, 'R' AS o_orderstatus, FALSE AS deleted
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |tomb AS (SELECT o_orderkey, o_orderdate + 2 AS o_orderdate,
+        |    o_totalprice, o_orderstatus, TRUE AS deleted
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY o_orderdate DESC, deleted DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM tomb))
+        |SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM u WHERE rn = 1 AND NOT deleted
+        |  AND (o_orderkey % 10 = 0 OR o_orderkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // partition layout + runtime pruning are physical choices — the
     // logical result is a ranked-years semi join, which the oracle runs

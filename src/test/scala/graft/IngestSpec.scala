@@ -44,6 +44,46 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("tombstone merge: newest version wins, deletes at equal version outrank data") {
+    val existing = series(("2020-01-01", 100L, 1L), ("2020-02-01", 200L, 1L),
+      ("2020-03-01", 300L, 1L))
+    val incoming = Seq(
+      (Date.valueOf("2020-01-01"), 150L, 2L, false), // plain update
+      (Date.valueOf("2020-02-01"), 0L, 2L, true),    // later tombstone: key gone
+      (Date.valueOf("2020-03-01"), 0L, 1L, true))    // SAME version tombstone: still wins
+      .toDF("month", "emp", "ingest_v", "deleted")
+    val merged = Ingest.upsertWithTombstones(
+        existing, incoming, "month", "ingest_v", "deleted")
+      .orderBy("month").select("month", "emp").as[(Date, Long)].collect()
+    assert(merged.toSeq == Seq((Date.valueOf("2020-01-01"), 150L)),
+      s"got ${merged.toSeq}")
+    // idempotent: replaying the same batch over the result changes nothing
+    val once = Ingest.upsertWithTombstones(
+      existing, incoming, "month", "ingest_v", "deleted")
+    val twice = Ingest.upsertWithTombstones(
+      once, incoming, "month", "ingest_v", "deleted")
+    assert(once.orderBy("month").collect().toSeq ==
+      twice.orderBy("month").collect().toSeq)
+  }
+
+  test("tombstone round-trip query: deleted keys vanish, updates survive") {
+    val rows = Ingest.deleteTombstones(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val k = row.getAs[Long]("o_orderkey")
+      assert(k % 7 != 0, s"tombstoned key $k survived the round trip")
+      assert(k % 10 == 0, s"untouched key $k leaked past the touched-key filter")
+      assert(row.getAs[String]("o_orderstatus") == "R",
+        s"key $k missing its update")
+    }
+    // every touched-but-not-deleted key is present exactly once
+    val want = Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 7 =!= 0)
+      .count()
+    assert(rows.length.toLong == want,
+      s"${rows.length} survivors, expected $want")
+  }
+
   test("streaming foreachBatch upsert sink converges to the batch merge") {
     import graft.streaming.Events
     val path = Files.createTempDirectory("graft_upsert_sink").toString + "/snap"

@@ -80,6 +80,11 @@ class SqlSurfaceSpec extends SparkSpec {
     "pack_context_chunks" -> "string_split_regex + list slicing",
     "payroll_gap_fill" -> "non-equality correlated scalar subqueries",
     "sim_topk_pq" -> "list comprehension k-means unroll + list_dot_product",
+    "dedup_semantic_keep" -> "recursive CTE reachability + DOUBLE[] list cast",
+    "text_bm25" -> "string_split_regex + unnest() lateral",
+    "pipeline_profile" -> "date_diff('day', …) quoted unit (Spark: unquoted DAY)",
+    "dedup_fuzzy_pairs" -> "jaro_winkler_similarity (Spark: graft native expression)",
+    "text_entropy_by_source" -> "string_split_regex + unnest() lateral",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {

@@ -193,4 +193,34 @@ class TextSpec extends SparkSpec {
         s"doc ${r.getLong(0)} ppl")
     }
   }
+
+  test("per-source entropy matches a driver-side recomputation") {
+    val got = graft.ext.Text.entropyBySource(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val toks = ds.flatMap(_._2.trim.split("\\s+"))
+      val n = toks.length.toDouble
+      val tf = toks.groupBy(identity).view.mapValues(_.length).toMap
+      // replay the engine's determinism discipline: 12-dp-rounded
+      // contributions summed exactly (BigDecimal), then negated
+      val h = -tf.values.map { c =>
+        val p = c / n
+        BigDecimal(p * math.log(p) / math.log(2.0))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val row = got(src)
+      assert(row.getAs[Long]("n_tokens") == toks.length)
+      assert(row.getAs[Long]("vocab_size") == tf.size)
+      val wantH = math.round(h * 10000) / 10000.0
+      assert(row.getAs[Double]("entropy_bits") == wantH,
+        s"$src: entropy ${row.getAs[Double]("entropy_bits")} != $wantH")
+      val eff = row.getAs[Double]("entropy_efficiency")
+      assert(eff > 0 && eff <= 1.0, s"$src: efficiency $eff out of range")
+    }
+  }
 }
