@@ -397,7 +397,60 @@ object Curation {
       .orderBy("col_name")
   }
 
+  private val DsirBuckets = 512     // hashed-feature dimensionality
+  private val DsirTarget  = "src0"  // the "high-quality domain" proxy
+  private val DsirKeep    = 100     // resample size
+
+  /** DSIR-style domain reweighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by the log importance ratio `Σ_tokens ln p_target(b)/p_raw(b)`
+    * under two hashed-unigram models (features = 60-bit md5 token
+    * hashes folded into [[DsirBuckets]] buckets, add-one smoothing),
+    * then keep the [[DsirKeep]] highest-ratio docs — the raw corpus
+    * resampled toward the target domain's token distribution.
+    *
+    * Scale shape: both models are BUCKET-sized aggregates (≤
+    * [[DsirBuckets]] rows regardless of corpus size) built by
+    * map-side pre-combine; the per-token scoring join is shuffle-hash
+    * on the bucket key (corpus-derived model side, never broadcast —
+    * though at 512 rows the broadcast swap-in is trivially safe);
+    * the final selection is TakeOrderedAndProject over per-doc
+    * 1-row aggregates, never a global sort. Determinism: each ln
+    * rounds to 8 dp (absorbing libm ulp skew), contributions sum
+    * through exact DECIMAL, ranking compares the 4-dp ROUNDED ratio
+    * with doc_id tie-break. */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("token"))
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("token"))
+          .cast("binary")), 1, 15), 16, 10).cast("long"), lit(DsirBuckets)))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = tok.agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("tgt_n"))
+    // raw covers every bucket that occurs; absent target counts are 0
+    val model = raw.join(tgt.hint("shuffle_hash"), Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round(log((col("ct") + 1.0) / (col("tgt_n") + lit(DsirBuckets.toDouble))), 8)
+          - round(log((col("cr") + 1.0) / (col("raw_n") + lit(DsirBuckets.toDouble))), 8))
+          .cast("decimal(25,8)").as("lr"))
+    tok.join(model.hint("shuffle_hash"), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Num.r4(sum(col("lr")).cast("double")).as("log_ratio"))
+      .orderBy(col("log_ratio").desc, col("doc_id").asc)
+      .limit(DsirKeep)
+      .select("doc_id", "source", "n_tokens", "log_ratio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir_sample"   -> (dsirSample _),
     "pipeline_profile"       -> (profileColumns _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
     "sample_source_mixture"  -> (sourceMixture _),
@@ -411,6 +464,32 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both hashed-unigram models replay from the same md5 buckets;
+    // each ln rounds to 8 dp before the decimal-sum per-doc ratio
+    "pipeline_dsir_sample" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest(${Text.tokSql}) AS token
+         |  FROM documents),
+         |tb AS (SELECT doc_id, source,
+         |    CAST(concat('0x', substr(md5('dsir:' || token), 1, 15)) AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM tok),
+         |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM tb
+         |  WHERE source = '$DsirTarget' GROUP BY 1),
+         |tot AS (SELECT count(*) AS raw_n,
+         |    sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS tgt_n
+         |  FROM tb),
+         |model AS (SELECT raw.b,
+         |    CAST(round(ln((coalesce(ct, 0) + 1.0) / (tgt_n + $DsirBuckets.0)), 8)
+         |      - round(ln((cr + 1.0) / (raw_n + $DsirBuckets.0)), 8)
+         |      AS DECIMAL(25,8)) AS lr
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+         |d AS (SELECT tb.doc_id, tb.source, count(*) AS n_tokens,
+         |    round(CAST(sum(lr) AS DOUBLE), 4) AS log_ratio
+         |  FROM tb JOIN model ON model.b = tb.b GROUP BY 1, 2)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, log_ratio
+         |FROM d ORDER BY log_ratio DESC, doc_id ASC LIMIT $DsirKeep""".stripMargin,
+
     // the estimate is engine-specific; the oracle checks the exact
     // stats and that the sketch certified (same pattern as
     // events_hll_users) — the Spark side emits FALSE otherwise

@@ -474,6 +474,83 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ: the production composition of the ANN family — coarse
+    * k-means routing bounds WHICH codes each query scores
+    * ([[ivfTopK]]'s [[NProbe]]-cell probe), PQ codes bound WHAT is
+    * read per candidate (ADC against 4 small codes, no raw vectors),
+    * and the exact re-rank restores precision on the shortlist. At
+    * 100 TB this is the FAISS IVFADC layout: per query only
+    * ~corpus/cells × nprobe codes are scored and only
+    * [[PqShortlist]] raw vectors are ever fetched.
+    *
+    * Plan shape: the two corpus-sized tables (codes, cell
+    * assignment) join SHUFFLE-HASH on vec_id; probes (query ×
+    * nprobe cells) broadcast into the member scan; the exact re-rank
+    * re-joins the raw vectors shuffle-hash — same discipline as both
+    * parents. The oracle composes the two unrolled Lloyd builds
+    * (coarse cells + sub-codebooks) and replays routing, ADC, and
+    * re-rank bit-for-bit. */
+  def ivfpqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopKProbes(s, dir, NProbe)
+
+  /** [[ivfpqTopK]] with an explicit probe count. With `nprobe` ≥
+    * number of cells routing prunes nothing, so the result is EXACTLY
+    * [[pqTopK]] (asserted in `SimilaritySpec`). */
+  private[graft] def ivfpqTopKProbes(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val vs = vectors(s, dir)
+    val (assign, cents) = kmeansModel(s, dir)
+    val (codes, books) = pqModel(s, dir)
+    val centDF = cents.toDF("cell", "cv", "cnrm")
+
+    val q = vs.toDF("query_id", "qv", "qnrm")
+      .filter(col("query_id") < NQueries)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centDF))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "qv", "qq", "cell")
+
+    val bookLits = books.map(cb => typedlit(cb.toMap))
+    val xhat = concat((0 until PqM).map(m =>
+      element_at(bookLits(m), col(s"c$m"))): _*)
+    // codes ⋈ cell assignment: both corpus-sized → shuffle-hash
+    val corpus = codes
+      .select(col("vec_id").as("neighbor_id"), xhat.as("xhat"))
+      .withColumn("xx", dot(col("xhat"), col("xhat")))
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+
+    val wEst = Window.partitionBy("query_id")
+      .orderBy(col("d2_est").asc, col("neighbor_id").asc)
+    val shortlist = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2_est",
+        col("qq") - lit(2.0) * dot(col("qv"), col("xhat")) + col("xx"))
+      .withColumn("prank", row_number().over(wEst))
+      .filter(col("prank") <= PqShortlist)
+      .select("query_id", "neighbor_id")
+
+    val cv = vs.toDF("neighbor_id", "rv", "rnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(q.select("query_id", "qv", "qq")), Seq("query_id"))
+      .join(cv.hint("shuffle_hash"), Seq("neighbor_id"))
+      .withColumn("d2",
+        col("qq") - lit(2.0) * dot(col("qv"), col("rv")) +
+          dot(col("rv"), col("rv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), r4(col("d2")).as("d2"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private val NearDupCos = 0.45
   private val NearBits = 3    // coarse buckets: high recall at low cos
   private val NearTables = 16
@@ -651,6 +728,7 @@ object Similarity {
     "sim_topk_lsh_ann"    -> (lshAnn _),
     "sim_topk_ivf"        -> (ivfTopK _),
     "sim_topk_pq"         -> (pqTopK _),
+    "sim_topk_ivfpq"      -> (ivfpqTopK _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_semantic_keep" -> (semanticKeep _),
@@ -709,7 +787,9 @@ object Similarity {
     * partition, round i recomputes decimal sub-centroid means
     * (`cn{m}_i`) and reassigns by min L2 with the smallest-cell
     * tie-break (`a{m}_{i+1}`). */
-  private def pqOracleCtes(iters: Int): String = {
+  private def pqOracleCtes(iters: Int, withInit: Boolean = true): String = {
+    // withInit=false when composed AFTER kmeansOracleCtes, which
+    // already defines the identical `e` (duplicate CTE names error)
     val init =
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     val subs = (0 until PqM).map { m =>
@@ -737,7 +817,8 @@ object Similarity {
          |        - 2 * list_dot_product(s.sv, c.cv) + c.cc ASC,
          |        c.cell ASC) AS rr
          |    FROM s$m s CROSS JOIN cn${m}_$i c) WHERE rr = 1)""".stripMargin
-    (init +: (subs ++ rounds)).mkString(",\n")
+    val body = subs ++ rounds
+    (if (withInit) init +: body else body).mkString(",\n")
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -757,6 +838,55 @@ object Similarity {
          |p AS (SELECT q.query_id, x.vec_id AS neighbor_id,
          |    q.qq - 2 * list_dot_product(q.v, x.xhat) + x.xx AS d2_est
          |  FROM q CROSS JOIN xx x WHERE x.vec_id != q.query_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY d2_est ASC, neighbor_id ASC) AS prank
+         |    FROM p) WHERE prank <= $PqShortlist),
+         |p2 AS (SELECT sl.query_id, sl.neighbor_id,
+         |    q.qq - 2 * list_dot_product(q.v, c.v)
+         |      + list_dot_product(c.v, c.v) AS d2
+         |  FROM sl
+         |  JOIN q ON q.query_id = sl.query_id
+         |  JOIN e c ON c.vec_id = sl.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, neighbor_id ASC) AS rank
+         |  FROM p2)
+         |SELECT query_id, neighbor_id, round(d2, 4) AS d2, rank
+         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    // the two unrolled Lloyd builds compose: kmeansOracleCtes defines
+    // e/n, the PQ fragment rides on them (withInit=false); routing,
+    // ADC within probed cells, and exact re-rank replay the Spark plan
+    "sim_topk_ivfpq" ->
+      s"""WITH ${kmeansOracleCtes(KCells, KmIters)},
+         |${pqOracleCtes(PqIters, withInit = false)},
+         |xh AS (SELECT e.vec_id,
+         |    ${(0 until PqM).map(m => s"k$m.cv").mkString(" || ")} AS xhat
+         |  FROM e
+         |  ${(0 until PqM).map(m =>
+              s"JOIN a${m}_$PqIters b$m ON b$m.vec_id = e.vec_id " +
+              s"JOIN cn${m}_${PqIters - 1} k$m ON k$m.cell = b$m.cell")
+              .mkString("\n  ")}),
+         |xx AS (SELECT vec_id, xhat, list_dot_product(xhat, xhat) AS xx
+         |  FROM xh),
+         |q AS (SELECT vec_id AS query_id, v, nrm,
+         |    list_dot_product(v, v) AS qq FROM n WHERE vec_id < $NQueries),
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+         |        c.cell ASC) AS prank
+         |    FROM q CROSS JOIN cn${KmIters - 1} c)
+         |  WHERE prank <= $NProbe),
+         |p AS (SELECT pr.query_id, am.vec_id AS neighbor_id,
+         |    q.qq - 2 * list_dot_product(q.v, x.xhat) + x.xx AS d2_est
+         |  FROM probes pr
+         |  JOIN a$KmIters am ON am.cell = pr.cell
+         |  JOIN xx x ON x.vec_id = am.vec_id
+         |  JOIN q ON q.query_id = pr.query_id
+         |  WHERE am.vec_id != pr.query_id),
          |sl AS (SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id

@@ -610,12 +610,52 @@ object Payroll {
       .orderBy("month")
   }
 
+  private val AcfMaxLag = 12
+
+  /** Autocorrelation function of the monthly series at lags
+    * 1..[[AcfMaxLag]] — the seasonality diagnostic behind
+    * [[seasonality]]'s month profile (a 12-month ACF spike IS the
+    * seasonal signal; a slow decay is trend). r_k = Σ(x_t−x̄)(x_{t−k}−x̄)
+    * / Σ(x_t−x̄)², the standard biased sample ACF.
+    *
+    * Shape: everything downstream of the calendar-grain pre-reduction
+    * is bounded by #months × #lags, so the mean/denominator are 1-row
+    * broadcasts and the lagged pairing is a broadcast self-join on
+    * `add_months` (calendar-shift semantics — a missing month drops
+    * its pair rather than silently pairing across the gap, unlike a
+    * positional `lag`). Determinism: centered products round to 8 dp
+    * into exact DECIMAL before summing; mean and den derive through
+    * the identical IEEE tree on both engines. */
+  def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val D = "decimal(25,8)"
+    val stats = series(s, dir).agg(
+      graft.functions.Num.davg(col("emp")).as("mean"))
+    val a = series(s, dir).crossJoin(broadcast(stats))
+    val den = a.agg(
+      sum(round((col("emp") - col("mean")) * (col("emp") - col("mean")), 8)
+        .cast(D)).cast("double").as("den"))
+    val lags = s.range(1, AcfMaxLag + 1).toDF("lag")
+    val b = series(s, dir).toDF("bmonth", "bemp")
+    val num = a.crossJoin(broadcast(lags))
+      .join(broadcast(b),
+        col("bmonth") === add_months(col("month"), -col("lag").cast("int")))
+      .groupBy("lag")
+      .agg(
+        sum(round((col("emp") - col("mean")) * (col("bemp") - col("mean")), 8)
+          .cast(D)).cast("double").as("num"),
+        count(lit(1)).as("n_pairs"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), r4(col("num") / col("den")).as("acf"))
+      .orderBy("lag")
+  }
+
   // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "payroll_yoy_same_month"      -> (yoySameMonth _),
+    "payroll_autocorr"            -> (autocorr _),
     "payroll_pivot_year_month"    -> (pivotYearMonth _),
     "payroll_slice_yearly_avg"    -> (sliceYearlyAvg _),
     "payroll_slice_year_compare"  -> (sliceYearCompare _),
@@ -645,6 +685,25 @@ object Payroll {
   private val S = Tables.monthlySeriesSql
 
   val oracleSql: Map[String, String] = Map(
+    // centered products round to 8 dp into exact DECIMAL before the
+    // sums; the calendar-shift pairing replays add_months exactly
+    "payroll_autocorr" ->
+      s"""WITH series AS ($S),
+         |st AS (SELECT ${graft.functions.Num.davgSql("emp")} AS mean FROM series),
+         |den AS (SELECT CAST(SUM(CAST(round((emp - mean) * (emp - mean), 8)
+         |    AS DECIMAL(25,8))) AS DOUBLE) AS den FROM series, st),
+         |lags AS (SELECT CAST(l AS BIGINT) AS lag FROM range(1, ${AcfMaxLag + 1}) t(l)),
+         |num AS (SELECT lg.lag,
+         |    CAST(SUM(CAST(round((a.emp - st.mean) * (b.emp - st.mean), 8)
+         |      AS DECIMAL(25,8))) AS DOUBLE) AS num,
+         |    count(*) AS n_pairs
+         |  FROM series a CROSS JOIN lags lg CROSS JOIN st
+         |  JOIN series b
+         |    ON b.month = CAST(a.month - INTERVAL (lg.lag) MONTH AS DATE)
+         |  GROUP BY 1)
+         |SELECT lag, n_pairs, round(num / den, 4) AS acf
+         |FROM num, den ORDER BY lag""".stripMargin,
+
     "payroll_yoy_same_month" ->
       s"""WITH series AS ($S),
          |s2 AS (SELECT month, emp, CAST(month(month) AS BIGINT) AS moy,

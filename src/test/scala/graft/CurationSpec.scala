@@ -295,4 +295,36 @@ class CurationSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"profile should scan lineitem once, saw $scans:\n$plan")
   }
+
+  test("DSIR sample matches an independent JVM importance-ratio recomputation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(s"dsir:$tok").take(15), 16) % 512
+    val tb = docs.flatMap { case (id, src, text) =>
+      text.trim.split("\\s+").map(t => (id, src, bucket(t))) }
+    val raw = tb.groupBy(_._3).view.mapValues(_.length).toMap
+    val tgt = tb.filter(_._2 == "src0").groupBy(_._3).view.mapValues(_.length).toMap
+    val rawN = tb.length.toDouble
+    val tgtN = tb.count(_._2 == "src0").toDouble
+    def r8(v: Double) =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val lr = raw.map { case (b, cr) =>
+      b -> (r8(math.log((tgt.getOrElse(b, 0) + 1.0) / (tgtN + 512.0)))
+        - r8(math.log((cr + 1.0) / (rawN + 512.0))))
+    }
+    val perDoc = tb.groupBy(_._1).map { case (id, ts) =>
+      id -> (math.round(ts.map(t => lr(t._3)).sum.toDouble * 10000) / 10000.0)
+    }
+    val want = perDoc.toSeq.sortBy { case (id, v) => (-v, id) }
+      .take(100).map { case (id, v) => (id, v) }
+    val got = Curation.dsirSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("log_ratio")))
+    assert(got.length == 100 && got.map(_._1).distinct.length == 100)
+    assert(got.toSeq == want,
+      s"first diff: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+  }
 }

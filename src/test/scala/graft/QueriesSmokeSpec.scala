@@ -560,6 +560,37 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("autocorr matches a driver-side ACF replay and lag-0 normalization") {
+    val ser = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byMonth = ser.toMap
+    val mean = {
+      val s = ser.map(x => BigDecimal(x._2).setScale(8)).sum
+      (s.toDouble / ser.length)
+    }
+    val den = ser.map { case (_, x) =>
+      BigDecimal((x - mean) * (x - mean))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val got = graft.operators.Payroll.queries("payroll_autocorr")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1L to 12L))
+    got.foreach { case (lag, nPairs, acf) =>
+      val pairs = ser.flatMap { case (m, x) =>
+        byMonth.get(m.minusMonths(lag)).map(y => (x, y))
+      }
+      assert(pairs.length.toLong == nPairs, s"lag $lag pair count")
+      val num = pairs.map { case (x, y) =>
+        BigDecimal((x - mean) * (y - mean))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val want = math.round(num / den * 10000) / 10000.0
+      assert(acf == want, s"lag $lag: $acf != $want")
+      assert(acf >= -1.0001 && acf <= 1.0001, s"lag $lag out of range")
+    }
+  }
+
   test("order-count distribution partitions the customer table") {
     val dist = operators.Relational.orderCountDist(spark, sf0001)
       .agg(sum("custdist")).head().getLong(0)

@@ -61,6 +61,34 @@ class SimilaritySpec extends SparkSpec {
       "nprobe = all cells must reduce IVF to the exact search")
   }
 
+  test("IVF-PQ with all cells probed is EXACTLY the PQ pipeline") {
+    val pq = Similarity.pqTopK(spark, sf0001).collect().map(_.toSeq)
+    val full = Similarity.ivfpqTopKProbes(spark, sf0001, 10).collect().map(_.toSeq)
+    assert(full.sameElements(pq),
+      "nprobe = all cells must reduce IVF-PQ to plain PQ ADC + re-rank")
+  }
+
+  test("IVF-PQ at nprobe=2: k dense ranks per query, d2 ascending, nontrivial recall") {
+    val got = Similarity.ivfpqTopK(spark, sf0001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length), s"query $q ranks $ranks")
+      val d2s = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("d2"))
+      assert(d2s.toSeq == d2s.sorted.toSeq, s"query $q d2 not ascending")
+    }
+    // recall vs the full-probe (= plain PQ) result on the same fixture
+    val full = Similarity.ivfpqTopKProbes(spark, sf0001, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = full.count(approx.contains).toDouble / full.size
+    // same envelope as the sibling tests (IVF 0.433, PQ 0.333 on this
+    // fixture): random 64-dim vectors have weak cluster structure, so
+    // toy-scale ANN recall is inherently modest
+    info(f"IVF-PQ nprobe=2 recall vs full-probe PQ: $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
+  }
+
   test("SessionMemo.clear evicts the memoized IVF k-means model") {
     val (assign, _) = Similarity.kmeansModel(spark, sf0001)
     assert(Similarity.kmeansMemoized(spark, sf0001))

@@ -85,6 +85,9 @@ class SqlSurfaceSpec extends SparkSpec {
     "pipeline_profile" -> "date_diff('day', …) quoted unit (Spark: unquoted DAY)",
     "dedup_fuzzy_pairs" -> "jaro_winkler_similarity (Spark: graft native expression)",
     "text_entropy_by_source" -> "string_split_regex + unnest() lateral",
+    "sim_topk_ivfpq" -> "list comprehension k-means unroll + list_dot_product",
+    "payroll_autocorr" -> "variable INTERVAL (expr) MONTH arithmetic",
+    "pipeline_dsir_sample" -> "string_split_regex + hex-string CAST to BIGINT",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
