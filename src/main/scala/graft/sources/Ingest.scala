@@ -116,6 +116,59 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** CDC between two keyed snapshots: classify every key as
+    * INSERT (only in next), DELETE (only in prev), or UPDATE (in
+    * both, any tracked column differs); unchanged keys produce no
+    * row. One full-outer join on the key — at 100 TB this shuffles
+    * the two snapshots once, emits O(|changes|), and is the change
+    * feed a downstream incremental consumer ([[incrementalAgg]]-
+    * style) replays instead of re-reading the whole new snapshot. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val p = prev.select(col(key).as("__k"),
+      struct(tracked.map(col): _*).as("__prev"))
+    val q = next.select(col(key).as("__k"),
+      struct(tracked.map(col): _*).as("__next"))
+    p.join(q.hint("shuffle_hash"), Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col("__prev").isNull, lit("I"))
+          .when(col("__next").isNull, lit("D"))
+          .when(col("__prev") =!= col("__next"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("__k").as(key),
+        coalesce(col("__next"), col("__prev")).as("__row"))
+      .select(Seq(col("op"), col(key)) ++
+        tracked.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** Declared query: the change feed between the base orders snapshot
+    * and a deterministically evolved next version (every 10th key
+    * updated to status 'R' a day later, every 7th key deleted — a
+    * key hit by both counts as deleted — and a fresh insert minted
+    * per 13th key at `key + 10^8`). DELETE rows carry the prev-image
+    * columns, INSERT/UPDATE the next-image — the convention a
+    * merge-applying consumer needs. */
+  def snapshotDiffQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val updated = base
+      .withColumn("o_orderdate",
+        when(col("o_orderkey") % 10 === 0, date_add(col("o_orderdate"), 1))
+          .otherwise(col("o_orderdate")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 10 === 0, lit("R"))
+          .otherwise(col("o_orderstatus")))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    val next = updated.filter(col("o_orderkey") % 7 =!= 0)
+      .unionByName(inserts)
+    snapshotDiff(base, next, "o_orderkey",
+        Seq("o_orderdate", "o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Hash-partition count for generically-keyed snapshots (time-series
     * snapshots pass `year(...)` instead — see [[upsertSink]]). */
   private val SnapParts = 16
@@ -525,6 +578,7 @@ object Ingest {
     Map(
       "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_delete_tombstones" -> (deleteTombstones _),
+      "ingest_snapshot_diff" -> (snapshotDiffQuery _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
       "ingest_incremental_agg" -> (incrementalAgg _),
       "ingest_compaction" -> (compactionReport _),
@@ -587,6 +641,33 @@ object Ingest {
         |FROM u WHERE rn = 1 AND NOT deleted
         |  AND (o_orderkey % 10 = 0 OR o_orderkey % 7 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DELETE rows carry prev-image columns, INSERT/UPDATE next-image
+    "ingest_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    o_totalprice, o_orderstatus FROM orders),
+        |nxt AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate + 1
+        |         ELSE o_orderdate END AS o_orderdate,
+        |    o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderdate, o_totalprice, 'N'
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |d AS (SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN b.o_orderdate <> n.o_orderdate
+        |           OR b.o_totalprice <> n.o_totalprice
+        |           OR b.o_orderstatus <> n.o_orderstatus THEN 'U' END AS op,
+        |    coalesce(n.o_orderdate, b.o_orderdate) AS o_orderdate,
+        |    coalesce(n.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |    coalesce(n.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |  FROM base b FULL OUTER JOIN nxt n ON n.o_orderkey = b.o_orderkey)
+        |SELECT op, o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     // partition layout + runtime pruning are physical choices — the
     // logical result is a ranked-years semi join, which the oracle runs

@@ -52,6 +52,34 @@ object Events {
   def hourlyByType(s: SparkSession, dir: String): DataFrame =
     hourlyTransform(Tables.events(s, dir)).orderBy("hour_start", "event_type")
 
+  /** SLIDING 1-hour windows every 15 minutes — the overlapping-window
+    * rate monitor tumbling windows can't express (a burst straddling
+    * an hour boundary halves into two tumbling buckets; the slide
+    * sees it whole at 15-minute latency). Each event lands in exactly
+    * duration/slide = 4 windows — the shuffle carries 4× (window,
+    * partial) rows per map task after pre-aggregation, never 4× the
+    * events. Works on a batch or streaming input identically;
+    * distinct aggregates are deliberately absent (unsupported in
+    * streaming aggregation — the HLL sketch is the swap-in). */
+  def slidingTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), r4(dsum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch form (oracled): the oracle replays the slide by exploding
+    * each event into its 4 member windows off `time_bucket` (both
+    * engines align sub-day buckets on minute-zero origins, so the
+    * window frontiers agree exactly). */
+  def slidingHourly(s: SparkSession, dir: String): DataFrame =
+    slidingTransform(Tables.events(s, dir)).orderBy("window_start")
+
+  /** Streaming twin: watermark bounds how long a slide's state waits
+    * for stragglers; stream ≡ batch asserted in EventsStreamSpec. */
+  def slidingStream(s: SparkSession, dir: String): DataFrame =
+    slidingTransform(streamEvents(s, dir).withWatermark("ts", "2 hours"))
+
   /** Streaming form: file-source → watermark → windowed agg. Late
     * data beyond 2 h is dropped and state is bounded — the shape that
     * runs unbounded at 100 TB/day. */
@@ -809,6 +837,7 @@ object Events {
     "events_retention_cohorts" -> (retentionCohorts _),
     "events_hll_users"      -> (hllUsersPerType _),
     "events_hourly_by_type" -> (hourlyByType _),
+    "events_sliding_hourly" -> (slidingHourly _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -982,6 +1011,18 @@ object Events {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each event explodes into its 4 member windows: starts
+    // time_bucket_15(ts) - k*15min, k in 0..3 (exactly the epoch-
+    // aligned starts w with w <= ts < w + 1h)
+    "events_sliding_hourly" ->
+      s"""WITH w AS (SELECT
+         |    time_bucket(INTERVAL '15 minutes', ts)
+         |      - kk.k * INTERVAL '15 minutes' AS window_start, value
+         |  FROM events CROSS JOIN range(0, 4) kk(k))
+         |SELECT window_start, count(*) AS n_events,
+         |  round(${dsumSql("value")}, 4) AS sum_value
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_json_kv" ->
       """SELECT event_type, count(*) AS n_events,

@@ -22,6 +22,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows == batch sliding windows (complete mode)") {
+    val batch = Events.slidingHourly(spark, sf0001).collect().map(_.toSeq).toSet
+    // sanity: the slide really overlaps — 4x as many windows as hours
+    val hours = Events.hourlyByType(spark, sf0001)
+      .select("hour_start").distinct().count()
+    assert(batch.size > 2 * hours,
+      s"${batch.size} sliding windows for $hours hours — slide not overlapping?")
+
+    val q = Events.slidingStream(spark, sf0001)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join == batch (outer rows flush via watermark)") {
     import org.apache.spark.sql.functions._
     // batch truth: outer pair level, null view_id for unattributed

@@ -84,6 +84,50 @@ class IngestSpec extends SparkSpec {
       s"${rows.length} survivors, expected $want")
   }
 
+  test("snapshot diff classifies insert/update/delete and skips unchanged keys") {
+    val prev = series(("2020-01-01", 100L, 1L), ("2020-02-01", 200L, 1L),
+      ("2020-03-01", 300L, 1L))
+    val next = series(("2020-01-01", 100L, 1L),  // unchanged -> no row
+      ("2020-02-01", 250L, 1L),                  // update
+      ("2020-04-01", 400L, 1L))                  // insert; 2020-03 deleted
+    val diff = Ingest.snapshotDiff(prev, next, "month", Seq("emp"))
+      .orderBy("month").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(diff.toSeq == Seq(
+      ("U", "2020-02-01", 250L),
+      ("D", "2020-03-01", 300L),   // delete carries the prev image
+      ("I", "2020-04-01", 400L)), s"got ${diff.toSeq}")
+    // applying the feed to prev reproduces next exactly
+    val applied = Ingest.snapshotDiff(prev, next, "month", Seq("emp"))
+    val ins = applied.filter(col("op") =!= "D").drop("op")
+    val dels = applied.filter(col("op") === "D").select("month")
+    val rebuilt = prev.select("month", "emp")
+      .join(dels.unionByName(ins.select("month")), Seq("month"), "left_anti")
+      .unionByName(ins.select("month", "emp"))
+    assert(rebuilt.orderBy("month").collect().toSeq ==
+      next.select("month", "emp").orderBy("month").collect().toSeq)
+  }
+
+  test("snapshot diff query: change feed covers exactly the touched keys") {
+    val rows = Ingest.snapshotDiffQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val op = r.getString(0); val k = r.getLong(1)
+      op match {
+        case "I" => assert(k >= 100000000L, s"insert key $k not minted")
+        case "D" => assert(k % 7 == 0, s"deleted key $k was not a %7 key")
+        case "U" => assert(k % 10 == 0 && k % 7 != 0, s"updated key $k")
+        case other => fail(s"unexpected op $other")
+      }
+    }
+    assert(rows.count(_.getString(0) == "D").toLong ==
+      Tables.orders(spark, sf0001)
+        .filter(col("o_orderkey") % 7 === 0).count())
+    assert(rows.count(_.getString(0) == "I").toLong ==
+      Tables.orders(spark, sf0001)
+        .filter(col("o_orderkey") % 13 === 0).count())
+  }
+
   test("streaming foreachBatch upsert sink converges to the batch merge") {
     import graft.streaming.Events
     val path = Files.createTempDirectory("graft_upsert_sink").toString + "/snap"

@@ -88,6 +88,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_topk_ivfpq" -> "list comprehension k-means unroll + list_dot_product",
     "payroll_autocorr" -> "variable INTERVAL (expr) MONTH arithmetic",
     "pipeline_dsir_sample" -> "string_split_regex + hex-string CAST to BIGINT",
+    "events_sliding_hourly" -> "time_bucket + range(n) kk(k) alias + k * INTERVAL",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
