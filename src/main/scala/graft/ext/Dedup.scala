@@ -782,47 +782,92 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val FuzzyKeyLen = 40     // record-linkage key: capped head
-  private val FuzzyBlockPrefix = 2 // blocking: shared normalized prefix
-  private val FuzzyT = 0.90        // Jaro–Winkler accept threshold
+  private val FuzzyKeyLen = 40      // record-linkage key: capped head
+  private val FuzzyRankPrefix = 2   // rank-bucket prefix (ordered buckets)
+  private val FuzzyT = 0.90         // Jaro–Winkler accept threshold
+  private val FuzzyWindow = 10      // sorted-neighborhood width
 
-  /** Fuzzy record-linkage dedup: Jaro–Winkler similarity over a
-    * capped, normalized head key with prefix blocking — the classic
-    * record-linkage member of the dedup ladder (JW was designed for
-    * linking census records; here it links documents whose heads
-    * nearly agree, catching typo-grade divergence that token-set
-    * Jaccard over-penalizes on short texts).
+  /** Fuzzy record-linkage dedup by the SORTED-NEIGHBORHOOD method
+    * (Hernández & Stolfo 1995): Jaro–Winkler similarity over a
+    * capped, normalized head key, candidates = each distinct key
+    * against its [[FuzzyWindow]] successors in global key order —
+    * the record-linkage member of the dedup ladder (JW was designed
+    * for linking census records; here it links documents whose heads
+    * nearly agree, catching typo-grade divergence token-set Jaccard
+    * over-penalizes on short texts).
     *
-    * Scale shape (same discipline as [[editDistancePairs]]): JW is
-    * quadratic per pair, so candidates BLOCK on the shared
-    * [[FuzzyBlockPrefix]]-char normalized prefix; pairs differing in
-    * the first chars are missed by design (documented blocking
-    * recall, exactly reproduced by the oracle — multi-pass blocking
-    * on secondary keys is the standard recall fix and composes here
-    * as a union of block keys). The verify predicate is the native
-    * codegen'd [[graft.functions.JaroWinkler]] expression — byte-level
-    * classic Winkler, pinned to DuckDB's `jaro_winkler_similarity` —
-    * and the block equi-join is shuffle-hash under the
-    * corpus-derived-side discipline (never broadcast). A hot block
-    * (shared boilerplate heads) salts like the containment join;
-    * at this corpus's 30 blocks the skew is bounded by the key cap:
-    * each comparison is ≤ [[FuzzyKeyLen]] bytes regardless of doc
-    * size, so a block's cost is pairs, not bytes. */
+    * Why SNM and not prefix blocking: candidate count is
+    * O(#keys · w) — LINEAR at any corpus size — where prefix blocks
+    * are quadratic WITHIN each block and a low-entropy corpus (shared
+    * boilerplate heads) concentrates everything in a few blocks
+    * (measured: the 2-char-block form ran 3.3 s at sf0.1 but 150 s at
+    * sf1 — ~n² in corpus size; this form holds ~linear). SNM also
+    * pairs across block boundaries — "abz…"/"aca…" typo pairs a
+    * prefix block can never see. Pairs further than w apart in key
+    * order are missed by design (the documented SNM recall knob;
+    * multi-pass over secondary sort keys is the standard fix and
+    * composes as a union).
+    *
+    * Scale shape: the global key rank is EXACT and distributed — the
+    * [[graft.ext.Curation.tokenShards]] two-phase pattern: per-
+    * prefix-bucket counts (ordered buckets: a key prefix IS a sort
+    * prefix), driver-cumulated offsets (collect is bucket-count-
+    * sized, ≤ alphabet²; lengthen [[FuzzyRankPrefix]] to split a hot
+    * bucket), within-bucket `row_number` + offset. Successor pairing
+    * is an EQUI-join on rank (each key explodes into w (rank+j)
+    * probes — never a range join), verification is fused into it via
+    * the native codegen'd [[graft.functions.JaroWinkler]] (byte-level
+    * classic Winkler, pinned to DuckDB's `jaro_winkler_similarity`),
+    * and key→doc fan-out joins are shuffle-hash (corpus-derived
+    * sides, never broadcast). Docs sharing an identical key pair at
+    * jw = 1 directly — distinct-key ranks can't see them. Every
+    * comparison is ≤ [[FuzzyKeyLen]] bytes regardless of doc size. */
   def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = graft.Tables.documents(s, dir)
       .select(col("doc_id"),
         lower(substring(trim(col("text")), 1, FuzzyKeyLen)).as("k"))
-      .withColumn("blk", substring(col("k"), 1, FuzzyBlockPrefix))
-    val a = d.toDF("doc_a", "ka", "blk")
-    val b = d.toDF("doc_b", "kb", "blk").hint("shuffle_hash")
-    a.join(b, Seq("blk"))
-      .filter(col("doc_a") < col("doc_b"))
+    val keys = d.select("k").distinct()
+      .withColumn("bucket", substring(col("k"), 1, FuzzyRankPrefix))
+    // phase 1: per-bucket counts -> exclusive offsets (bucket-sized
+    // collect; ASCII corpus => Java string sort == byte sort == both
+    // engines' key order)
+    val sums = keys.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val offDf = s.createDataFrame(offsets.toIndexedSeq).toDF("bucket", "offset")
+    // phase 2: exact global rank = bucket offset + within-bucket rank
+    val wB = Window.partitionBy("bucket").orderBy("k")
+    val ranked = keys.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("rk", col("offset") + row_number().over(wB))
+      .select("k", "rk")
+    // each key probes its w successors: explode to (rank + j), then
+    // EQUI-join on rank; verify fused into the join projection
+    val probe = ranked.toDF("ka", "rk")
+      .withColumn("rk_b", explode(sequence(col("rk") + 1, col("rk") + FuzzyWindow)))
+      .select("ka", "rk_b")
+    val jw = graft.functions.JaroWinkler.jaroWinkler(col("ka"), col("kb"))
+    val keyPairs = probe
+      .join(ranked.toDF("kb", "rk_b").hint("shuffle_hash"), Seq("rk_b"))
       // threshold on the RAW double (both engines run the identical
       // byte-level algorithm → identical doubles); round only the output
-      .withColumn("jw", graft.functions.JaroWinkler.jaroWinkler(col("ka"), col("kb")))
+      .withColumn("jw", jw)
       .filter(col("jw") >= FuzzyT)
-      .select(col("doc_a"), col("doc_b"), r4(col("jw")).as("jw_sim"))
-      .orderBy("doc_a", "doc_b")
+      .select("ka", "kb", "jw")
+    val da = d.toDF("ida", "ka")
+    val db = d.toDF("idb", "kb")
+    val cross = keyPairs
+      .join(da.hint("shuffle_hash"), Seq("ka"))
+      .join(db.hint("shuffle_hash"), Seq("kb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        r4(col("jw")).as("jw_sim"))
+    val same = da.join(db.hint("shuffle_hash"),
+        col("ka") === col("kb") && col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(1.0).as("jw_sim"))
+    cross.unionByName(same).orderBy("doc_a", "doc_b")
   }
 
   private val PrIters = 3
@@ -1202,16 +1247,24 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     // jaro_winkler_similarity: DuckDB's byte-level classic Winkler is
     // the exact algorithm JaroWinkler.similarity pins (probed:
-    // 0.7-boost threshold, window floor(max/2)-1, empty -> 0)
+    // 0.7-boost threshold, window floor(max/2)-1, empty -> 0); the
+    // sorted-neighborhood rank replays as one row_number over keys
     "dedup_fuzzy_pairs" ->
       s"""WITH k AS (SELECT doc_id,
-         |    lower(substr(trim(text), 1, $FuzzyKeyLen)) AS k FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(jaro_winkler_similarity(a.k, b.k), 4) AS jw_sim
-         |FROM k a JOIN k b
-         |  ON substr(a.k, 1, $FuzzyBlockPrefix) = substr(b.k, 1, $FuzzyBlockPrefix)
-         |  AND a.doc_id < b.doc_id
-         |WHERE jaro_winkler_similarity(a.k, b.k) >= $FuzzyT
+         |    lower(substr(trim(text), 1, $FuzzyKeyLen)) AS k FROM documents),
+         |dk AS (SELECT DISTINCT k FROM k),
+         |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rk FROM dk),
+         |kp AS (SELECT a.k AS ka, b.k AS kb,
+         |    jaro_winkler_similarity(a.k, b.k) AS jw
+         |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $FuzzyWindow
+         |  WHERE jaro_winkler_similarity(a.k, b.k) >= $FuzzyT),
+         |cross_p AS (SELECT least(x.doc_id, y.doc_id) AS doc_a,
+         |    greatest(x.doc_id, y.doc_id) AS doc_b, round(jw, 4) AS jw_sim
+         |  FROM kp JOIN k x ON x.k = kp.ka JOIN k y ON y.k = kp.kb),
+         |same_p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(1.0 AS DOUBLE) AS jw_sim
+         |  FROM k x JOIN k y ON x.k = y.k AND x.doc_id < y.doc_id)
+         |SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM same_p)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->

@@ -153,6 +153,41 @@ object Text {
       .orderBy("source")
   }
 
+  private val CoverageKs = Seq(10, 100, 1000)
+
+  /** Vocabulary coverage curve: the share of all token INSTANCES
+    * covered by the top-k most frequent types, for k in
+    * [[CoverageKs]] — the tokenizer-budget readout (how big must the
+    * vocabulary be before coverage plateaus). A natural corpus covers
+    * ~90% with a few thousand types (Zipf); templated text saturates
+    * absurdly early — the same health check [[zipfFit]] makes
+    * parametric, made empirical.
+    *
+    * Shape: one vocabulary-sized pre-combined term aggregate; the
+    * rank window runs over THAT aggregate (lint-compliant), and the
+    * three k-thresholds fold map-side via conditional sums — no
+    * per-k re-scan. Ranking compares (count desc, token asc), fully
+    * deterministic cross-engine. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = tf.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+    val ks = CoverageKs.map(k =>
+      struct(lit(k).as("k"),
+        sum(when(col("rk") <= k, col("n")).otherwise(0L)).as("covered")))
+    ranked
+      .agg(count(lit(1)).as("vocab_size"), sum("n").as("n_tokens"),
+        array(ks: _*).as("cov"))
+      .select(col("vocab_size"), col("n_tokens"), explode(col("cov")).as("c"))
+      .select(col("c.k").cast("long").as("k"), col("vocab_size"), col("n_tokens"),
+        col("c.covered").as("covered_instances"),
+        r4(col("c.covered") / col("n_tokens") * 100).as("coverage_pct"))
+      .orderBy("k")
+  }
+
   private val TfIdfK = 3
 
   /** Top-[[TfIdfK]] terms per document by smoothed TF-IDF
@@ -619,6 +654,7 @@ object Text {
     "text_tfidf_top"   -> (tfidfTop _),
     "text_vocab_stats" -> (vocabStats _),
     "text_entropy_by_source" -> (entropyBySource _),
+    "text_vocab_coverage" -> (vocabCoverage _),
   )
 
   /** Bigram language model with add-one smoothing, scored as per-doc
@@ -954,5 +990,21 @@ object Text {
          |  CASE WHEN vocab_size > 1 THEN round(h / log2(vocab_size), 4) END
          |    AS entropy_efficiency
          |FROM h ORDER BY source""".stripMargin,
+
+    "text_vocab_coverage" ->
+      s"""WITH tf AS (SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($tokSql) AS token FROM documents) GROUP BY 1),
+         |r AS (SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM tf),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens FROM r),
+         |ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k),
+         |cov AS (SELECT k,
+         |    CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) AS BIGINT) AS covered
+         |  FROM r CROSS JOIN ks GROUP BY 1)
+         |SELECT CAST(cov.k AS BIGINT) AS k, vocab_size, n_tokens,
+         |  covered AS covered_instances,
+         |  round(covered / n_tokens * 100, 4) AS coverage_pct
+         |FROM cov, base ORDER BY k""".stripMargin,
   )
 }

@@ -106,12 +106,61 @@ object AsOf {
       .orderBy("purchase_id")
   }
 
+  private val AttributionToleranceMicros = 1L * 3600 * 1000 * 1000
+
+  /** [[purchaseAttribution]] bounded by a 1-hour tolerance — the
+    * third face of the custom operator (backward + tolerance; the
+    * forward query exercises tolerance on the negated axis). A
+    * purchase whose most recent prior view is older than the bound
+    * attributes to NOTHING (null right side): with backward as-of
+    * the most recent prior row is the ONLY candidate, so an
+    * out-of-window most-recent means no in-window match exists —
+    * which is why the oracle can state tolerance as a post-filter
+    * on DuckDB's native ASOF result. */
+  def purchaseAttributionRecent(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    join(purchases, views, "user_id", "v_user", "purchase_ts", "view_ts",
+        Some(AttributionToleranceMicros))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("micros_since_view"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof_attribution" -> (purchaseAttribution _),
     "events_asof_next_purchase" -> (viewToPurchase _),
+    "events_asof_last_touch_1h" -> (purchaseAttributionRecent _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tolerance as post-filter on native ASOF: an out-of-window
+    // most-recent view means no in-window view exists at all
+    "events_asof_last_touch_1h" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |    FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+        |    FROM events WHERE event_type = 'view'),
+        |a AS (SELECT purchase_id, user_id, purchase_ts, view_id, view_ts
+        |  FROM p ASOF LEFT JOIN v
+        |    ON p.user_id = v.v_user AND p.purchase_ts >= v.view_ts),
+        |t AS (SELECT purchase_id, user_id, purchase_ts,
+        |    CASE WHEN view_ts >= purchase_ts - INTERVAL 1 HOUR
+        |         THEN view_id END AS view_id,
+        |    CASE WHEN view_ts >= purchase_ts - INTERVAL 1 HOUR
+        |         THEN view_ts END AS view_ts
+        |  FROM a)
+        |SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+        |  epoch_us(purchase_ts) - epoch_us(view_ts) AS micros_since_view
+        |FROM t ORDER BY purchase_id""".stripMargin,
+
     "events_asof_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
         |    FROM events WHERE event_type = 'purchase'),

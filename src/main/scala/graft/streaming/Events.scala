@@ -569,6 +569,54 @@ object Events {
       .select(col("event_type"), col("exact_users"), col("within_bound"))
       .orderBy("event_type")
 
+  /** Sketch SET ALGEBRA: the daily overlap of view-users and
+    * purchase-users by inclusion-exclusion over mergeable HLL
+    * sketches — est|A∩B| = est A + est B − est(A∪B), the union
+    * coming from `hll_union_agg` of the two per-day sketches. This
+    * is the audience-overlap query COUNT(DISTINCT) cannot serve
+    * from pre-aggregated state (distinct counts don't intersect;
+    * sketches do, from the same per-(day, type) sketch table the
+    * rollup family already maintains). Exact overlap computed
+    * alongside (one (day, user) pre-distinct, flags both types);
+    * the estimate certifies in-plan against it — bound 15% of
+    * |A|+|B| (inclusion-exclusion COMPOUNDS the three estimates'
+    * error, so the honest bound is on the input magnitudes, not the
+    * small difference) — and the oracle expects TRUE. Days lacking
+    * either type drop (no overlap to estimate). */
+  def hllIntersection(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+    val sk = ev.groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("ex"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+    val byDay = sk.groupBy("day").agg(
+      max(when(col("event_type") === "view", col("ex"))).as("exact_view"),
+      max(when(col("event_type") === "purchase", col("ex"))).as("exact_purchase"),
+      max(when(col("event_type") === "view", col("est"))).as("est_view"),
+      max(when(col("event_type") === "purchase", col("est"))).as("est_purchase"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    val both = ev.select("day", "event_type", "user_id").distinct()
+      .groupBy("day", "user_id")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 2)
+      .groupBy("day").agg(count(lit(1)).as("exact_both"))
+    byDay
+      .filter(col("exact_view").isNotNull && col("exact_purchase").isNotNull)
+      .join(both, Seq("day"), "left_outer")
+      .na.fill(0L, Seq("exact_both"))
+      .withColumn("est_both",
+        greatest(col("est_view") + col("est_purchase") - col("est_union"), lit(0L)))
+      .select(col("day"), col("exact_view"), col("exact_purchase"),
+        col("exact_both"),
+        (abs(col("est_both") - col("exact_both")) <=
+          greatest(lit(5L),
+            ((col("exact_view") + col("exact_purchase")) * 0.15).cast("long")))
+          .as("certified"))
+      .orderBy("day")
+  }
+
   /** Mergeable-sketch ROLLUP — the re-aggregation property that makes
     * sketches the 100 TB cube currency: the monthly distinct-user
     * estimate derives ONLY from unioning the per-day Datasketches HLL
@@ -838,6 +886,7 @@ object Events {
     "events_hll_users"      -> (hllUsersPerType _),
     "events_hourly_by_type" -> (hourlyByType _),
     "events_sliding_hourly" -> (slidingHourly _),
+    "events_hll_intersection" -> (hllIntersection _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1011,6 +1060,28 @@ object Events {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact overlap restated relationally; the estimate is engine-
+    // specific, so the oracle checks the exact columns + TRUE
+    "events_hll_intersection" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |d AS (SELECT day,
+        |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        |      AS exact_view,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |      AS exact_purchase
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT day, count(*) AS exact_both FROM (
+        |    SELECT day, user_id FROM e GROUP BY 1, 2 HAVING count(*) = 2)
+        |  GROUP BY 1)
+        |SELECT d.day, CAST(exact_view AS BIGINT) AS exact_view,
+        |  CAST(exact_purchase AS BIGINT) AS exact_purchase,
+        |  CAST(coalesce(exact_both, 0) AS BIGINT) AS exact_both,
+        |  TRUE AS certified
+        |FROM d LEFT JOIN b ON b.day = d.day
+        |WHERE exact_view > 0 AND exact_purchase > 0
+        |ORDER BY d.day""".stripMargin,
 
     // each event explodes into its 4 member windows: starts
     // time_bucket_15(ts) - k*15min, k in 0..3 (exactly the epoch-

@@ -138,6 +138,33 @@ class AsOfJoinSpec extends SparkSpec {
       composed.collect().map(_.toSeq).toSeq)
   }
 
+  test("1h-tolerance attribution: in-window last touch kept, stale ones nulled") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = events.filter(_._3 == "view")
+    val got = AsOf.queries("events_asof_last_touch_1h")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    val purchases = events.filter(_._3 == "purchase")
+    assert(got.size == purchases.length)
+    var stale = 0
+    purchases.foreach { case (pid, user, _, pts) =>
+      val prior = views.filter(v => v._2 == user && v._4 <= pts)
+      val want =
+        if (prior.isEmpty) None
+        else {
+          // most recent prior view; ties by event id (exec's ordering)
+          val best = prior.maxBy(v => (v._4, v._1))
+          if (pts - best._4 <= 3600L * 1000 * 1000) Some(best._1) else { stale += 1; None }
+        }
+      assert(got(pid) == want, s"purchase $pid: got ${got(pid)}, want $want")
+    }
+    info(s"$stale purchases had only stale (out-of-window) views -> null")
+  }
+
   test("physical plan: AsOfJoinExec with hash exchanges, no nested loop") {
     val df = AsOf.purchaseAttribution(spark, sf0001)
     val s = df.queryExecution.executedPlan.toString

@@ -57,30 +57,54 @@ class FuzzyDedupSpec extends SparkSpec {
     sym.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
-  test("fuzzy pairs: block join is shuffle-hash, no corpus broadcast") {
+  test("fuzzy pairs: rank/doc joins shuffle-hash; only bucket offsets broadcast") {
     val plan = Dedup.fuzzyPairs(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"corpus-derived side must not broadcast:\n$plan")
+    // the ONLY allowed broadcast is the bucket-offset table (bounded
+    // by construction: <= alphabet^prefix rows) — every broadcast
+    // join in the plan must build on the `bucket` key
+    val bhj = """BroadcastHashJoin \[(\w+)""".r
+    val keys = bhj.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.forall(_.startsWith("bucket")),
+      s"corpus-derived broadcast (non-bucket keys $keys) in:\n$plan")
   }
 
-  test("fuzzy pairs match a driver-side brute-force replay at sf0.001") {
+  test("fuzzy pairs match a driver-side sorted-neighborhood replay at sf0.001") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"),
         lower(substring(trim(col("text")), 1, 40)).as("k"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val want = (for {
-      (ida, ka) <- docs; (idb, kb) <- docs
-      if ida < idb && ka.take(2) == kb.take(2)
-      jw = JaroWinkler.similarity(
-        org.apache.spark.unsafe.types.UTF8String.fromString(ka),
-        org.apache.spark.unsafe.types.UTF8String.fromString(kb))
-      if jw >= 0.90
-    } yield (ida, idb, math.round(jw * 10000) / 10000.0)).toSet
+    def jw(a: String, b: String): Double = JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // SNM: distinct keys in sorted order, each vs its 10 successors
+    val sorted = docs.map(_._2).distinct.sorted
+    val byKey: Map[String, List[Long]] =
+      docs.groupBy(_._2).view.mapValues(_.map(_._1).toList).toMap
+    val cross = for {
+      i <- sorted.indices; j <- (i + 1) to math.min(i + 10, sorted.length - 1)
+      s = jw(sorted(i), sorted(j)) if s >= 0.90
+      a <- byKey(sorted(i)); b <- byKey(sorted(j))
+    } yield (math.min(a, b), math.max(a, b), math.round(s * 10000) / 10000.0)
+    val same = for {
+      ids <- byKey.values.toSeq; a <- ids; b <- ids if a < b
+    } yield (a, b, 1.0)
+    val want = (cross ++ same).toSet
     val got = Dedup.fuzzyPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty, "fixture has no fuzzy near-dup pairs")
     assert(got == want,
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("fuzzy candidate volume stays linear: ~w per key, never block-quadratic") {
+    // the defining SNM property (the reason the prefix-block form was
+    // replaced): candidates = (#keys - tail) * w exactly, so the JW
+    // evaluation count cannot grow quadratically with corpus size
+    val nKeys = Tables.documents(spark, sf0001)
+      .select(lower(substring(trim(col("text")), 1, 40))).distinct().count()
+    val pairs = Dedup.fuzzyPairs(spark, sf0001).count()
+    assert(pairs <= nKeys * 10 + 500 /* same-key expansion slack */,
+      s"$pairs pairs from $nKeys keys — exceeds the linear SNM envelope")
   }
 }

@@ -560,6 +560,25 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("hll intersection: exact overlap replayed driver-side, estimate certifies") {
+    val got = graft.streaming.Events.hllIntersection(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    got.foreach { r =>
+      val day = r.getDate(0).toString
+      val vs = ev.filter(e => e._1 == day && e._2 == "view").map(_._3).toSet
+      val ps = ev.filter(e => e._1 == day && e._2 == "purchase").map(_._3).toSet
+      assert(r.getLong(1) == vs.size && r.getLong(2) == ps.size)
+      assert(r.getLong(3) == (vs intersect ps).size, s"day $day overlap")
+      assert(r.getLong(3) <= math.min(vs.size, ps.size))
+      assert(r.getBoolean(4), s"day $day estimate failed certification")
+    }
+  }
+
   test("autocorr matches a driver-side ACF replay and lag-0 normalization") {
     val ser = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect()

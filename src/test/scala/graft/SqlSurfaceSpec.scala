@@ -89,6 +89,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "payroll_autocorr" -> "variable INTERVAL (expr) MONTH arithmetic",
     "pipeline_dsir_sample" -> "string_split_regex + hex-string CAST to BIGINT",
     "events_sliding_hourly" -> "time_bucket + range(n) kk(k) alias + k * INTERVAL",
+    "events_asof_last_touch_1h" -> "native ASOF LEFT JOIN + epoch_us()",
+    "text_vocab_coverage" -> "string_split_regex + unnest() lateral",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {

@@ -194,6 +194,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage curve: monotone in k, matches a driver-side replay") {
+    val got = graft.ext.Text.vocabCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(10L, 100L, 1000L))
+    val toks = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val tf = toks.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    got.foreach { case (k, vocab, nTokens, covered, pct) =>
+      assert(vocab == tf.size && nTokens == toks.length)
+      val want = tf.take(k.toInt).map(_._2.toLong).sum
+      assert(covered == want, s"k=$k covered $covered != $want")
+      assert(pct == math.round(covered.toDouble / nTokens * 100 * 10000) / 10000.0)
+    }
+    // monotone and saturating
+    val pcts = got.map(_._5)
+    assert(pcts.zip(pcts.tail).forall(p => p._1 <= p._2))
+    assert(got.last._4 == toks.length || got.last._1 < tf.size)
+  }
+
   test("per-source entropy matches a driver-side recomputation") {
     val got = graft.ext.Text.entropyBySource(spark, sf0001).collect()
       .map(r => r.getString(0) -> r).toMap
