@@ -147,6 +147,53 @@ object Multimodal {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(out))
   }
 
+  private val CutThreshold = 8L // mean-luminance jump declaring a cut
+
+  case class SceneCuts(media_id: Long, n_frames: Long, n_cuts: Long,
+      first_cut_frame: Option[Long])
+
+  /** STUB SCENE-CUT DETECTOR — per-"frame" mean luminance (mean
+    * unsigned byte of each [[FrameBytes]] slice), a cut wherever
+    * consecutive frame means jump by more than [[CutThreshold]] —
+    * the shot-boundary pass a video curation pipeline runs after
+    * frame sampling (a real decoder swaps in per-frame luma; the
+    * Spark-side shape — per-partition iterator, integer state, no
+    * driver bytes — is the real thing). Exactness: the comparison
+    * cross-multiplies (|s_k·l_{k-1} − s_{k-1}·l_k| > T·l_k·l_{k-1}`)
+    * so the tail frame's shorter length never forces an FP division
+    * — both engines compare the identical integers. */
+  def sceneCutStub(row: MediaRow): SceneCuts = {
+    val n = row.content.length
+    val nFrames = (n + FrameBytes - 1) / FrameBytes
+    val sums = new Array[Long](nFrames)
+    val lens = new Array[Long](nFrames)
+    var i = 0
+    while (i < n) {
+      sums(i / FrameBytes) += (row.content(i) & 0xff).toLong
+      lens(i / FrameBytes) += 1L
+      i += 1
+    }
+    var cuts = 0L
+    var first = -1L
+    var k = 1
+    while (k < nFrames) {
+      val lhs = math.abs(sums(k) * lens(k - 1) - sums(k - 1) * lens(k))
+      if (lhs > CutThreshold * lens(k) * lens(k - 1)) {
+        cuts += 1
+        if (first < 0) first = k.toLong
+      }
+      k += 1
+    }
+    SceneCuts(row.media_id, nFrames.toLong, cuts,
+      if (first < 0) None else Some(first))
+  }
+
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(_.map(sceneCutStub)).toDF()
+      .orderBy("media_id")
+  }
+
   /** STUB FRAME SAMPLER — treats the payload as fixed-size "frames"
     * and keeps every [[SampleEvery]]-th, the decode-free shape of
     * video frame sampling. Checksum over the concatenated sampled
@@ -403,6 +450,7 @@ object Multimodal {
     "mm_meta"         -> (meta _),
     "mm_resize"       -> (resize _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_scene_cuts"   -> (sceneCuts _),
     "mm_audio_meta"   -> (audioMeta _),
     "mm_image_dedup"  -> (imageDedup _),
   )
@@ -444,6 +492,35 @@ object Multimodal {
         |    j -> substr(text, CAST(j * ${SampleEvery * FrameBytes} + 1 AS BIGINT),
         |      $FrameBytes)), '')) AS checksum
         |FROM b ORDER BY media_id""".stripMargin,
+
+    // per-frame byte sums replayed from the same char slices; the
+    // cut test is the identical cross-multiplied integer comparison
+    "mm_scene_cuts" ->
+      s"""WITH b AS (SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |fr AS (SELECT media_id, nb,
+        |    (nb + ${FrameBytes - 1}) // $FrameBytes AS n_frames,
+        |    unnest(range(0, (nb + ${FrameBytes - 1}) // $FrameBytes)) AS k,
+        |    text FROM b),
+        |st AS (SELECT media_id, n_frames, k,
+        |    CAST(list_sum(list_transform(
+        |      range(0, least($FrameBytes, nb - k * $FrameBytes)),
+        |      j -> ascii(substr(text,
+        |        CAST(k * $FrameBytes + j + 1 AS BIGINT), 1)))) AS BIGINT) AS s,
+        |    CAST(least($FrameBytes, nb - k * $FrameBytes) AS BIGINT) AS l
+        |  FROM fr),
+        |c AS (SELECT media_id, n_frames, k, s, l,
+        |    lag(s) OVER w AS ps, lag(l) OVER w AS pl
+        |  FROM st WINDOW w AS (PARTITION BY media_id ORDER BY k)),
+        |cut AS (SELECT media_id, n_frames, k,
+        |    CASE WHEN ps IS NOT NULL
+        |      AND abs(s * pl - ps * l) > $CutThreshold * l * pl
+        |      THEN 1 ELSE 0 END AS iscut
+        |  FROM c)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(sum(iscut) AS BIGINT) AS n_cuts,
+        |  CAST(min(CASE WHEN iscut = 1 THEN k END) AS BIGINT) AS first_cut_frame
+        |FROM cut GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
 
     "mm_features" ->
       """WITH b AS (SELECT doc_id AS media_id, text,

@@ -690,7 +690,43 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  private val SessionGapDays = 90
+
+  /** Gaps-and-islands sessionization of the ORDER history: a
+    * customer's orders split into buying sessions wherever the gap to
+    * the previous order exceeds [[SessionGapDays]] — the classic
+    * islands pattern (cumulative sum over a lag-derived break flag),
+    * the relational counterpart of the event family's
+    * `session_window` (which needs a time column feeding streaming
+    * machinery; this form runs on any ordered history). Two windows,
+    * both per-customer partitioned — no global window, no join; at
+    * 100 TB each customer's history sorts within its hash partition.
+    * Output: one row per (customer, session) with order count, span,
+    * and spend — spend through the exact decimal path. */
+  def orderSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    val flagged = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .withColumn("brk",
+        when(datediff(col("d"), lag("d", 1).over(w)) > SessionGapDays, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) + 1L)
+    flagged.groupBy("o_custkey", "session_id")
+      .agg(count(lit(1)).as("n_orders"),
+        min("d").as("first_order"), max("d").as("last_order"),
+        r4(dsum(col("o_totalprice"))).as("session_spend"))
+      .withColumn("span_days",
+        datediff(col("last_order"), col("first_order")).cast("long"))
+      .select("o_custkey", "session_id", "n_orders", "first_order",
+        "last_order", "span_days", "session_spend")
+      .orderBy("o_custkey", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
     "rel_trailing_90d_spend" -> (trailing90dSpend _),
     "rel_forecast_revenue" -> (forecastRevenue _),
@@ -721,6 +757,23 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // gaps-and-islands: identical break flag + running-sum session ids
+    "rel_order_sessions" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderkey,
+         |    CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders),
+         |f AS (SELECT *, CASE WHEN d - lag(d) OVER w > $SessionGapDays
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+         |sess AS (SELECT *, sum(brk) OVER (PARTITION BY o_custkey
+         |    ORDER BY d, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+         |  FROM f)
+         |SELECT o_custkey, CAST(session_id AS BIGINT) AS session_id,
+         |  count(*) AS n_orders, min(d) AS first_order, max(d) AS last_order,
+         |  CAST(max(d) - min(d) AS BIGINT) AS span_days,
+         |  round(${dsumSql("o_totalprice")}, 4) AS session_spend
+         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "rel_disjunctive_revenue" ->
       s"""SELECT round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4)
          |    AS revenue,

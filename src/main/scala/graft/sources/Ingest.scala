@@ -169,6 +169,41 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Schema evolution across landed batches: an early batch written
+    * WITHOUT a column that a later batch carries, re-read under
+    * `mergeSchema` into one unified frame where pre-evolution rows
+    * surface the new column as null — the additive-column drift every
+    * long-lived ingest survives (parquet's per-file self-describing
+    * schemas make this a metadata merge, no rewrite of the old
+    * batch). The declared query writes both batches, re-reads merged,
+    * and reports per-batch row/null/key-range/spend stats — so the
+    * hash check proves the old batch's rows really carry null (not a
+    * default, not dropped) and the new batch's values survive. At
+    * 100 TB the merge cost is per-FILE footer reconciliation at
+    * planning time; the scan itself is unchanged. */
+  def schemaEvolution(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num.{dsum, r4}
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_evolution_" +
+      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    base.filter(col("o_orderkey") % 2 === 0)
+      .drop("o_orderstatus").withColumn("batch", lit(1L))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v1")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("batch", lit(2L))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .as("n_null_status"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        r4(dsum(col("o_totalprice"))).as("total_price"))
+      .orderBy("batch")
+  }
+
   /** Hash-partition count for generically-keyed snapshots (time-series
     * snapshots pass `year(...)` instead — see [[upsertSink]]). */
   private val SnapParts = 16
@@ -579,6 +614,7 @@ object Ingest {
       "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_delete_tombstones" -> (deleteTombstones _),
       "ingest_snapshot_diff" -> (snapshotDiffQuery _),
+      "ingest_schema_evolution" -> (schemaEvolution _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
       "ingest_incremental_agg" -> (incrementalAgg _),
       "ingest_compaction" -> (compactionReport _),
@@ -641,6 +677,25 @@ object Ingest {
         |FROM u WHERE rn = 1 AND NOT deleted
         |  AND (o_orderkey % 10 = 0 OR o_orderkey % 7 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // batch 1 predates the status column: every row null there, none
+    // in batch 2 — restated directly from the halves
+    "ingest_schema_evolution" ->
+      s"""WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |b2 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_rows,
+        |  count(*) AS n_null_status,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  round(${graft.functions.Num.dsumSql("o_totalprice")}, 4) AS total_price
+        |FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(0 AS BIGINT),
+        |  min(o_orderkey), max(o_orderkey),
+        |  round(${graft.functions.Num.dsumSql("o_totalprice")}, 4)
+        |FROM b2
+        |ORDER BY batch""".stripMargin,
 
     // DELETE rows carry prev-image columns, INSERT/UPDATE next-image
     "ingest_snapshot_diff" ->

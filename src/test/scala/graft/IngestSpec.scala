@@ -128,6 +128,18 @@ class IngestSpec extends SparkSpec {
         .filter(col("o_orderkey") % 13 === 0).count())
   }
 
+  test("schema evolution: pre-evolution rows carry null for the new column") {
+    val rows = Ingest.schemaEvolution(spark, sf0001).collect()
+    assert(rows.length == 2)
+    val b1 = rows.find(_.getLong(0) == 1L).get
+    val b2 = rows.find(_.getLong(0) == 2L).get
+    assert(b1.getLong(1) == b1.getLong(2),
+      "every pre-evolution row must surface the evolved column as null")
+    assert(b2.getLong(2) == 0L, "post-evolution rows must keep their values")
+    assert(b1.getLong(1) + b2.getLong(1) ==
+      Tables.orders(spark, sf0001).count(), "merged read dropped rows")
+  }
+
   test("streaming foreachBatch upsert sink converges to the batch merge") {
     import graft.streaming.Events
     val path = Files.createTempDirectory("graft_upsert_sink").toString + "/snap"

@@ -135,4 +135,30 @@ class MultimodalSpec extends SparkSpec {
     // features-only (no content column)
     assert(!feats.schema.fieldNames.contains("content"))
   }
+
+  test("scene cuts: cross-multiplied threshold fires on a mean jump, not drift") {
+    import graft.ext.Multimodal
+    // frame0 = 64×'a' (mean 97), frame1 = 64×'z' (mean 122): jump 25 > 8
+    // -> cut; frame2 = 10×'a' tail vs frame1: jump 25 again -> 2nd cut
+    val jumpy = Multimodal.sceneCutStub(Multimodal.MediaRow(1L,
+      Array.fill(64)('a'.toByte) ++ Array.fill(64)('z'.toByte) ++
+        Array.fill(10)('a'.toByte), "s"))
+    assert(jumpy.n_frames == 3 && jumpy.n_cuts == 2 &&
+      jumpy.first_cut_frame.contains(1L), s"got $jumpy")
+    // uniform payload: zero cuts, null first-cut
+    val flat = Multimodal.sceneCutStub(
+      Multimodal.MediaRow(2L, Array.fill(200)('m'.toByte), "s"))
+    assert(flat.n_cuts == 0 && flat.first_cut_frame.isEmpty)
+    // a sub-threshold jump does NOT fire: means 100 vs 107 (diff 7 < 8)
+    val mild = Multimodal.sceneCutStub(Multimodal.MediaRow(3L,
+      Array.fill(64)(100.toByte) ++ Array.fill(64)(107.toByte), "s"))
+    assert(mild.n_cuts == 0, s"got $mild")
+    // corpus query: every media reported once, counts within frame bound
+    val rows = Multimodal.sceneCuts(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= math.max(0L, r.getLong(1) - 1))
+      if (r.getLong(2) == 0) assert(r.isNullAt(3))
+    }
+  }
 }

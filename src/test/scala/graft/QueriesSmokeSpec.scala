@@ -560,6 +560,38 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("order sessions: gaps-and-islands replayed driver-side") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val want = orders.groupBy(_._1).flatMap { case (cust, os) =>
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._2))
+      var sid = 0L
+      var prev: java.time.LocalDate = null
+      val sessions = sorted.map { o =>
+        if (prev == null || o._3.toEpochDay - prev.toEpochDay > 90) sid += 1
+        prev = o._3
+        (sid, o._3)
+      }
+      sessions.groupBy(_._1).map { case (s, ds) =>
+        (cust, s) -> (ds.length.toLong,
+          ds.map(_._2).minBy(_.toEpochDay), ds.map(_._2).maxBy(_.toEpochDay))
+      }
+    }
+    val got = graft.operators.Relational.queries("rel_order_sessions")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDate(3).toLocalDate, r.getDate(4).toLocalDate))
+      .toMap
+    assert(got.size == want.size, s"${got.size} sessions vs ${want.size}")
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"session $k: ${got(k)} != $v")
+    }
+    // islands really split: more sessions than customers
+    assert(got.size > orders.map(_._1).distinct.length)
+  }
+
   test("hll intersection: exact overlap replayed driver-side, estimate certifies") {
     val got = graft.streaming.Events.hllIntersection(spark, sf0001).collect()
     assert(got.nonEmpty)

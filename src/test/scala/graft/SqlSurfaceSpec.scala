@@ -91,6 +91,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "events_sliding_hourly" -> "time_bucket + range(n) kk(k) alias + k * INTERVAL",
     "events_asof_last_touch_1h" -> "native ASOF LEFT JOIN + epoch_us()",
     "text_vocab_coverage" -> "string_split_regex + unnest() lateral",
+    "rel_order_sessions" -> "DATE - DATE integer subtraction (Spark: datediff)",
+    "mm_scene_cuts" -> "octet_length(encode()) + list_transform byte sums",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
