@@ -449,7 +449,56 @@ object Curation {
       .select("doc_id", "source", "n_tokens", "log_ratio")
   }
 
+  private val ShuffleEpochs = 2
+
+  /** Deterministic EPOCH SHUFFLE: each training epoch assigns every
+    * doc an exact global position in a fresh pseudorandom permutation
+    * (order = keyed md5 of (epoch, doc) — replayable across retries,
+    * engines, and resumed runs, where `rand()` orderings are not;
+    * different epochs decorrelate because the salt changes). This is
+    * the dataloader-ordering contract of a pretraining run: same
+    * corpus, different traversal each epoch, reproducible from the
+    * doc id alone.
+    *
+    * Exact positions without a global window: the
+    * [[tokenShards]]/[[graft.ext.Dedup.fuzzyPairs]] two-phase rank —
+    * the hash's top byte is an ORDERED bucket (256 per epoch), per-
+    * bucket counts cumulate on the driver, within-bucket `row_number`
+    * adds the offset. High-order md5 bits are uniform, so buckets are
+    * balanced BY CONSTRUCTION at any corpus size (no skew caveat —
+    * better than value-derived bucketing). */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(s, dir).select("doc_id")
+      .withColumn("epoch",
+        explode(array((0 until ShuffleEpochs).map(lit(_)): _*)))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("epoch"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+          16, 10).cast("long"))
+      .withColumn("bucket", floor(col("h") / lit(1L << 52)).cast("long"))
+    val sums = d.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offsets = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var curEpoch = -1
+    var acc = 0L
+    sums.foreach { case (e, b, n) =>
+      if (e != curEpoch) { curEpoch = e; acc = 0L }
+      offsets += ((e, b, acc)); acc += n
+    }
+    val offDf = s.createDataFrame(offsets.toIndexedSeq)
+      .toDF("epoch", "bucket", "offset")
+    val w = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    d.join(broadcast(offDf), Seq("epoch", "bucket"))
+      .withColumn("position", col("offset") + row_number().over(w))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        col("position"))
+      .orderBy("epoch", "position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_epoch_shuffle"     -> (epochShuffle _),
     "pipeline_dsir_sample"   -> (dsirSample _),
     "pipeline_profile"       -> (profileColumns _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
@@ -464,6 +513,20 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the permutation IS the hash order: one row_number per epoch
+    // replays the two-phase rank exactly
+    "pack_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, ee.e AS epoch FROM documents
+         |  CROSS JOIN range(0, $ShuffleEpochs) ee(e)),
+         |h AS (SELECT doc_id, epoch,
+         |    CAST(concat('0x', substr(md5('epoch' || epoch || ':' || doc_id),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM e)
+         |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+         |    AS BIGINT) AS position
+         |FROM h ORDER BY epoch, position""".stripMargin,
+
     // both hashed-unigram models replay from the same md5 buckets;
     // each ln rounds to 8 dp before the decimal-sum per-doc ratio
     "pipeline_dsir_sample" ->

@@ -649,6 +649,26 @@ object Payroll {
       .orderBy("lag")
   }
 
+  /** Turning-point dating: strict local maxima (peaks) and minima
+    * (troughs) of the monthly series — the NBER-style business-cycle
+    * dating primitive [[recovery]] builds on (its "prior peak" is one
+    * of these points). Strict comparisons: a flat-topped plateau
+    * yields NO turning point, exactly replayed by the oracle. One
+    * global lag+lead window over the pre-reduced calendar-grain
+    * series (lint-compliant); endpoints never qualify (their missing
+    * neighbor is null and null comparisons are not TRUE). */
+  def turningPoints(s: SparkSession, dir: String): DataFrame = {
+    val prev = lag("emp", 1).over(wGlobal)
+    val next = lead("emp", 1).over(wGlobal)
+    series(s, dir)
+      .withColumn("kind",
+        when(col("emp") > prev && col("emp") > next, lit("peak"))
+          .when(col("emp") < prev && col("emp") < next, lit("trough")))
+      .filter(col("kind").isNotNull)
+      .select("month", "emp", "kind")
+      .orderBy("month")
+  }
+
   // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
@@ -656,6 +676,7 @@ object Payroll {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "payroll_yoy_same_month"      -> (yoySameMonth _),
     "payroll_autocorr"            -> (autocorr _),
+    "payroll_turning_points"      -> (turningPoints _),
     "payroll_pivot_year_month"    -> (pivotYearMonth _),
     "payroll_slice_yearly_avg"    -> (sliceYearlyAvg _),
     "payroll_slice_year_compare"  -> (sliceYearCompare _),
@@ -685,6 +706,18 @@ object Payroll {
   private val S = Tables.monthlySeriesSql
 
   val oracleSql: Map[String, String] = Map(
+    "payroll_turning_points" ->
+      s"""WITH series AS ($S),
+         |w AS (SELECT month, emp,
+         |    lag(emp) OVER win AS p, lead(emp) OVER win AS n
+         |  FROM series WINDOW win AS (ORDER BY month))
+         |SELECT month, emp,
+         |  CASE WHEN emp > p AND emp > n THEN 'peak'
+         |       WHEN emp < p AND emp < n THEN 'trough' END AS kind
+         |FROM w
+         |WHERE (emp > p AND emp > n) OR (emp < p AND emp < n)
+         |ORDER BY month""".stripMargin,
+
     // centered products round to 8 dp into exact DECIMAL before the
     // sums; the calendar-shift pairing replays add_months exactly
     "payroll_autocorr" ->

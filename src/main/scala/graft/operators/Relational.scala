@@ -725,7 +725,46 @@ object Relational {
       .orderBy("o_custkey", "session_id")
   }
 
+  private val BasketMinSupport = 3
+  private val BasketTopK = 20
+
+  /** Market-basket affinity: top part pairs by LIFT among pairs
+    * co-ordered at least [[BasketMinSupport]] times —
+    * `lift = P(a∧b)/(P(a)·P(b))` over the order universe, the
+    * association-rule readout (lift > 1 = genuinely bought together,
+    * not just both popular). Co-occurrence pairs come from a
+    * self-join WITHIN each order — bounded by order SIZE (≤ 7 lines
+    * in this schema), so pair volume is linear in orders; a
+    * heavy-hitter basket regime caps or samples the per-order item
+    * list before pairing (the standard A-Priori guard). Count joins
+    * are shuffle-hash (part-cardinality sides), the order-universe
+    * count is a 1-row broadcast, and the top-k is
+    * TakeOrderedAndProject on the ROUNDED lift (6 dp — the
+    * integer·integer/integer·integer double derives identically on
+    * both engines) with (pa, pb) tie-break. */
+  def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = op.agg(countDistinct("o").as("n_orders"))
+    val perPart = op.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val pairs = op.toDF("o", "pa")
+      .join(op.toDF("o", "pb").hint("shuffle_hash"), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinSupport)
+    pairs
+      .join(perPart.toDF("pa", "n_a").hint("shuffle_hash"), Seq("pa"))
+      .join(perPart.toDF("pb", "n_b").hint("shuffle_hash"), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_orders")) / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+      .limit(BasketTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_market_basket" -> (marketBasket _),
     "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
     "rel_trailing_90d_spend" -> (trailing90dSpend _),
@@ -757,6 +796,19 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_market_basket" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+         |pp AS (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
+         |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+         |SELECT pa, pb, n_ab, x.n_p AS n_a, y.n_p AS n_b,
+         |  round((n_ab * n_orders) / (x.n_p * y.n_p), 6) AS lift
+         |FROM pr JOIN pp x ON x.p = pa JOIN pp y ON y.p = pb CROSS JOIN n
+         |ORDER BY lift DESC, pa ASC, pb ASC LIMIT $BasketTopK""".stripMargin,
+
     // gaps-and-islands: identical break flag + running-sum session ids
     "rel_order_sessions" ->
       s"""WITH o AS (SELECT o_custkey, o_orderkey,

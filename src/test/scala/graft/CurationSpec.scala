@@ -296,6 +296,28 @@ class CurationSpec extends SparkSpec {
     assert(scans == 1, s"profile should scan lineitem once, saw $scans:\n$plan")
   }
 
+  test("epoch shuffle: exact permutation per epoch, decorrelated across epochs") {
+    val got = Curation.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    (0L until 2L).foreach { e =>
+      val ep = got.filter(_._1 == e)
+      assert(ep.map(_._3).sorted.toSeq == (1L to n),
+        s"epoch $e positions are not an exact 1..$n permutation")
+      // JVM replay: position order == (md5 hash, doc_id) order
+      val md = (s: String) => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = ep.map(_._2).sortBy(id =>
+        (java.lang.Long.parseLong(md(s"epoch$e:$id").take(15), 16), id))
+      val gotOrder = ep.sortBy(_._3).map(_._2)
+      assert(gotOrder.toSeq == want.toSeq, s"epoch $e order diverges from the hash")
+    }
+    // different epochs yield different traversals
+    val o0 = got.filter(_._1 == 0).sortBy(_._3).map(_._2).toSeq
+    val o1 = got.filter(_._1 == 1).sortBy(_._3).map(_._2).toSeq
+    assert(o0 != o1, "epoch permutations must differ")
+  }
+
   test("DSIR sample matches an independent JVM importance-ratio recomputation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "source", "text").collect()

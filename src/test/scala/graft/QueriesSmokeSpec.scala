@@ -560,6 +560,47 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("turning points: strict local extrema, alternating after dedup of runs") {
+    val ser = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect().map(_.getLong(1))
+    val want = (1 until ser.length - 1).flatMap { i =>
+      if (ser(i) > ser(i - 1) && ser(i) > ser(i + 1)) Some((i, "peak"))
+      else if (ser(i) < ser(i - 1) && ser(i) < ser(i + 1)) Some((i, "trough"))
+      else None
+    }
+    val got = graft.operators.Payroll.queries("payroll_turning_points")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.length == want.length, s"${got.length} points vs ${want.length}")
+    got.zip(want).foreach { case ((emp, kind), (i, wkind)) =>
+      assert(emp == ser(i) && kind == wkind)
+    }
+    assert(got.map(_._2).toSet.subsetOf(Set("peak", "trough")))
+    assert(got.nonEmpty, "fixture series has no strict extrema")
+  }
+
+  test("market basket: lift replayed driver-side on the co-order pairs") {
+    val op = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = op.map(_._1).distinct.length.toLong
+    val perPart = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nAb = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        nAb((ps(i), ps(j))) = nAb.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val want = nAb.filter(_._2 >= 3).toSeq.map { case ((a, b), ab) =>
+      val lift = math.round(ab * n / (perPart(a) * perPart(b)).toDouble * 1e6) / 1e6
+      (a, b, ab, lift)
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    val got = graft.operators.Relational.queries("rel_market_basket")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    assert(got.toSeq == want, s"first diff ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty && got.forall(_._4 > 0))
+  }
+
   test("order sessions: gaps-and-islands replayed driver-side") {
     val orders = Tables.orders(spark, sf0001)
       .select(col("o_custkey"), col("o_orderkey"),

@@ -93,6 +93,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_vocab_coverage" -> "string_split_regex + unnest() lateral",
     "rel_order_sessions" -> "DATE - DATE integer subtraction (Spark: datediff)",
     "mm_scene_cuts" -> "octet_length(encode()) + list_transform byte sums",
+    "pack_epoch_shuffle" -> "range(n) ee(e) alias + hex-string CAST to BIGINT",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
