@@ -763,7 +763,36 @@ object Relational {
       .limit(BasketTopK)
   }
 
+  /** Benford's-law audit of the price column — the forensic
+    * data-quality screen for numeric corpora (natural multi-scale
+    * amounts follow P(d) = log10(1+1/d); fabricated or truncated
+    * data does not). One map-side digit extraction + a 9-row
+    * aggregate; the leading digit derives arithmetically
+    * (`floor(p / 10^floor(log10 p))`), never from double→string
+    * formatting, which the two engines render differently. Output:
+    * per-digit counts, observed vs expected share, and the digit's
+    * χ² contribution — all through the shared rounding discipline. */
+  def benfordPrices(s: SparkSession, dir: String): DataFrame = {
+    val p = col("l_extendedprice")
+    val digit = floor(p / pow(lit(10.0), floor(log10(p)))).cast("long")
+    val counts = Tables.lineitem(s, dir)
+      .filter(p > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 8))
+      .select(col("digit"), col("n"),
+        r4(col("n") / col("n_total")).as("obs_share"),
+        r4(col("expected")).as("exp_share"),
+        r4((col("n") - col("expected") * col("n_total"))
+          * (col("n") - col("expected") * col("n_total"))
+          / (col("expected") * col("n_total"))).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_benford_prices" -> (benfordPrices _),
     "rel_market_basket" -> (marketBasket _),
     "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
@@ -796,6 +825,23 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // leading digit derives arithmetically (no double->string render);
+    // the 9 expected shares round to 8 dp before the chi2 arithmetic
+    "rel_benford_prices" ->
+      """WITH d AS (SELECT CAST(floor(l_extendedprice
+        |      / power(10.0, floor(log10(l_extendedprice)))) AS BIGINT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |e AS (SELECT digit, n, n_total,
+        |    round(log10(1.0 + 1.0 / digit), 8) AS expected
+        |  FROM c CROSS JOIN t)
+        |SELECT digit, n, round(n / n_total, 4) AS obs_share,
+        |  round(expected, 4) AS exp_share,
+        |  round((n - expected * n_total) * (n - expected * n_total)
+        |    / (expected * n_total), 4) AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin,
+
     "rel_market_basket" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |  FROM lineitem),

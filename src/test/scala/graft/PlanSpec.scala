@@ -365,6 +365,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pushedOnPart, s"disjunctive part filter not pushed:\n${s.take(1500)}")
   }
 
+  test("DSIR: the token-scoring join is shuffle-hash; only totals broadcast") {
+    val s = executed(ext.Curation.dsirSample(spark, sf0001)).toString
+    assert(s.contains("ShuffledHashJoin"), s"model join must be SHJ:\n$s")
+    // the single allowed broadcast is the 1-row totals aggregate
+    val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(s).length
+    assert(bhj == 0 && bnl <= 1,
+      s"corpus-derived side broadcast ($bhj BHJ / $bnl BNLJ):\n$s")
+  }
+
+  test("market basket: pair self-join is SHJ, top-k is TakeOrderedAndProject") {
+    val s = executed(operators.Relational.marketBasket(spark, sf0001)).toString
+    assert(s.contains("ShuffledHashJoin"), s"co-order join must be SHJ:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"lift top-k must not globally sort:\n$s")
+  }
+
+  test("epoch shuffle: rank window is bucket-partitioned, never global") {
+    val s = executed(ext.Curation.epochShuffle(spark, sf0001)).toString
+    val windows = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("epoch") && w.contains("bucket"),
+      s"window not (epoch, bucket)-partitioned: $w\n$s"))
+  }
+
   test("whole-stage codegen covers the pricing aggregate") {
     // AQE defers physical planning, so codegen subtrees only appear
     // with it off (execution behavior is identical per-stage)

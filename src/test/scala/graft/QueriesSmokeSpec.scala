@@ -578,6 +578,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture series has no strict extrema")
   }
 
+  test("benford audit: digit shares sum to 1, chi2 terms replayed driver-side") {
+    val got = graft.operators.Relational.queries("rel_benford_prices")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq.forall(d => d >= 1 && d <= 9))
+    val prices = Tables.lineitem(spark, sf0001)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).filter(_ > 0)
+    val digits = prices.map(p =>
+      math.floor(p / math.pow(10.0, math.floor(math.log10(p)))).toLong)
+    val n = digits.length.toDouble
+    got.foreach { case (d, cnt, obs, exp, chi2) =>
+      assert(cnt == digits.count(_ == d), s"digit $d count")
+      assert(obs == math.round(cnt / n * 10000) / 10000.0)
+      val e = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(exp == math.round(e * 10000) / 10000.0)
+      val dev = cnt - e * n
+      assert(chi2 == math.round(dev * dev / (e * n) * 10000) / 10000.0,
+        s"digit $d chi2")
+    }
+    val shareSum = got.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+  }
+
   test("market basket: lift replayed driver-side on the co-order pairs") {
     val op = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
