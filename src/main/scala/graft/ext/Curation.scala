@@ -497,7 +497,60 @@ object Curation {
       .orderBy("epoch", "position")
   }
 
+  private val BootReps = 16
+  /** Poisson(1) inverse-CDF thresholds c_k = e⁻¹·Σ_{j≤k} 1/j!,
+    * k = 0..8 (P(w > 8) < 1e-9 — the ladder cap never fires in
+    * practice). Embedded as round-trip double literals in BOTH
+    * engines, so the comparisons are bit-identical. */
+  private val PoisCdf: Seq[Double] = {
+    val e = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      cum += e / fact
+      cum
+    }
+  }
+
+  /** Deterministic POISSON BOOTSTRAP of a corpus statistic (mean
+    * tokens per doc): each of [[BootReps]] replicates draws every
+    * doc's multiplicity w ~ Poisson(1) from its keyed md5 coordinate
+    * — the streaming-friendly bootstrap (Chamandy et al.: independent
+    * per-row draws, no sampling WITH replacement across the corpus,
+    * so each replicate is one map-side weight + exact integer sums).
+    * Replicate spread IS the sampling distribution of the mean — the
+    * error bar a curation dashboard puts on every corpus stat.
+    * Determinism: u is an exact rational of the 60-bit hash, the CDF
+    * ladder compares round-trip double literals, and each replicate
+    * mean is a ratio of exact INTEGER sums (Σ w·x / Σ w) — no
+    * accumulation-order noise anywhere. */
+  def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("x"))
+      .withColumn("b",
+        explode(array((0 until BootReps).map(lit(_)): _*)))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("boot"), col("b").cast("string"),
+          lit(":"), col("doc_id").cast("string")).cast("binary")), 1, 15),
+          16, 10).cast("double") + lit(1.0)) / lit(math.pow(2.0, 60)))
+    // fold in REVERSE so the smallest threshold lands outermost —
+    // the ladder must test c_0 first (earliest threshold wins)
+    val wLadder = PoisCdf.zipWithIndex.reverse
+      .foldLeft(lit(9L): org.apache.spark.sql.Column) {
+        case (acc, (c, k)) => when(col("u") <= lit(c), lit(k.toLong)).otherwise(acc)
+      }
+    toks.withColumn("w", wLadder)
+      .groupBy("b")
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("x")).as("wx"))
+      .select(col("b").cast("long").as("replicate"), col("n_eff"),
+        graft.functions.Num.r4(col("wx") / col("n_eff")).as("mean_tokens"))
+      .orderBy("replicate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_poisson_bootstrap" -> (poissonBootstrap _),
     "pack_epoch_shuffle"     -> (epochShuffle _),
     "pipeline_dsir_sample"   -> (dsirSample _),
     "pipeline_profile"       -> (profileColumns _),
@@ -513,6 +566,30 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the CDF ladder thresholds print as round-trip double literals —
+    // DuckDB parses them to the identical doubles Spark's lit() embeds
+    "sample_poisson_bootstrap" -> {
+      val ladder = PoisCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u <= $c THEN $k" }
+        .mkString("\n         |    ").stripMargin
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(${Text.tokSql}) AS BIGINT) AS x FROM documents),
+         |e AS (SELECT doc_id, x, bb.b AS b FROM d
+         |  CROSS JOIN range(0, $BootReps) bb(b)),
+         |u AS (SELECT b, x,
+         |    (CAST(CAST(concat('0x', substr(md5('boot' || b || ':' || doc_id),
+         |      1, 15)) AS BIGINT) AS DOUBLE) + 1.0) / ${math.pow(2.0, 60)} AS u
+         |  FROM e),
+         |w AS (SELECT b, x, CASE
+         |    $ladder
+         |    ELSE 9 END AS w FROM u)
+         |SELECT CAST(b AS BIGINT) AS replicate,
+         |  CAST(sum(w) AS BIGINT) AS n_eff,
+         |  round(CAST(sum(w * x) AS BIGINT) / CAST(sum(w) AS BIGINT), 4)
+         |    AS mean_tokens
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // the permutation IS the hash order: one row_number per epoch
     // replays the two-phase rank exactly
     "pack_epoch_shuffle" ->

@@ -695,6 +695,30 @@ object Dedup {
     }
   }
 
+  /** SOFT dedup: keep every duplicate but downweight it by its
+    * near-dup cluster size (`w = 1/|cluster|` — each cluster
+    * contributes one document-equivalent of training mass) — the
+    * loss-reweighting alternative to removal (hard dedup discards
+    * paraphrase diversity; soft dedup keeps it while canceling the
+    * overcount). Rides the memoized MinHash CC cluster map
+    * ([[clusters]] — zero extra fixpoint cost in a session that
+    * already deduped), joins per-doc token counts shuffle-hash, and
+    * reports per-doc sampling weight + effective token mass. At
+    * 100 TB this is one join over the existing cluster map — the
+    * cheapest dedup in the ladder once the map exists. */
+  def softWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    clusters(s, dir)
+      .join(toks.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        r4(lit(1.0) / col("cluster_size")).as("weight"),
+        r4(col("n_tokens") / col("cluster_size").cast("double"))
+          .as("effective_tokens"))
+      .orderBy("doc_id")
+  }
+
   private val SimBits = 60        // md5Hash60 — oracle-reproducible
   private val SimBands = 6        // 10-bit bands → 1024 buckets each
   private val SimBandBits = SimBits / SimBands
@@ -1232,6 +1256,7 @@ object Dedup {
     "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_clusters"      -> (clusters _),
+    "dedup_soft_weights"  -> (softWeights _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
   )
@@ -1286,6 +1311,19 @@ object Dedup {
     // per (doc, label) row drops from cluster size to ~#bands — the
     // clique form made the reachability join O(size³) for a large
     // duplicate cluster and ran for hours at sf0.1.
+    // same reachability CTE; weights are exact rationals of the
+    // cluster size, token mass through the same double tree
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |t AS (SELECT doc_id,
+         |    CAST(len(${Text.tokSql}) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT r.doc_id, r.cluster_rep, cs.cluster_size,
+         |  round(CAST(1.0 AS DOUBLE) / cs.cluster_size, 4) AS weight,
+         |  round(n_tokens / CAST(cs.cluster_size AS DOUBLE), 4)
+         |    AS effective_tokens
+         |FROM rep r JOIN cs USING (cluster_rep) JOIN t USING (doc_id)
+         |ORDER BY r.doc_id""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT r.doc_id, r.cluster_rep, cs.cluster_size

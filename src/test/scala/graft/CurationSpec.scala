@@ -296,6 +296,39 @@ class CurationSpec extends SparkSpec {
     assert(scans == 1, s"profile should scan lineitem once, saw $scans:\n$plan")
   }
 
+  test("poisson bootstrap: replicate means bracket the true mean, JVM replay") {
+    val got = Curation.poissonBootstrap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L until 16L))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val trueMean = docs.map(_._2).sum.toDouble / docs.length
+    // Poisson(1): n_eff ~ N(500, sqrt 500); 5 sigma ~ 112
+    got.foreach { case (b, nEff, m) =>
+      assert(math.abs(nEff - docs.length) < 120, s"replicate $b n_eff $nEff")
+      assert(math.abs(m - trueMean) < trueMean * 0.2, s"replicate $b mean $m")
+    }
+    assert(got.map(_._3).distinct.length > 1, "replicates must differ")
+    // exact JVM replay of replicate 0
+    val md = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cdf = { // same ladder as the engine
+      val e = math.exp(-1.0); var f = 1.0; var c = 0.0
+      (0 to 8).map { k => if (k > 0) f *= k; c += e / f; c }
+    }
+    var sw = 0L; var swx = 0L
+    docs.foreach { case (id, x) =>
+      val h = java.lang.Long.parseLong(md(s"boot0:$id").take(15), 16)
+      val u = (h.toDouble + 1.0) / math.pow(2.0, 60)
+      val w = cdf.indexWhere(u <= _) match { case -1 => 9L; case k => k.toLong }
+      sw += w; swx += w * x
+    }
+    val (_, nEff0, mean0) = got.head
+    assert(nEff0 == sw, s"replicate 0 n_eff $nEff0 != JVM $sw")
+    assert(mean0 == math.round(swx.toDouble / sw * 10000) / 10000.0)
+  }
+
   test("epoch shuffle: exact permutation per epoch, decorrelated across epochs") {
     val got = Curation.epochShuffle(spark, sf0001).collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))

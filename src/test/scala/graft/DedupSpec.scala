@@ -345,4 +345,25 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.simhash(spark, sf0001).collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("soft dedup: every cluster's weights sum to one document-equivalent") {
+    val rows = Dedup.softWeights(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == n, "soft dedup must keep EVERY doc")
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Double]("weight") ==
+        math.round(1.0 / size * 10000) / 10000.0)
+    }
+    // per cluster: sum of weights == 1 (up to the 4dp output rounding)
+    rows.groupBy(_.getAs[Long]("cluster_rep")).foreach { case (rep, ms) =>
+      val s = ms.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(s - 1.0) < 1e-3 * ms.length,
+        s"cluster $rep weights sum to $s over ${ms.length} members")
+    }
+    // the corpus's effective doc count == number of clusters
+    val nClusters = rows.map(_.getAs[Long]("cluster_rep")).distinct.length
+    val eff = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(eff - nClusters) < 0.01 * n)
+  }
 }

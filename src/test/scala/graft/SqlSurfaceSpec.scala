@@ -94,6 +94,8 @@ class SqlSurfaceSpec extends SparkSpec {
     "rel_order_sessions" -> "DATE - DATE integer subtraction (Spark: datediff)",
     "mm_scene_cuts" -> "octet_length(encode()) + list_transform byte sums",
     "pack_epoch_shuffle" -> "range(n) ee(e) alias + hex-string CAST to BIGINT",
+    "dedup_soft_weights" -> "recursive CTE reachability + hex-string casts",
+    "sample_poisson_bootstrap" -> "range(n) bb(b) alias + hex-string CAST to BIGINT",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
