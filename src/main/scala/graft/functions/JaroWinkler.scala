@@ -24,7 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - byte-level comparison over the UTF-8 encoding (DuckDB compares
   *     raw string bytes: jw('éa','ea') = 0, not the codepoint answer);
   *   - match window `max(0, floor(max(|a|,|b|)/2) - 1)`;
-  *   - transpositions counted half, `jaro = (m/|a| + m/|b| + (m-t)/m)/3`;
+  *   - transpositions counted half with the odd case FLOORED
+  *     (`t = ⌊raw/2⌋` — DuckDB integer-divides; probed on an odd-raw
+  *     pair), `jaro = (m/|a| + m/|b| + (m-t)/m)/3`;
   *   - zero matches or an empty side → 0.0 (DuckDB: jw('','') = 0);
   *   - prefix boost `jaro + l·0.1·(1-jaro)` with `l ≤ 4` common
   *     leading bytes, applied only when `jaro > 0.7` (probed: DuckDB
@@ -112,7 +114,12 @@ object JaroWinkler {
       }
       i += 1
     }
-    val t = transp / 2.0
+    // FLOOR of the half-count (integer division), not transp/2.0:
+    // DuckDB floors the odd case (probed: jaro('abcdef','bcadef') =
+    // 0.9444 = t=1, where the classic t=1.5 would give 0.9167) —
+    // surfaced by a 306-vs-305-row sf0.1 mismatch on 40-char keys
+    // with odd raw transposition counts
+    val t = (transp / 2).toDouble
     val md = m.toDouble
     val jaro = (md / la + md / lb + (md - t) / md) / 3.0
     if (jaro <= BoostThreshold) return jaro

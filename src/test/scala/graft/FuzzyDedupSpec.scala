@@ -22,6 +22,12 @@ class FuzzyDedupSpec extends SparkSpec {
     ("aé", "ae", 0.611111111111111),            // BYTE level, not codepoint
     ("abcdxxxx", "abcdyyyy", 0.6666666666666666), // jaro <= 0.7: NO boost
     ("ax", "ab", 0.6666666666666666),
+    // ODD raw transposition count: DuckDB floors t (t=1, not 1.5)
+    ("abcdef", "bcadef", 0.9444444444444445),
+    // 40-char odd-raw pair from the sf0.1 corpus (the one that caught
+    // the flooring bug: classic t=12.5 gives 0.9024, floored 0.9051)
+    ("data spark vector small column query tab",
+      "data spark table customer column query b", 0.9051351351351352),
   )
 
   test("JaroWinkler.similarity reproduces DuckDB probes bit-for-bit (eval path)") {
