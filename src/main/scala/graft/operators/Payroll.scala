@@ -669,6 +669,25 @@ object Payroll {
       .orderBy("month")
   }
 
+  /** Drawdown curve: distance below the running peak at every month
+    * — the severity-over-time view [[recovery]] reduces to episodes
+    * (the max `dd_pct` row is the deepest contraction; `underwater`
+    * FALSE marks full recoveries). One running-max window over the
+    * pre-reduced series; exact integer gap, one double tree for the
+    * percentage. */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val peak = max(col("emp")).over(
+      wGlobal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    series(s, dir)
+      .withColumn("peak_to_date", peak)
+      .withColumn("dd", col("peak_to_date") - col("emp"))
+      .withColumn("dd_pct",
+        r4(col("dd") / col("peak_to_date").cast("double") * 100))
+      .withColumn("underwater", col("emp") < col("peak_to_date"))
+      .select("month", "emp", "peak_to_date", "dd", "dd_pct", "underwater")
+      .orderBy("month")
+  }
+
   // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
@@ -677,6 +696,7 @@ object Payroll {
     "payroll_yoy_same_month"      -> (yoySameMonth _),
     "payroll_autocorr"            -> (autocorr _),
     "payroll_turning_points"      -> (turningPoints _),
+    "payroll_drawdown"            -> (drawdown _),
     "payroll_pivot_year_month"    -> (pivotYearMonth _),
     "payroll_slice_yearly_avg"    -> (sliceYearlyAvg _),
     "payroll_slice_year_compare"  -> (sliceYearCompare _),
@@ -706,6 +726,20 @@ object Payroll {
   private val S = Tables.monthlySeriesSql
 
   val oracleSql: Map[String, String] = Map(
+    "payroll_drawdown" ->
+      s"""WITH series AS ($S),
+         |w AS (SELECT month, emp,
+         |    max(emp) OVER (ORDER BY month
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS peak_to_date
+         |  FROM series)
+         |SELECT month, emp, peak_to_date,
+         |  peak_to_date - emp AS dd,
+         |  round((peak_to_date - emp) / CAST(peak_to_date AS DOUBLE) * 100, 4)
+         |    AS dd_pct,
+         |  emp < peak_to_date AS underwater
+         |FROM w ORDER BY month""".stripMargin,
+
     "payroll_turning_points" ->
       s"""WITH series AS ($S),
          |w AS (SELECT month, emp,

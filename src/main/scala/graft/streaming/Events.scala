@@ -569,6 +569,49 @@ object Events {
       .select(col("event_type"), col("exact_users"), col("within_bound"))
       .orderBy("event_type")
 
+  private val BotMinEvents = 10
+  private val BotTopK = 20
+
+  /** Bot-likeness by inter-event REGULARITY: per user, the
+    * coefficient of variation of consecutive event gaps — humans are
+    * bursty (CV ≈ 1 for Poisson arrivals, higher with sessions),
+    * schedulers are metronomes (CV → 0). The abuse-detection pass an
+    * event pipeline runs before engagement stats. Returns the
+    * [[BotTopK]] most-regular users with ≥ [[BotMinEvents]] events.
+    *
+    * Shape: one user-partitioned lag for gaps, then per-user
+    * aggregates carrying EXACT sums only — Σgap as long, Σgap² through
+    * DECIMAL(38,0) (a 30-day micro gap squares to ~7·10²⁴, past
+    * long) — so shuffle order cannot move a bit; mean/σ/CV re-derive
+    * in double through one fixed IEEE tree (n·Σx² − (Σx)² form) on
+    * both engines, rank on the ROUNDED CV with user tie-break, top-k
+    * as TakeOrderedAndProject. */
+  def botScores(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("gap", col("tsu") - lag("tsu", 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("s1"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
+      .filter(col("n_gaps") >= BotMinEvents - 1)
+      .withColumn("mean_gap_s",
+        col("s1").cast("double") / col("n_gaps") / lit(1e6))
+      .withColumn("cv", r4(
+        sqrt(greatest(
+          (col("n_gaps") * col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double"))
+            / (col("n_gaps") * col("n_gaps")).cast("double"),
+          lit(0.0))) / (col("s1").cast("double") / col("n_gaps"))))
+      .select(col("user_id"), col("n_gaps"),
+        r4(col("mean_gap_s")).as("mean_gap_s"), col("cv"))
+      .orderBy(col("cv").asc, col("user_id").asc)
+      .limit(BotTopK)
+  }
+
   /** Sketch SET ALGEBRA: the daily overlap of view-users and
     * purchase-users by inclusion-exclusion over mergeable HLL
     * sketches — est|A∩B| = est A + est B − est(A∪B), the union
@@ -887,6 +930,7 @@ object Events {
     "events_hourly_by_type" -> (hourlyByType _),
     "events_sliding_hourly" -> (slidingHourly _),
     "events_hll_intersection" -> (hllIntersection _),
+    "events_bot_scores"     -> (botScores _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1060,6 +1104,28 @@ object Events {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact integer sums (gap^2 through HUGEINT/DECIMAL), then the
+    // identical n*S2 - S1^2 double tree and rounded-CV ranking
+    "events_bot_scores" ->
+      s"""WITH g AS (SELECT user_id,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events),
+         |st AS (SELECT user_id, count(*) AS n_gaps,
+         |    CAST(sum(gap) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2d
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+         |  HAVING count(*) >= ${BotMinEvents - 1}),
+         |d AS (SELECT user_id, n_gaps,
+         |    round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 4) AS mean_gap_s,
+         |    round(sqrt(greatest(
+         |      (n_gaps * s2d - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |        / CAST(n_gaps * n_gaps AS DOUBLE), 0.0))
+         |      / (CAST(s1 AS DOUBLE) / n_gaps), 4) AS cv
+         |  FROM st)
+         |SELECT user_id, n_gaps, mean_gap_s, cv
+         |FROM d ORDER BY cv ASC, user_id ASC LIMIT $BotTopK""".stripMargin,
 
     // exact overlap restated relationally; the estimate is engine-
     // specific, so the oracle checks the exact columns + TRUE

@@ -560,6 +560,56 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("bot scores: CV replayed driver-side from exact integer gap sums") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      if (gaps.length < 9) None
+      else {
+        val n = gaps.length.toLong
+        val s1 = gaps.sum
+        val s2d = gaps.map(g => BigInt(g) * BigInt(g)).sum.toDouble
+        val mean = s1.toDouble / n
+        val vr = math.max((n * s2d - s1.toDouble * s1.toDouble) / (n * n).toDouble, 0.0)
+        val cv = math.round(math.sqrt(vr) / mean * 10000) / 10000.0
+        Some(u -> (n, cv))
+      }
+    }
+    val got = graft.streaming.Events.botScores(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == math.min(20, want.size), s"${got.length} rows")
+    got.foreach { case (u, n, cv) =>
+      val (wn, wcv) = want(u)
+      assert(n == wn && cv == wcv, s"user $u: ($n, $cv) != ($wn, $wcv)")
+    }
+    // top-20 really are the minimum CVs
+    val worstKept = got.map(_._3).max
+    val bestDropped = want.filterNot(w => got.exists(_._1 == w._1))
+      .map(_._2._2)
+    assert(bestDropped.isEmpty || bestDropped.min >= worstKept)
+  }
+
+  test("drawdown: running peak and percentages replayed driver-side") {
+    val ser = Tables.monthlySeriesCached(spark, sf0001)
+      .orderBy("month").collect().map(_.getLong(1))
+    val got = graft.operators.Payroll.queries("payroll_drawdown")(spark, sf0001)
+      .collect()
+    assert(got.length == ser.length)
+    var peak = Long.MinValue
+    got.zip(ser).foreach { case (r, emp) =>
+      peak = math.max(peak, emp)
+      assert(r.getLong(1) == emp && r.getLong(2) == peak)
+      assert(r.getLong(3) == peak - emp)
+      assert(r.getDouble(4) ==
+        math.round((peak - emp).toDouble / peak * 100 * 10000) / 10000.0)
+      assert(r.getBoolean(5) == (emp < peak))
+    }
+    assert(got.exists(_.getBoolean(5)), "series never draws down?")
+  }
+
   test("turning points: strict local extrema, alternating after dedup of runs") {
     val ser = Tables.monthlySeriesCached(spark, sf0001)
       .orderBy("month").collect().map(_.getLong(1))

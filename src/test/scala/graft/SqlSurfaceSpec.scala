@@ -96,6 +96,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "pack_epoch_shuffle" -> "range(n) ee(e) alias + hex-string CAST to BIGINT",
     "dedup_soft_weights" -> "recursive CTE reachability + hex-string casts",
     "sample_poisson_bootstrap" -> "range(n) bb(b) alias + hex-string CAST to BIGINT",
+    "events_bot_scores" -> "epoch_us() + HUGEINT exact square sums",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
