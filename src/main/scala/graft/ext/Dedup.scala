@@ -854,10 +854,24 @@ object Dedup {
     val keys = d.select("k").distinct()
       .withColumn("bucket", substring(col("k"), 1, FuzzyRankPrefix))
     // phase 1: per-bucket counts -> exclusive offsets (bucket-sized
-    // collect; ASCII corpus => Java string sort == byte sort == both
-    // engines' key order)
+    // collect). The driver-side bucket order MUST match the executor
+    // side's UTF8String binary order and the oracle's byte order — a
+    // plain Java-String sort compares UTF-16 code units and diverges
+    // on non-BMP text (e.g. emoji sort below CJK in UTF-16 but above
+    // it in UTF-8), silently corrupting the global rank; compare the
+    // UTF-8 bytes unsigned instead, which all three agree on.
+    val utf8Order: Ordering[String] = (x: String, y: String) => {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var r = 0
+      while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+      if (r != 0) r else a.length - b.length
+    }
     val sums = keys.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)(utf8Order)
     var acc = 0L
     val offsets = sums.map { case (b, n) => val o = acc; acc += n; (b, o) }
     val offDf = s.createDataFrame(offsets.toIndexedSeq).toDF("bucket", "offset")

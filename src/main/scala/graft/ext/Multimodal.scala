@@ -494,33 +494,42 @@ object Multimodal {
         |FROM b ORDER BY media_id""".stripMargin,
 
     // per-frame byte sums replayed from the same char slices; the
-    // cut test is the identical cross-multiplied integer comparison
+    // cut test is the identical cross-multiplied integer comparison.
+    // The final SELECT rides on b (every media row) with a LEFT JOIN
+    // of the per-frame aggregate: a zero-length payload has no frames
+    // to unnest, but the Spark side still emits its (media_id, 0, 0,
+    // NULL) row — without the outer join the oracle would silently
+    // drop it (latent with the current all-non-empty generator, but a
+    // real corpus has empty payloads).
     "mm_scene_cuts" ->
       s"""WITH b AS (SELECT doc_id AS media_id, text,
         |    octet_length(encode(text)) AS nb FROM documents),
         |fr AS (SELECT media_id, nb,
-        |    (nb + ${FrameBytes - 1}) // $FrameBytes AS n_frames,
         |    unnest(range(0, (nb + ${FrameBytes - 1}) // $FrameBytes)) AS k,
         |    text FROM b),
-        |st AS (SELECT media_id, n_frames, k,
+        |st AS (SELECT media_id, k,
         |    CAST(list_sum(list_transform(
         |      range(0, least($FrameBytes, nb - k * $FrameBytes)),
         |      j -> ascii(substr(text,
         |        CAST(k * $FrameBytes + j + 1 AS BIGINT), 1)))) AS BIGINT) AS s,
         |    CAST(least($FrameBytes, nb - k * $FrameBytes) AS BIGINT) AS l
         |  FROM fr),
-        |c AS (SELECT media_id, n_frames, k, s, l,
+        |c AS (SELECT media_id, k, s, l,
         |    lag(s) OVER w AS ps, lag(l) OVER w AS pl
         |  FROM st WINDOW w AS (PARTITION BY media_id ORDER BY k)),
-        |cut AS (SELECT media_id, n_frames, k,
+        |cut AS (SELECT media_id, k,
         |    CASE WHEN ps IS NOT NULL
         |      AND abs(s * pl - ps * l) > $CutThreshold * l * pl
         |      THEN 1 ELSE 0 END AS iscut
-        |  FROM c)
-        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
-        |  CAST(sum(iscut) AS BIGINT) AS n_cuts,
-        |  CAST(min(CASE WHEN iscut = 1 THEN k END) AS BIGINT) AS first_cut_frame
-        |FROM cut GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
+        |  FROM c),
+        |agg AS (SELECT media_id, CAST(sum(iscut) AS BIGINT) AS n_cuts,
+        |    CAST(min(CASE WHEN iscut = 1 THEN k END) AS BIGINT)
+        |      AS first_cut_frame
+        |  FROM cut GROUP BY 1)
+        |SELECT b.media_id,
+        |  CAST((b.nb + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames,
+        |  CAST(coalesce(a.n_cuts, 0) AS BIGINT) AS n_cuts, a.first_cut_frame
+        |FROM b LEFT JOIN agg a USING (media_id) ORDER BY media_id""".stripMargin,
 
     "mm_features" ->
       """WITH b AS (SELECT doc_id AS media_id, text,

@@ -164,21 +164,40 @@ object Text {
     * parametric, made empirical.
     *
     * Shape: one vocabulary-sized pre-combined term aggregate; the
-    * rank window runs over THAT aggregate (lint-compliant), and the
-    * three k-thresholds fold map-side via conditional sums — no
-    * per-k re-scan. Ranking compares (count desc, token asc), fully
-    * deterministic cross-engine. */
+    * only ranking task is a top-[[CoverageKs]].max
+    * `TakeOrderedAndProject` over that aggregate (k ≤ 1000 rows reach
+    * the driver-side of the plan, never a sort), whose k-th (count,
+    * token) pairs become broadcast thresholds; coverage then folds as
+    * conditional sums in ONE more pass — no rank window anywhere. A
+    * global `row_number()` here would sort the ENTIRE vocabulary on
+    * one reducer, and a web-scale vocabulary is billions of types
+    * (Heaps' law) — `PlanSpec` pins the no-Window shape. A type is
+    * covered by the top-k iff its (count desc, token asc) pair sorts
+    * at-or-before the k-th threshold pair — exactly the old rank ≤ k,
+    * all pairs being distinct (the token is unique per row). */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val ranked = tf.withColumn("rk",
-      row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
-    val ks = CoverageKs.map(k =>
+    // k-th thresholds: TakeOrderedAndProject keeps CoverageKs.max
+    // rows; sort_array of (−n, token) structs puts them in rank order
+    // inside a single row — a 1000-element array, never a Window
+    val top = tf.orderBy(col("n").desc, col("token").asc).limit(CoverageKs.max)
+    val thr = top
+      .agg(sort_array(collect_list(
+        struct((-col("n")).as("negn"), col("token").as("tok")))).as("arr"))
+      .select(CoverageKs.map(k =>
+        element_at(col("arr"), least(lit(k), greatest(size(col("arr")), lit(1))))
+          .as(s"th$k")): _*)
+    // covered ⟺ (n, token) at-or-above the k-th pair; when vocab < k
+    // the threshold is the LAST pair and every type satisfies it
+    val ks = CoverageKs.map { k =>
+      val tn = -col(s"th$k.negn"); val tt = col(s"th$k.tok")
       struct(lit(k).as("k"),
-        sum(when(col("rk") <= k, col("n")).otherwise(0L)).as("covered")))
-    ranked
+        sum(when(col("n") > tn || (col("n") === tn && col("token") <= tt),
+          col("n")).otherwise(0L)).as("covered"))
+    }
+    tf.crossJoin(broadcast(thr))
       .agg(count(lit(1)).as("vocab_size"), sum("n").as("n_tokens"),
         array(ks: _*).as("cov"))
       .select(col("vocab_size"), col("n_tokens"), explode(col("cov")).as("c"))

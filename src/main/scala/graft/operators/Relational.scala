@@ -763,18 +763,63 @@ object Relational {
       .limit(BasketTopK)
   }
 
+  /** Exact powers of ten (longs, so the double conversion is exact —
+    * 10^15 < 2^53) shared by the Spark and SQL leading-digit
+    * cascades. */
+  private val BenfordPow10: IndexedSeq[Long] =
+    (0 to 15).map(m => (0 until m).foldLeft(1L)((acc, _) => acc * 10))
+
+  /** Leading decimal digit of a positive double via an exact
+    * magnitude-threshold cascade: power-of-ten literals are exactly
+    * representable doubles, so every comparison and the single
+    * divide/multiply are the same IEEE ops on both engines. The
+    * `floor(log10 p)` form this replaces is only 1-ulp-accurate away
+    * from exact powers of ten — a price at/near a power boundary
+    * could bucket differently across libms. */
+  private def leadingDigit(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val whole = (15 to 0 by -1).map { m =>
+      val d = lit(BenfordPow10(m).toDouble)
+      (p >= d, floor(p / d))
+    }
+    // sub-1 magnitudes compare the exact product (p·10^m ≥ 1), never
+    // an inexact 0.1/0.01 literal
+    val frac = (1 to 4).map { m =>
+      val d = lit(BenfordPow10(m).toDouble)
+      (p * d >= lit(1.0), floor(p * d))
+    }
+    (whole ++ frac).foldRight(lit(null).cast("double")) {
+      case ((c, v), acc) => when(c, v).otherwise(acc)
+    }
+  }
+
+  /** The DuckDB replay of [[leadingDigit]] — generated from the same
+    * power-of-ten longs so the two cascades cannot drift. */
+  private[graft] def leadingDigitSql(p: String): String = {
+    val whole = (15 to 0 by -1).map { m =>
+      val d = s"${BenfordPow10(m)}.0"
+      s"WHEN $p >= $d THEN floor($p / $d)"
+    }
+    val frac = (1 to 4).map { m =>
+      val d = s"${BenfordPow10(m)}.0"
+      s"WHEN $p * $d >= 1.0 THEN floor($p * $d)"
+    }
+    (whole ++ frac).mkString("CASE ", " ", " ELSE NULL END")
+  }
+
   /** Benford's-law audit of the price column — the forensic
     * data-quality screen for numeric corpora (natural multi-scale
     * amounts follow P(d) = log10(1+1/d); fabricated or truncated
     * data does not). One map-side digit extraction + a 9-row
     * aggregate; the leading digit derives arithmetically
-    * (`floor(p / 10^floor(log10 p))`), never from double→string
-    * formatting, which the two engines render differently. Output:
-    * per-digit counts, observed vs expected share, and the digit's
-    * χ² contribution — all through the shared rounding discipline. */
+    * ([[leadingDigit]]'s exact threshold cascade), never from
+    * double→string formatting (engines render differently) nor from
+    * `log10` (1-ulp libm drift could bucket a boundary price
+    * differently). Output: per-digit counts, observed vs expected
+    * share, and the digit's χ² contribution — all through the shared
+    * rounding discipline. */
   def benfordPrices(s: SparkSession, dir: String): DataFrame = {
     val p = col("l_extendedprice")
-    val digit = floor(p / pow(lit(10.0), floor(log10(p)))).cast("long")
+    val digit = leadingDigit(p).cast("long")
     val counts = Tables.lineitem(s, dir)
       .filter(p > 0)
       .select(digit.as("digit"))
@@ -828,8 +873,8 @@ object Relational {
     // leading digit derives arithmetically (no double->string render);
     // the 9 expected shares round to 8 dp before the chi2 arithmetic
     "rel_benford_prices" ->
-      """WITH d AS (SELECT CAST(floor(l_extendedprice
-        |      / power(10.0, floor(log10(l_extendedprice)))) AS BIGINT) AS digit
+      s"""WITH d AS (SELECT CAST(${leadingDigitSql("l_extendedprice")}
+        |      AS BIGINT) AS digit
         |  FROM lineitem WHERE l_extendedprice > 0),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),

@@ -58,8 +58,7 @@ object Ingest {
     val merged = upsert(base, incoming, "o_orderkey", "o_orderdate")
     // per-process path: two concurrent sessions (bench + verify) must
     // not overwrite each other's snapshot mid-read
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_roundtrip_" +
-      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    val path = ingestTmpPath("roundtrip", dir)
     writeTimeSeries(merged, path, "o_orderdate")
     s.read.parquet(path)
       .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
@@ -107,8 +106,7 @@ object Ingest {
       .withColumn("deleted", lit(true))
     val merged = upsertWithTombstones(
       base, upd.unionByName(tomb), "o_orderkey", "o_orderdate", "deleted")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_tombstones_" +
-      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    val path = ingestTmpPath("tombstones", dir)
     writeTimeSeries(merged, path, "o_orderdate")
     s.read.parquet(path)
       .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 7 === 0)
@@ -186,8 +184,7 @@ object Ingest {
     val base = graft.Tables.orders(s, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_totalprice"), col("o_orderstatus"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_evolution_" +
-      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    val path = ingestTmpPath("evolution", dir)
     base.filter(col("o_orderkey") % 2 === 0)
       .drop("o_orderstatus").withColumn("batch", lit(1L))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/v1")
@@ -370,6 +367,40 @@ object Ingest {
     ()
   }
 
+  /** Per-(kind, sf-dir, process) scratch path under `java.io.tmpdir`
+    * for the ingest round-trip queries. The pid suffix isolates
+    * concurrent bench/verify JVMs — which also means
+    * `SaveMode.Overwrite` alone can never reclaim another (dead)
+    * process's directory, so repeated runs would strand parquet
+    * garbage forever. Two-part cure mirroring the bucketed-table
+    * hygiene: every call sweeps `graft_ingest_*` directories whose
+    * pid is DEAD (crash leftovers), and one JVM shutdown hook deletes
+    * THIS process's directories on clean exit. */
+  private val tmpSweepArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] def ingestTmpPath(kind: String, dir: String): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val self = ProcessHandle.current().pid()
+    for (d <- Option(tmp.listFiles).getOrElse(Array.empty)
+         if d.isDirectory && d.getName.startsWith("graft_ingest_")) {
+      val pid = d.getName.substring(d.getName.lastIndexOf('_') + 1)
+      val alive = pid.nonEmpty && pid.forall(_.isDigit) && {
+        val p = pid.toLong
+        p == self || ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+      }
+      if (!alive) deleteRecursively(d)
+    }
+    if (tmpSweepArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        for (d <- Option(tmp.listFiles).getOrElse(Array.empty)
+             if d.isDirectory && d.getName.startsWith("graft_ingest_") &&
+               d.getName.endsWith("_" + self))
+          deleteRecursively(d)
+      }, "graft-ingest-tmp-sweep"))
+    s"${tmp.getPath}/graft_ingest_${kind}_" +
+      new java.io.File(dir).getName + "_" + self
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
@@ -506,8 +537,7 @@ object Ingest {
     val base = graft.Tables.orders(s, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_totalprice"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_dpp_" +
-      new java.io.File(dir).getName + "_" + ProcessHandle.current().pid()
+    val path = ingestTmpPath("dpp", dir)
     // write the partitioned fact copy once per (process, sf dir)
     if (!new java.io.File(path, "_SUCCESS").exists)
       writeTimeSeries(base, path, "o_orderdate")

@@ -122,6 +122,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"verify precedes the cheap cuts in the embedding join condition:\n$e")
   }
 
+  test("vocab coverage: no Window anywhere, thresholds via TakeOrderedAndProject") {
+    // a global row_number over the vocabulary would sort billions of
+    // types (Heaps' law) on ONE reducer at 100 TB; the rewrite keeps
+    // only a top-k (TakeOrderedAndProject) plus conditional sums
+    val s = executed(ext.Text.vocabCoverage(spark, sf0001)).toString
+    assert(!s.contains("Window"),
+      s"vocab coverage regressed to a global rank window:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"threshold top-k lost its TakeOrderedAndProject shape:\n$s")
+  }
+
   test("jaccard: no Window operator (parallel ordinal assignment)") {
     val s = executed(ext.Dedup.jaccardPairs(spark, sf0001)).toString
     assert(!s.contains("Window"),
