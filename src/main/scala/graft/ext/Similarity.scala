@@ -213,14 +213,22 @@ object Similarity {
     * long-lived process that cycles sessions leaks neither cached
     * blocks nor session references. */
   private val kmeansMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, Seq[(Int, Seq[Double], Double)])]
+    .empty[(SparkSession, String, Int, Int),
+      (DataFrame, Seq[(Int, Seq[Double], Double)])]
 
   private[graft] def kmeansModel(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) =
-    kmeansMemo.getOrElseUpdate((s, dir), {
-      val (assign, cents) = buildKmeans(s, dir)
-      graft.SessionMemo.registerCleanup(s, s"ivf_kmeans:$dir") { () =>
-        kmeansMemo.remove((s, dir)).foreach { case (df, _) =>
+    kmeansModelK(s, dir, KCells)
+
+  /** Parametric-k variant of the memoized model build — the near-dup
+    * candidate generator derives its cell count from the corpus size,
+    * so the same deterministic Lloyd machinery must run at any k. */
+  private[graft] def kmeansModelK(s: SparkSession, dir: String, k: Int,
+      iters: Int = KmIters): (DataFrame, Seq[(Int, Seq[Double], Double)]) =
+    kmeansMemo.getOrElseUpdate((s, dir, k, iters), {
+      val (assign, cents) = buildKmeans(s, dir, k, iters)
+      graft.SessionMemo.registerCleanup(s, s"ivf_kmeans:$dir:$k:$iters") { () =>
+        kmeansMemo.remove((s, dir, k, iters)).foreach { case (df, _) =>
           try df.unpersist() catch { case _: Throwable => () }
         }
       }
@@ -229,17 +237,17 @@ object Similarity {
 
   /** Test probe: is an IVF model memoized for (s, dir)? */
   private[graft] def kmeansMemoized(s: SparkSession, dir: String): Boolean =
-    kmeansMemo.contains((s, dir))
+    kmeansMemo.contains((s, dir, KCells, KmIters))
 
-  private def buildKmeans(s: SparkSession, dir: String)
+  private def buildKmeans(s: SparkSession, dir: String, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {
     import graft.functions.Num.davg
     val vs = vectors(s, dir)
     var assign = vs.select(col("vec_id"),
-      pmod(md5Hash60(col("vec_id").cast("string")), lit(KCells))
+      pmod(md5Hash60(col("vec_id").cast("string")), lit(k))
         .cast("int").as("cell"))
     var cents: Seq[(Int, Seq[Double], Double)] = Nil
-    for (_ <- 0 until KmIters) {
+    for (_ <- 0 until iters) {
       val rows = vs.join(assign, Seq("vec_id"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -251,7 +259,7 @@ object Similarity {
         cv.foreach(x => ss += x * x) // index-order fold == list_dot_product
         (cell, cv, math.sqrt(ss))
       }.sortBy(_._1)
-      assign = assignToNearest(vs, cents)
+      assign = assignToNearestAny(vs, cents)
     }
     (assign, cents)
   }
@@ -270,6 +278,35 @@ object Similarity {
     vs.select(col("vec_id"),
       (-array_max(scored).getField("negc")).cast("int").as("cell"))
   }
+
+  /** Join-form nearest-centroid assignment for large k: the literal
+    * form above inlines k × dim doubles into generated code, which
+    * blows past codegen method limits once k is corpus-derived (the
+    * near-dup cell count grows with the corpus). Same arithmetic —
+    * one codegen'd dot per (vector, centroid) row against a broadcast
+    * model-sized centroid table, argmax as a partial-aggregatable
+    * `max(struct(cos, −cell))` (max cosine, then smallest cell id) —
+    * so the assignment is bit-identical to the literal form and to
+    * the oracle's `row_number` replay. */
+  private def assignByJoin(vs: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)]): DataFrame = {
+    val s = vs.sparkSession
+    import s.implicits._
+    val centDF = broadcast(cents.toDF("cell", "cv", "cnrm"))
+    vs.crossJoin(centDF)
+      .select(col("vec_id"),
+        struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"),
+          (-col("cell")).as("negc")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).cast("int").as("cell"))
+  }
+
+  /** Literal scoring for model-sized k (fully codegen'd, zero
+    * shuffle), join scoring once k is corpus-derived. */
+  private def assignToNearestAny(vs: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)]): DataFrame =
+    if (cents.size <= 16) assignToNearest(vs, cents)
+    else assignByJoin(vs, cents)
 
   /** IVF approximate kNN — the other canonical ANN scale path next to
     * [[lshAnn]]: cells come from the deterministic [[kmeansModel]]
@@ -552,23 +589,51 @@ object Similarity {
   }
 
   private val NearDupCos = 0.45
-  private val NearBits = 3    // coarse buckets: high recall at low cos
-  private val NearTables = 16
+  /** Target expected vectors per k-means cell — the knob that makes
+    * candidate volume LINEAR in corpus size (cells scale with n). */
+  private val NearTargetOcc = 64
+  /** Cells each vector lands in (top-[[NearProbe]] nearest centroids)
+    * — boundary pairs split across cells still meet in a shared
+    * lower-choice cell. */
+  private val NearProbe = 3
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: hyperplane
-    * candidates (3 bits × 16 tables) → exact cosine ≥ 0.45 verify on
-    * candidates only. No cross join anywhere: candidate generation is
-    * 16 equi-joins on 3-bit keys, linear in corpus size per bucket.
+  /** Corpus-derived cell count: n / [[NearTargetOcc]] (ceil), floored
+    * at [[KCells]]. Pure integer arithmetic so the DuckDB oracle
+    * derives the identical k from `COUNT(*)`. */
+  private[graft] def nearDupK(n: Long): Int =
+    math.max(KCells, ((n + NearTargetOcc - 1) / NearTargetOcc).toInt)
+
+  /** Lloyd rounds for the near-dup model — fewer than the IVF index's
+    * [[KmIters]]: candidates are exact-cosine-verified afterwards, so
+    * the cells only need to be ROUGH neighborhoods, and each round is
+    * a serial driver-synced job (the classic k-means-on-Spark shape —
+    * round count is the latency knob, not a recall cliff). */
+  private val NearKmIters = 3
+
+  /** Embedding-cosine near-duplicate pairs, k-means-bucketed
+    * (SemDeDup-style, Abbas et al. 2023: cluster the embedding space,
+    * compare within clusters): candidates are same-cell pairs under a
+    * corpus-scaled deterministic Lloyd model ([[kmeansModelK]],
+    * k = n / [[NearTargetOcc]]) with each vector probing its top-2
+    * cells, then exact cosine ≥ [[NearDupCos]] verifies candidates
+    * only.
     *
-    * Parameter choice: at this corpus's near-dup threshold (0.45,
-    * collision prob per bit ≈ 0.65) a pair is missed with prob
-    * (1 − 0.65³)¹⁶ ≈ 0.006 — coarse bits + many tables buy recall at
-    * a low threshold. At production thresholds (≥ 0.9, p ≈ 0.97 per
-    * bit) the same operator runs with more bits per table and prunes
-    * much harder — the s-curve steepens with the threshold.
-    * The DuckDB oracle replicates the buckets exactly (md5-seeded
-    * planes), so this is hash-checked, not rows-only; recall vs the
-    * all-pairs scan is additionally asserted in `SimilaritySpec`. */
+    * Why not hyperplane LSH (the first-cut design): at a LOW
+    * threshold like 0.45 the LSH exponent ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.6,
+    * so holding recall fixed costs ~n^1.6 total candidate work — the
+    * measured 5.1× time growth for 10× data was that exponent showing
+    * up, and no (bits, tables) choice removes it. Cells sized to a
+    * FIXED occupancy give ~n·[[NearTargetOcc]]·[[NearProbe]]²/2
+    * candidates — linear by construction at any corpus size
+    * (`SimilaritySpec` bounds measured candidate growth against
+    * corpus growth) — and per-cell comparison is what production
+    * semantic-dedup pipelines actually run. Recall comes from the
+    * learned cells following the data distribution (vs LSH's
+    * data-oblivious planes) plus the top-2 probe for boundary pairs;
+    * it is asserted against the all-pairs scan in `SimilaritySpec`.
+    * The md5-seeded Lloyd build is replayed bit-for-bit by the DuckDB
+    * oracle (same machinery as `sim_topk_ivf`), so this stays
+    * hash-checked, not rows-only. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     verifiedNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
 
@@ -582,70 +647,92 @@ object Similarity {
       buildNearDupPairs(s, dir)
     }
 
-  /** One shuffle, zero pair-stream exchanges. The naive shape —
-    * skinny (vec_a, vec_b) candidates, `.distinct()`, then two vector
-    * re-joins — shuffles the PAIR stream three times, and at
-    * [[NearBits]] = 3 (coarse buckets for recall at cos 0.45) the
-    * pair stream is quadratic in bucket size: profiled 12.9 s at
-    * sf0.1, almost all of it the 25 M-row distinct plus the 6 GB
-    * exchange that drags 512-byte vector arrays behind every pair.
-    * This shape instead:
-    *  - carries each vector THROUGH the bucket join (shuffle volume =
-    *    [[NearTables]] × corpus — linear in the corpus, 90 MB here —
-    *    while the pair stream, the only super-linear quantity, never
-    *    leaves the mapper);
-    *  - verifies cosine INSIDE the joined stage, so only final
-    *    near-dup rows (real-dup density, tiny) survive;
-    *  - replaces the pair `.distinct()` with a FIRST-COLLISION filter:
-    *    all [[NearTables]] 3-bit signatures pack into one long
-    *    (48 bits), and a pair colliding at table t is kept only when
-    *    no lower table's 3-bit field also collides — exactly-once
-    *    emission as pure map-side bit arithmetic on the xor of the
-    *    two packs, no exchange, no aggregation state. */
+  /** Top-[[NearProbe]] cell assignment per vector under the
+    * corpus-scaled Lloyd model: (vec_id, c1, c2). Scoring is skinny —
+    * (vec_id, cell, cos) triples through the vec_id-partitioned rank,
+    * never the 512-byte vector arrays — and the groupBy reuses the
+    * rank window's hash partitioning (no second exchange). */
+  private[graft] def nearDupAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vs = vectors(s, dir)
+    // the count is one action over the cached vector frame; k derives
+    // from it deterministically, replayed by the oracle from COUNT(*)
+    val k = nearDupK(vs.count())
+    val (_, cents) = kmeansModelK(s, dir, k, NearKmIters)
+    val centDF = broadcast(cents.toDF("cell", "cv", "cnrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    vs.crossJoin(centDF)
+      .select(col("vec_id"), col("cell"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("ar", row_number().over(w))
+      .filter(col("ar") <= NearProbe)
+      .groupBy("vec_id")
+      .agg(min(when(col("ar") === 1, col("cell"))).as("c1"),
+        (2 to NearProbe).map(i =>
+          min(when(col("ar") === i, col("cell"))).as(s"c$i")): _*)
+  }
+
+  /** The pair join's exactly-once predicate: some shared cell SMALLER
+    * than the joined one exists ⇔ this is not the pair's first
+    * collision. Lower-probe cells may be null when a cell empties out
+    * of the model — the caller coalesces the disjunction to false. */
+  private def commonCellBelow(a: DataFrame, b: DataFrame)
+      : org.apache.spark.sql.Column =
+    (1 to NearProbe).map { i =>
+      col(s"a$i") < a("cell") &&
+        (1 to NearProbe).map(j => col(s"a$i") === col(s"b$j")).reduce(_ || _)
+    }.reduce(_ || _)
+
+  /** One pair-generating exchange, zero pair-stream exchanges: each
+    * vector carries its top-2 cells, explodes into two (cell, vector)
+    * rows, and the cell equi-join runs SHUFFLE-HASH (the bucket table
+    * is the corpus itself — broadcast is a driver OOM at 100 TB, and
+    * unhinted Catalyst would sort-merge the array-carrying side).
+    * Cosine verifies INSIDE the join condition, cheap conjuncts first
+    * (see Dedup.ppPairsInline), so only real near-dup rows survive
+    * the join — the pair stream never leaves the mapper. Exactly-once
+    * emission without a pair `.distinct()`: a pair sharing two cells
+    * would surface twice, so it is kept only in the SMALLEST shared
+    * cell — pure map-side comparisons on the four cell ids riding the
+    * join rows. */
   private[graft] def buildNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
-    // stage 1: one named column per table signature, so the 48 plane
-    // dots run exactly once per vector (downstream pack/explode refer
-    // to cheap attribute refs — CollapseProject cannot duplicate them)
-    val sigCols = (0 until NearTables).map(t =>
-      lshSig(col("v"), t, NearBits).as(s"sig$t"))
-    val sigs = vs.select(Seq(col("vec_id"), col("v"), col("nrm")) ++ sigCols: _*)
-    val pack = (0 until NearTables)
-      .map(t => shiftleft(col(s"sig$t"), NearBits * t)).reduce(_ + _)
-    val ts = array((0 until NearTables).map(t =>
-      struct(lit(t).as("t"), col(s"sig$t").as("sig"))): _*)
-    val bk = sigs
-      .select(col("vec_id"), col("v"), col("nrm"), pack.as("pack"),
-        explode(ts).as("ts"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("pack"),
-        col("ts.t").as("t"), col("ts.sig").as("sig"))
-    // The one exchange: hash-partition both sides on (t, sig) and
-    // join SHUFFLE-HASH — the bucket table is the corpus itself, so
-    // broadcast is a driver OOM at 100 TB, and unhinted Catalyst
-    // would sort-merge the array-carrying side.
-    val a = bk.toDF("vec_a", "va", "na", "pa", "t", "sig")
-    val b = bk.toDF("vec_b", "vb", "nb", "pb", "t", "sig").hint("shuffle_hash")
-    val m = col("pa").bitwiseXOR(col("pb"))
-    val fieldMask = (1L << NearBits) - 1
-    // keep the pair iff no table BELOW t also collides (t' >= t terms
-    // are vacuously true; the topmost field is never below any t)
-    val firstCollision = (0 until NearTables - 1).map { tp =>
-      (a("t") <= lit(tp)) ||
-        (shiftrightunsigned(m, NearBits * tp).bitwiseAND(lit(fieldMask)) =!= lit(0L))
-    }.reduce(_ && _)
-    // full predicate authored in the join condition, cheap conjuncts
-    // first (see Dedup.ppPairsInline: a threshold filter left above
-    // the join is pushed into the condition AT THE FRONT, and the
-    // 64-dim dot then runs on every raw bucket pair before the O(1)
-    // id/bit cuts); survivors recompute cos for the output column at
-    // near-dup density — free
+    val asg = nearDupAssignments(s, dir)
+    val cs = (1 to NearProbe).map(i => col(s"c$i"))
+    val bk = vs.join(asg.hint("shuffle_hash"), Seq("vec_id"))
+      .select(Seq(col("vec_id"), col("v"), col("nrm")) ++ cs :+
+        explode(array(cs: _*)).as("cell"): _*)
+      .filter(col("cell").isNotNull)
+    val a = bk.toDF(Seq("vec_a", "va", "na") ++
+      (1 to NearProbe).map(i => s"a$i") :+ "cell": _*)
+    val b = bk.toDF(Seq("vec_b", "vb", "nb") ++
+      (1 to NearProbe).map(i => s"b$i") :+ "cell": _*).hint("shuffle_hash")
     val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     a.join(b,
-        a("t") === b("t") && a("sig") === b("sig") &&
-          col("vec_a") < col("vec_b") && firstCollision &&
+        a("cell") === b("cell") && col("vec_a") < col("vec_b") &&
+          !coalesce(commonCellBelow(a, b), lit(false)) &&
           cos >= lit(NearDupCos))
       .withColumn("cos", cos)
       .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
+  }
+
+  /** Candidate volume probe for `SimilaritySpec`'s linearity bound:
+    * the same exactly-once celled pair stream WITHOUT the cosine
+    * verify — the raw work the candidate generator creates. */
+  private[graft] def nearDupCandidateCount(s: SparkSession, dir: String): Long = {
+    val asg = nearDupAssignments(s, dir)
+    val cs = (1 to NearProbe).map(i => col(s"c$i"))
+    val bk = asg.select(col("vec_id") +: cs :+
+        explode(array(cs: _*)).as("cell"): _*)
+      .filter(col("cell").isNotNull)
+    val a = bk.toDF("vec_a" +: (1 to NearProbe).map(i => s"a$i") :+ "cell": _*)
+    val b = bk.toDF("vec_b" +: (1 to NearProbe).map(i => s"b$i") :+ "cell": _*)
+      .hint("shuffle_hash")
+    a.join(b,
+        a("cell") === b("cell") && col("vec_a") < col("vec_b") &&
+          !coalesce(commonCellBelow(a, b), lit(false)))
+      .count()
   }
 
   /** Embedding near-dup CLUSTERS — the linear-output form of
@@ -655,12 +742,13 @@ object Similarity {
     * cluster_size) for every vector (singletons included via a
     * per-vector self bucket).
     *
-    * Components run over verified pairs, not raw LSH buckets: at
-    * [[NearBits]] = 3 a bucket holds ~1/8 of the corpus, so the raw
-    * bucket graph is one giant component by construction — the
-    * cosine-verified edges are the semantically meaningful graph. The
-    * edge list is the pair query's output (bounded by real near-dup
-    * density); the component output is one row per vector. */
+    * Components run over verified pairs, not raw k-means cells: a
+    * cell holds ~[[NearTargetOcc]] vectors that are merely NEAR each
+    * other, so the raw cell graph would glue every cell into one
+    * component — the cosine-verified edges are the semantically
+    * meaningful graph. The edge list is the pair query's output
+    * (bounded by real near-dup density); the component output is one
+    * row per vector. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame =
     // memoized like the text-side cluster map: the CC fixpoint must
     // not re-run per invocation (Curation-style consumers re-read it)
@@ -757,15 +845,8 @@ object Similarity {
     * random-partition init; per round i, `cn{i}` recomputes decimal
     * elementwise-mean centroids from assignment `a{i}` and `a{i+1}`
     * reassigns by max cosine with the smallest-cell tie-break. */
-  private def kmeansOracleCtes(k: Int, iters: Int): String = {
-    val init =
-      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |a0 AS (SELECT vec_id,
-         |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |      % $k AS INTEGER) AS cell
-         |  FROM n)""".stripMargin
-    val its = (0 until iters).map { i =>
+  private def kmeansIterCtes(iters: Int): Seq[String] =
+    (0 until iters).map { i =>
       s"""px$i AS (SELECT a.cell, unnest(range(0, len(n.v))) AS pos, unnest(n.v) AS x
          |  FROM n JOIN a$i a USING (vec_id)),
          |cm$i AS (SELECT cell, pos,
@@ -779,7 +860,34 @@ object Similarity {
          |        c.cell ASC) AS rr
          |    FROM n CROSS JOIN cn$i c) WHERE rr = 1)""".stripMargin
     }
-    (init +: its).mkString(",\n")
+
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |a0 AS (SELECT vec_id,
+         |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $k AS INTEGER) AS cell
+         |  FROM n)""".stripMargin
+    (init +: kmeansIterCtes(iters)).mkString(",\n")
+  }
+
+  /** [[kmeansOracleCtes]] with the CORPUS-DERIVED cell count of
+    * [[nearDupK]]: `params` computes k from `COUNT(*)` with the same
+    * integer arithmetic, the md5 init takes k modulo from it, and the
+    * k-agnostic iteration CTEs replay the identical Lloyd rounds. */
+  private def nearDupKmeansCtes: String = {
+    val init =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |params AS (SELECT GREATEST($KCells,
+         |    CAST((COUNT(*) + ${NearTargetOcc - 1}) // $NearTargetOcc AS INTEGER)) AS k
+         |  FROM e),
+         |a0 AS (SELECT vec_id,
+         |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % (SELECT k FROM params) AS INTEGER) AS cell
+         |  FROM n)""".stripMargin
+    (init +: kmeansIterCtes(NearKmIters)).mkString(",\n")
   }
 
   /** Unrolled per-subspace Lloyd builds mirroring [[buildPq]]
@@ -977,15 +1085,7 @@ object Similarity {
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     "dedup_embedding_pairs" ->
-      s"""WITH ${lshOracleCtes(NearTables, NearBits)},
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
-         |  WHERE a.vec_id < b.vec_id),
-         |p AS (SELECT vec_a, vec_b,
-         |    list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
-         |  FROM cand
-         |  JOIN n na ON na.vec_id = vec_a
-         |  JOIN n nb ON nb.vec_id = vec_b)
+      s"""WITH $embeddingPairsCteSql
          |SELECT vec_a, vec_b, round(cos, 4) AS cos
          |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin,
 
@@ -1007,23 +1107,37 @@ object Similarity {
          |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
   )
 
-  /** Shared oracle fragment: LSH signatures → verified near-dup pairs
-    * → recursive-CTE connected components, ending with `rep` (vec_id,
-    * cluster_rep) and `cs` (cluster_rep, cluster_size) — exactly the
-    * graph [[embeddingClusters]] materializes. Composed by both the
-    * cluster query's oracle and the semantic-dedup oracle. */
-  private def embeddingClustersCteSql: String =
-    s"""${lshOracleCtes(NearTables, NearBits)},
+  /** Shared oracle fragment replaying [[buildNearDupPairs]]: the
+    * derived-k Lloyd build, the top-[[NearProbe]] cell assignment,
+    * same-cell candidates (plain DISTINCT — the Spark side's
+    * smallest-shared-cell emission selects the same SET), and the
+    * exact cosine. Ends with `p` (vec_a, vec_b, cos). */
+  private def embeddingPairsCteSql: String =
+    s"""$nearDupKmeansCtes,
+       |a2p AS (SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell, row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+       |        c.cell ASC) AS rr
+       |    FROM n CROSS JOIN cn${NearKmIters - 1} c) WHERE rr <= $NearProbe),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+       |  FROM a2p a JOIN a2p b ON a.cell = b.cell
        |  WHERE a.vec_id < b.vec_id),
-       |p AS (SELECT vec_a, vec_b
+       |p AS (SELECT vec_a, vec_b,
+       |    list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
        |  FROM cand
        |  JOIN n na ON na.vec_id = vec_a
-       |  JOIN n nb ON nb.vec_id = vec_b
-       |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $NearDupCos),
-       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
-       |  UNION ALL SELECT vec_b, vec_a FROM p),
+       |  JOIN n nb ON nb.vec_id = vec_b)""".stripMargin
+
+  /** Shared oracle fragment: celled candidates → verified near-dup
+    * pairs → recursive-CTE connected components, ending with `rep`
+    * (vec_id, cluster_rep) and `cs` (cluster_rep, cluster_size) —
+    * exactly the graph [[embeddingClusters]] materializes. Composed by
+    * both the cluster query's oracle and the semantic-dedup oracle. */
+  private def embeddingClustersCteSql: String =
+    s"""$embeddingPairsCteSql,
+       |vp AS (SELECT vec_a, vec_b FROM p WHERE cos >= $NearDupCos),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM vp
+       |  UNION ALL SELECT vec_b, vec_a FROM vp),
        |reach AS (
        |  SELECT vec_id, vec_id AS r FROM n
        |  UNION

@@ -55,10 +55,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"range join lost its broadcast:\n$s")
   }
 
-  test("embedding near-dups: candidates via equi-join, never cartesian") {
-    val s = executed(ext.Similarity.embeddingNearDups(spark, sf0001)).toString
-    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+  test("embedding near-dups: candidates via equi-join, never an all-pairs scan") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = executed(ext.Similarity.buildNearDupPairs(spark, sf0001))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
       s"near-dup pair generation degraded to an all-pairs join:\n$s")
+    // the only broadcast allowed is the n×k centroid scoring — its
+    // build side must be the driver-built model (a LocalTableScan),
+    // never a corpus-derived scan
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    bx.foreach { b =>
+      assert(b.collectLeaves().forall(_.isInstanceOf[LocalTableScanExec]),
+        s"near-dup pairs broadcast a corpus-derived side:\n$plan")
+    }
   }
 
   test("image dedup: banded Hamming join is shuffle-hash, never a broadcast") {
@@ -192,16 +203,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val corpusOnly = Seq(
       "dedup_jaccard_pairs"   -> ext.Dedup.jaccardPairs(spark, sf0001),
       "dedup_minhash_lsh"     -> ext.Dedup.minhashLsh(spark, sf0001),
-      "dedup_shingle_jaccard" -> ext.Dedup.shingleJaccardPairs(spark, sf0001),
-      // the pair pipeline is session-memoized (S5); assert on the
-      // builder that fills the cache — same code, visible plan
-      "dedup_embedding_pairs" -> ext.Similarity.buildNearDupPairs(spark, sf0001))
+      "dedup_shingle_jaccard" -> ext.Dedup.shingleJaccardPairs(spark, sf0001))
     corpusOnly.foreach { case (name, df) =>
       val plan = executed(df)
       val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
       assert(bx.isEmpty, s"$name broadcasts a corpus-derived table:\n$plan")
       val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
       assert(shj.nonEmpty, s"$name verify join lost its shuffle-hash shape:\n$plan")
+    }
+    // the embedding pair pipeline is session-memoized (S5); assert on
+    // the builder that fills the cache — same code, visible plan. Its
+    // centroid scoring legitimately broadcasts the driver-built model
+    // (a LocalTableScan, k rows), so broadcasts are allowed ONLY over
+    // local relations; the cell join itself must stay shuffle-hash.
+    locally {
+      import org.apache.spark.sql.execution.LocalTableScanExec
+      val plan = executed(ext.Similarity.buildNearDupPairs(spark, sf0001))
+      val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+      bx.foreach(b =>
+        assert(b.collectLeaves().forall(_.isInstanceOf[LocalTableScanExec]),
+          s"dedup_embedding_pairs broadcasts a corpus-derived table:\n$plan"))
+      val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+      assert(shj.nonEmpty,
+        s"dedup_embedding_pairs verify join lost its shuffle-hash shape:\n$plan")
     }
     // lshAnn re-ranks with one query-side broadcast (bounded by the
     // `< NQueries` filter, which must sit INSIDE the broadcast) while

@@ -32,9 +32,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.subsetOf(exact), "bucketed produced a non-exact pair")
     if (exact.nonEmpty) {
       val recall = exact.count(bucketed.contains).toDouble / exact.size
-      info(f"LSH near-dup recall: $recall%.3f (${exact.size} exact pairs)")
-      assert(recall >= 0.9, f"recall $recall%.3f — raise tables / lower bits")
+      info(f"celled near-dup recall: $recall%.3f (${exact.size} exact pairs)")
+      assert(recall >= 0.9, f"recall $recall%.3f — raise NearProbe / occupancy")
     }
+  }
+
+  test("near-dup candidate volume grows ~linearly with the corpus") {
+    // The LSH design this replaced was candidate-quadratic by
+    // parameter choice (fixed 3-bit buckets hold a FIXED FRACTION of
+    // the corpus); the corpus-scaled k-means cells hold a fixed
+    // OCCUPANCY instead, so per-item candidates stay ~constant as the
+    // corpus grows. sf0.001 → sf0.1 is a 4× corpus (500 → 2000
+    // vectors, and k leaves its floor: 8 → 32 cells); a fixed-k
+    // bucketing would grow per-item candidates ~4× here — the bound
+    // catches that regression with margin for cell imbalance.
+    val n1 = Tables.embeddings(spark, sf0001).count()
+    val n2 = Tables.embeddings(spark, "/root/testdata/sf0.1").count()
+    assert(n2 >= 4 * n1, "fixture assumption: sf0.1 corpus is 4x sf0.001")
+    val c1 = Similarity.nearDupCandidateCount(spark, sf0001)
+    val c2 = Similarity.nearDupCandidateCount(spark, "/root/testdata/sf0.1")
+    info(s"candidates/item: ${c1 / n1} (n=$n1) -> ${c2 / n2} (n=$n2)")
+    assert(c2.toDouble / n2 <= 2.5 * c1.toDouble / n1,
+      s"per-item candidate volume grew superlinearly: $c1/$n1 -> $c2/$n2")
   }
 
   test("embedding clusters: pairs share a rep, non-paired vectors stay singleton") {
