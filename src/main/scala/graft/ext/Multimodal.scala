@@ -173,6 +173,15 @@ object Multimodal {
       lens(i / FrameBytes) += 1L
       i += 1
     }
+    cutsFromStats(row.media_id, sums, lens)
+  }
+
+  /** The shared cut test over per-frame (luminance sum, sample count)
+    * stats — both the stub's byte "frames" and the REAL decoded GIF
+    * frames reduce to these integers. */
+  private def cutsFromStats(mediaId: Long, sums: Array[Long],
+      lens: Array[Long]): SceneCuts = {
+    val nFrames = sums.length
     var cuts = 0L
     var first = -1L
     var k = 1
@@ -184,13 +193,71 @@ object Multimodal {
       }
       k += 1
     }
-    SceneCuts(row.media_id, nFrames.toLong, cuts,
+    SceneCuts(mediaId, nFrames.toLong, cuts,
       if (first < 0) None else Some(first))
   }
 
+  /** GIF87a/GIF89a magic. */
+  private[graft] def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** Integer luminance of a packed RGB pixel — the decode path's
+    * formula, shared by the multi-frame readers. */
+  private def lumOf(rgb: Int): Int =
+    (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+      (rgb & 0xFF) * 114) / 1000
+
+  /** REAL multi-frame decode: every frame of an animated GIF through
+    * the stock `javax.imageio` ImageReader (`reader.read(i)` — the
+    * one multi-frame container the pure JVM decodes; video codecs
+    * stay stubbed). Calls `f` per frame with the decoded raster;
+    * returns None (→ stub fallback) for non-GIF payloads, undecodable
+    * bytes, or zero-frame files — a fake frame decomposition would
+    * corrupt downstream cut/sample semantics. */
+  private[graft] def withGifFrames[A: scala.reflect.ClassTag](b: Array[Byte])(
+      f: java.awt.image.BufferedImage => A): Option[Array[A]] =
+    if (!looksLikeGif(b)) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else Some(Array.tabulate(n)(i => f(r.read(i))))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Real scene cuts over decoded GIF frames: per-frame integer
+    * luminance sums + pixel counts into the same cross-multiplied cut
+    * test as the stub — swapping the codec changes no comparison
+    * logic. */
+  private[graft] def sceneCutsGif(row: MediaRow): Option[SceneCuts] =
+    withGifFrames(row.content) { im =>
+      var sum = 0L; var cnt = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          sum += lumOf(im.getRGB(x, y)); cnt += 1; x += 1
+        }
+        y += 1
+      }
+      (sum, cnt)
+    }.map(st => cutsFromStats(row.media_id, st.map(_._1), st.map(_._2)))
+
   def sceneCuts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).mapPartitions(_.map(sceneCutStub)).toDF()
+    mediaTable(s, dir)
+      .mapPartitions(_.map(r => sceneCutsGif(r).getOrElse(sceneCutStub(r))))
+      .toDF()
       .orderBy("media_id")
   }
 
@@ -213,6 +280,32 @@ object Multimodal {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(bos.toByteArray))
   }
 
+  /** Real frame sampling over a decoded animated GIF: keep every
+    * [[SampleEvery]]-th REAL frame; the checksum runs over the kept
+    * frames' row-major luminance bytes, so the byte selection stays
+    * verifiable exactly like the stub's. */
+  private[graft] def frameSampleGif(row: MediaRow): Option[SampledFrames] =
+    withGifFrames(row.content) { im =>
+      val out = new Array[Byte](im.getWidth * im.getHeight)
+      var i = 0; var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          out(i) = lumOf(im.getRGB(x, y)).toByte; i += 1; x += 1
+        }
+        y += 1
+      }
+      out
+    }.map { frames =>
+      val bos = new java.io.ByteArrayOutputStream()
+      var j = 0
+      while (j * SampleEvery < frames.length) {
+        bos.write(frames(j * SampleEvery)); j += 1
+      }
+      SampledFrames(row.media_id, frames.length.toLong, j.toLong,
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(bos.toByteArray))
+    }
+
   /** Per-partition resize — same iterator→iterator batch shape as
     * [[extractFeatures]]. */
   def resize(s: SparkSession, dir: String): DataFrame = {
@@ -223,7 +316,9 @@ object Multimodal {
 
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).mapPartitions(_.map(frameSampleStub)).toDF()
+    mediaTable(s, dir)
+      .mapPartitions(_.map(r => frameSampleGif(r).getOrElse(frameSampleStub(r))))
+      .toDF()
       .orderBy("media_id")
   }
 
@@ -312,18 +407,75 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
-  /** Near-dup image pairs by dHash Hamming distance — the SimHash
-    * banding pattern on the perceptual hash: 4×16-bit band equi-join
-    * (pigeonhole: ≤ 3 differing bits leave at least one band equal),
-    * shuffle-hash both sides, exact `bit_count(xor)` verify after.
-    * The shuffle carries (id, one long) — payloads never move. */
-  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"4-band pigeonhole covers Hamming <= 3, got $maxHamming")
+  /** Band plan for [[nearDupImagePairs]] (Manku, Jain & Sarma 2007,
+    * the SimHash near-dup scheme generalized): split the 64-bit hash
+    * into `nBlocks` contiguous blocks; each table keys on a distinct
+    * combination of `nBlocks − maxHamming` blocks concatenated. With
+    * ≤ maxHamming differing bits, the differing bits touch ≤
+    * maxHamming blocks, so some `nBlocks − maxHamming` blocks are
+    * clean — the table selecting exactly those matches (pigeonhole,
+    * exact recall). More blocks → more tables (C(B, B−h)) but LONGER
+    * keys (64·(B−h)/B bits), which is what bounds per-table random
+    * collisions as the population grows. */
+  private[graft] case class BandPlan(blocks: IndexedSeq[(Int, Int)],
+      tables: IndexedSeq[Seq[Int]]) {
+    /** Narrowest table key width in bits. */
+    def minKeyBits: Int = tables.map(_.map(blocks(_)._2).sum).min
+  }
+
+  private[graft] def bandPlanFor(nBlocks: Int, maxHamming: Int): BandPlan = {
+    require(nBlocks > maxHamming,
+      s"$nBlocks-block pigeonhole cannot cover Hamming <= $maxHamming")
+    val base = 64 / nBlocks; val rem = 64 % nBlocks
+    val widths = IndexedSeq.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).dropRight(1)
+    val blocks = shifts.zip(widths)
+    val tables = (0 until nBlocks).combinations(nBlocks - maxHamming)
+      .map(_.toSeq).toIndexedSeq
+    BandPlan(blocks, tables)
+  }
+
+  /** Population-derived block count: keep the expected per-item
+    * per-table random collisions ≈ n/2^keyBits below ~1 as the hash
+    * population grows. 4 blocks (16-bit keys, 4 tables — the minimal
+    * plan for Hamming ≤ 3) hold to 2^16 hashes; 5 blocks (~25-bit
+    * keys, 10 tables) to 2^25; 6 blocks (~31-bit keys, 20 tables)
+    * to ~2·10⁹ — beyond that the HASH must widen, not the plan. The
+    * thresholds are pinned integers, so the plan is a deterministic
+    * function of the population count. */
+  private[graft] def imageBandBlocks(n: Long): Int =
+    if (n <= (1L << 16)) 4
+    else if (n <= (1L << 25)) 5
+    else 6
+
+  /** Near-dup image pairs by dHash Hamming distance: banded equi-join
+    * under the population-scaled [[BandPlan]], shuffle-hash both
+    * sides, exact `bit_count(xor)` verify after. The shuffle carries
+    * (id, one long) — payloads never move. The band plan affects
+    * CANDIDATES only: the verify + distinct make the final pair set
+    * plan-invariant (asserted in `MultimodalSpec`), which is also why
+    * the DuckDB oracle can state the pairs with a brute-force replay
+    * and never model the bands. */
+  def nearDupImagePairs(hashes: DataFrame, population: Long,
+      maxHamming: Int = 3): DataFrame =
+    nearDupImagePairsPlanned(hashes,
+      bandPlanFor(imageBandBlocks(population), maxHamming), maxHamming)
+
+  private[graft] def nearDupImagePairsPlanned(hashes: DataFrame,
+      plan: BandPlan, maxHamming: Int): DataFrame = {
+    // table key: the combo's blocks concatenated via shift/mask — for
+    // the minimal 4-block plan this is exactly the historic single
+    // 16-bit band value
+    def comboKey(h: org.apache.spark.sql.Column, combo: Seq[Int]) =
+      combo.foldLeft(lit(0L)) { (acc, bi) =>
+        val (sh, wd) = plan.blocks(bi)
+        shiftleft(acc, wd) +
+          shiftrightunsigned(h, sh).bitwiseAND(lit((1L << wd) - 1))
+      }
     val banded = hashes.select(col("media_id"), col("dhash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          (shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
-            .as("key"))): _*)).as("bk"))
+        explode(array(plan.tables.zipWithIndex.map { case (combo, t) =>
+          struct(lit(t).as("band"), comboKey(col("dhash"), combo).as("key"))
+        }: _*)).as("bk"))
       .select(col("media_id"), col("dhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.toDF("id_a", "h_a", "band", "key")
@@ -419,7 +571,10 @@ object Multimodal {
     import s.implicits._
     val pngs = mediaTable(s, dir)
       .mapPartitions(_.map(r => MediaRow(r.media_id, toGrayPng(r.content), r.source)))
-    nearDupImagePairs(imageHashes(pngs))
+    // band plan scales with the hash population (here: the corpus —
+    // every payload renders to a decodable PNG)
+    val population = Tables.documents(s, dir).count()
+    nearDupImagePairs(imageHashes(pngs), population)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
   }

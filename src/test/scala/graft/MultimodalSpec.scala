@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ext.Multimodal
 
 class MultimodalSpec extends SparkSpec {
@@ -122,9 +124,95 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRow(4L, "text payload, dropped".getBytes, "s"))
     val hashes = Multimodal.imageHashes(spark.createDataset(rows))
     assert(hashes.count() == 3, "undecodable payloads must drop")
-    val pairs = Multimodal.nearDupImagePairs(hashes).collect()
+    val pairs = Multimodal.nearDupImagePairs(hashes, 3L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("band plan: population thresholds, pigeonhole coverage, exact 64-bit split") {
+    // plan derivation is a pinned deterministic function of population
+    assert(Multimodal.imageBandBlocks(500L) == 4)
+    assert(Multimodal.imageBandBlocks(1L << 16) == 4)
+    assert(Multimodal.imageBandBlocks((1L << 16) + 1) == 5)
+    assert(Multimodal.imageBandBlocks(1L << 25) == 5)
+    assert(Multimodal.imageBandBlocks((1L << 25) + 1) == 6)
+    for (nb <- 4 to 6) {
+      val plan = Multimodal.bandPlanFor(nb, 3)
+      // blocks partition the 64 bits exactly
+      assert(plan.blocks.map(_._2).sum == 64)
+      assert(plan.blocks.map(_._1) ==
+        plan.blocks.map(_._2).scanLeft(0)(_ + _).dropRight(1))
+      // C(B, B-3) tables; each keys on B-3 distinct blocks
+      def c(n: Int, k: Int) = (1 to k).map(i => (n - i + 1).toLong)
+        .product / (1 to k).map(_.toLong).product
+      assert(plan.tables.size.toLong == c(nb, nb - 3))
+      assert(plan.tables.forall(t => t.size == nb - 3 && t.distinct.size == t.size))
+      // key width grows with the plan: the collision-bounding property
+      assert(plan.minKeyBits >= Seq(16, 25, 31)(nb - 4))
+    }
+    // minimal plan == the historic 4x16 banding
+    assert(Multimodal.bandPlanFor(4, 3).blocks ==
+      IndexedSeq((0, 16), (16, 16), (32, 16), (48, 16)))
+  }
+
+  test("band plan affects candidates only: pair set invariant across plans") {
+    import spark.implicits._
+    // corpus-derived hashes (real codec round-trip), paired under the
+    // minimal and the next-size plan: the verify + distinct must make
+    // the FINAL pair set identical — the property that lets the plan
+    // scale with population without touching the oracle
+    val pngs = Multimodal.mediaTable(spark, sf0001).mapPartitions(_.map(r =>
+      Multimodal.MediaRow(r.media_id, Multimodal.toGrayPng(r.content), r.source)))
+    val hashes = Multimodal.imageHashes(pngs).cache()
+    try {
+      val p4 = Multimodal.nearDupImagePairsPlanned(
+        hashes, Multimodal.bandPlanFor(4, 3), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val p5 = Multimodal.nearDupImagePairsPlanned(
+        hashes, Multimodal.bandPlanFor(5, 3), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(p4 == p5, s"plans disagree: ${p4.diff(p5)} vs ${p5.diff(p4)}")
+      assert(p4.nonEmpty, "fixture should contain near-dup images")
+    } finally { hashes.unpersist(); () }
+  }
+
+  test("banded collisions stay bounded at a 10x population under the derived plan") {
+    import spark.implicits._
+    // deterministic pseudo-random hash population (splitmix64): at
+    // n = 50k the rule keeps 4 blocks (n < 2^16 fails -> wait, 50k < 65536
+    // so 4 blocks hold); at n = 500k it moves to 5 blocks. In both
+    // regimes the expected per-item FALSE-candidate count stays ~1 or
+    // below - the boundedness the plan derivation exists to maintain.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4b06b19a1b1eaL
+      z ^ (z >>> 31)
+    }
+    for (n <- Seq(50000L, 500000L)) {
+      val plan = Multimodal.bandPlanFor(Multimodal.imageBandBlocks(n), 3)
+      val hashes = spark.range(n).as[Long].map(z => mix(z)).toDF("dhash")
+        .select(monotonically_increasing_id().as("media_id"), col("dhash"))
+      // per-(band, key) group sizes -> total candidate pairs
+      def comboKey(h: org.apache.spark.sql.Column, combo: Seq[Int]) =
+        combo.foldLeft(lit(0L)) { (acc, bi) =>
+          val (sh, wd) = plan.blocks(bi)
+          shiftleft(acc, wd) +
+            shiftrightunsigned(h, sh).bitwiseAND(lit((1L << wd) - 1))
+        }
+      val banded = hashes.select(col("dhash"),
+        explode(array(plan.tables.zipWithIndex.map { case (combo, t) =>
+          struct(lit(t).as("band"), comboKey(col("dhash"), combo).as("key"))
+        }: _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      val pairs = banded.groupBy("band", "key").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      info(s"n=$n blocks=${plan.blocks.size}: $pairs candidate pairs " +
+        f"(${pairs.toDouble / n}%.2f per item)")
+      assert(pairs <= 2 * n,
+        s"plan for n=$n leaves ${pairs.toDouble / n} false candidates per item")
+    }
   }
 
   test("feature extraction runs distributed, one row per media item") {
@@ -136,8 +224,75 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats.schema.fieldNames.contains("content"))
   }
 
+  /** Animated GIF written through the stock `javax.imageio` sequence
+    * writer — the real multi-frame fixture. Gray frames with ≤ 256
+    * distinct colors round-trip the palette losslessly, so decoded
+    * luminance is exact. */
+  private def animatedGif(levels: Seq[Int], w: Int = 8, h: Int = 6): Array[Byte] = {
+    import javax.imageio._
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    levels.foreach { v =>
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      writer.writeToSequence(new IIOImage(im, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("animated GIF: scene cuts run over REAL decoded frames") {
+    // three real frames: 100, 100, 200 gray — one cut at frame 2
+    val gif = animatedGif(Seq(100, 100, 200))
+    val row = Multimodal.MediaRow(11L, gif, "s")
+    val cuts = Multimodal.sceneCutsGif(row).get
+    assert(cuts.n_frames == 3L, s"frame count: $cuts")
+    assert(cuts.n_cuts == 1L && cuts.first_cut_frame.contains(2L), s"got $cuts")
+    // a flat animation: frames decode but no cut fires
+    val flat = Multimodal.sceneCutsGif(
+      Multimodal.MediaRow(12L, animatedGif(Seq(80, 80, 80, 80)), "s")).get
+    assert(flat.n_frames == 4L && flat.n_cuts == 0L && flat.first_cut_frame.isEmpty)
+    // the query-level router: GIF payloads take the real path, and the
+    // stub would have seen byte-frames of the FILE, not decoded frames
+    val viaQuery = Multimodal.sceneCutsGif(row).get
+    val viaStub = Multimodal.sceneCutStub(row)
+    assert(viaQuery.n_frames != viaStub.n_frames,
+      "fixture too small to distinguish real decode from the stub")
+    // undecodable fallback untouched: text bytes still stub
+    val txt = Multimodal.MediaRow(13L, "definitely not a gif".getBytes, "s")
+    assert(Multimodal.sceneCutsGif(txt).isEmpty)
+    // truncated GIF bytes: magic matches, decode fails -> stub fallback
+    assert(Multimodal.sceneCutsGif(
+      Multimodal.MediaRow(14L, gif.take(20), "s")).isEmpty)
+  }
+
+  test("animated GIF: frame sampling keeps every 4th REAL frame, checksum exact") {
+    // 6 real frames -> frames 0 and 4 kept (SampleEvery = 4)
+    val levels = Seq(10, 20, 30, 40, 50, 60)
+    val gif = animatedGif(levels)
+    val sf = Multimodal.frameSampleGif(Multimodal.MediaRow(21L, gif, "s")).get
+    assert(sf.n_frames == 6L && sf.n_sampled == 2L, s"got $sf")
+    // expected checksum: md5 over the kept frames' row-major luminance
+    // bytes (uniform gray v -> lum v at every pixel, 8x6 = 48 bytes)
+    val expected = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      Array.fill(48)(10.toByte) ++ Array.fill(48)(50.toByte))
+    assert(sf.checksum == expected, s"checksum mismatch: $sf")
+    // non-GIF payloads keep the stub path
+    assert(Multimodal.frameSampleGif(
+      Multimodal.MediaRow(22L, "not a gif".getBytes, "s")).isEmpty)
+  }
+
   test("scene cuts: cross-multiplied threshold fires on a mean jump, not drift") {
-    import graft.ext.Multimodal
+    import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
     // frame0 = 64×'a' (mean 97), frame1 = 64×'z' (mean 122): jump 25 > 8
     // -> cut; frame2 = 10×'a' tail vs frame1: jump 25 again -> 2nd cut
     val jumpy = Multimodal.sceneCutStub(Multimodal.MediaRow(1L,
