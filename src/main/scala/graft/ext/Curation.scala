@@ -397,6 +397,63 @@ object Curation {
       .orderBy("col_name")
   }
 
+  private val KmvK = 256
+  /** KMV certification envelope: rsd ≈ 1/√(k−2) ≈ 0.063 at k = 256;
+    * 3σ ≈ 0.19 — pinned at 0.2. */
+  private val KmvBound = 0.2
+
+  /** Sketch-only table profiler — the ACTUAL 100 TB form of
+    * [[profileColumns]]: identical unpivot + per-column aggregate,
+    * with the exact `countDistinct` (an Expand + full-width
+    * distinct-mode shuffle — the one shuffle-heavy term in the
+    * certified profiler) replaced by the deterministic
+    * [[graft.functions.KmvSketch]] K-Minimum-Values sketch. The whole
+    * profile is ONE map-combine pass over ONE scan (`PlanSpec`
+    * asserts no Expand, one scan): the shuffle carries 11 groups ×
+    * (≤ 256 longs + a handful of scalars).
+    *
+    * Unlike `approx_count_distinct`'s HLL++ (engine-internal
+    * registers — its estimate can never hash-match an oracle), the
+    * KMV estimate is a pure function of keyed md5 hashes, so DuckDB
+    * replays the identical k smallest distinct hashes and lands on
+    * the BIT-IDENTICAL estimate — the estimate itself ships in the
+    * output. Certification inverts the repo's in-plan pattern: the
+    * ORACLE computes the exact distinct count and emits
+    * `sketch_ok = |est − exact| ≤ 0.2·exact` where the Spark side
+    * claims TRUE — a sketch drifting out of its envelope fails the
+    * driver gate itself, with no exact aggregate in the Spark plan.
+    * Hash canonicalization: every coordinate renders through
+    * DECIMAL(18,4) (the corpus values carry ≤ 2 decimal places, so
+    * the cast is exact and both engines print the identical scaled
+    * string). */
+  def profileColumnsSketch(s: SparkSession, dir: String): DataFrame = {
+    val kvs = ProfileCols.map { case (n, v, _) =>
+      struct(lit(n).as("col_name"), v.as("v")) }
+    val hv = conv(substring(md5(concat(lit("kmv:"),
+      col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        .cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val estD = lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble) /
+      element_at(col("kmv"), KmvK).cast("double")
+    Tables.lineitem(s, dir)
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        r4(min(col("v"))).as("min_v"),
+        r4(max(col("v"))).as("max_v"),
+        graft.functions.KmvSketch.kmvSketch(
+          when(col("v").isNotNull, hv), KmvK).as("kmv"))
+      .withColumn("ndv_est",
+        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("long"))
+          .otherwise(round(estD, 0).cast("long")))
+      .withColumn("sketch_ok", lit(true))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv_est"),
+        col("min_v"), col("max_v"), col("sketch_ok"))
+      .orderBy("col_name")
+  }
+
   private val DsirBuckets = 512     // hashed-feature dimensionality
   private val DsirTarget  = "src0"  // the "high-quality domain" proxy
   private val DsirKeep    = 100     // resample size
@@ -554,6 +611,7 @@ object Curation {
     "pack_epoch_shuffle"     -> (epochShuffle _),
     "pipeline_dsir_sample"   -> (dsirSample _),
     "pipeline_profile"       -> (profileColumns _),
+    "pipeline_profile_sketch" -> (profileColumnsSketch _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
     "sample_source_mixture"  -> (sourceMixture _),
     "sample_weighted"        -> (weightedSample _),
@@ -641,6 +699,34 @@ object Curation {
            |  round(min(v), 4) AS min_v, round(max(v), 4) AS max_v,
            |  TRUE AS sketch_ok
            |FROM (SELECT $sql AS v FROM lineitem)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // KMV replay: identical keyed-md5 hashes, identical k smallest
+    // distinct values, identical estimate arithmetic — the estimate
+    // hash-matches. sketch_ok does the REAL certification here (exact
+    // distinct count vs the envelope); the Spark side claims TRUE, so
+    // a sketch outside its envelope fails the driver gate
+    "pipeline_profile_sketch" ->
+      ProfileCols.map { case (n, _, sql) =>
+        s"""SELECT * FROM (WITH v AS (SELECT $sql AS v FROM lineitem),
+           |h AS (SELECT DISTINCT CAST(concat('0x', substr(md5('kmv:' ||
+           |    CAST(CAST(v AS DECIMAL(18,4)) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           |  FROM v WHERE v IS NOT NULL),
+           |km AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+           |est AS (SELECT CASE WHEN (SELECT count(*) FROM h) < $KmvK
+           |    THEN (SELECT count(*) FROM h)
+           |    ELSE CAST(round(${(KmvK - 1).toDouble} * ${(1L << 60).toDouble} /
+           |      CAST((SELECT h FROM km WHERE rn = $KmvK) AS DOUBLE), 0) AS BIGINT)
+           |  END AS ndv_est),
+           |ex AS (SELECT count(DISTINCT v) AS exact FROM v WHERE v IS NOT NULL)
+           |SELECT '$n' AS col_name,
+           |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_rows,
+           |  CAST((SELECT count(*) - count(v) FROM v) AS BIGINT) AS n_null,
+           |  (SELECT CAST(ndv_est AS BIGINT) FROM est) AS ndv_est,
+           |  (SELECT round(min(v), 4) FROM v) AS min_v,
+           |  (SELECT round(max(v), 4) FROM v) AS max_v,
+           |  (SELECT abs(est.ndv_est - ex.exact) <= $KmvBound * ex.exact
+           |     FROM est, ex) AS sketch_ok)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // same reachability CTE as dedup_clusters; the split coordinate
     // is the identical md5-60 hash of the rep, mod 1000

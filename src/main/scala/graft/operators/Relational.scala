@@ -763,6 +763,64 @@ object Relational {
       .limit(BasketTopK)
   }
 
+  private val StockPattern = "small%"   // Q20's p_name LIKE predicate
+  private val StockNation  = "NATION_7"
+  private val StockYearLo  = "1996-01-01"
+  private val StockYearHi  = "1997-01-01"
+
+  /** Suppliers holding excess stock of pattern-matched parts — the
+    * TPC-H Q20 nested-semi shape, the last classic correlated pattern
+    * of the `rel_*` decorrelation family: a supplier qualifies when
+    * SOME of its (part, supplier) positions has availability above
+    * half that pair's one-year lineitem demand (`availqty >
+    * 0.5·demand`, i.e. a scalar subquery correlated on TWO keys under
+    * two nested IN-subqueries). This schema has no partsupp table, so
+    * the stock ledger derives deterministically from the observed
+    * (part, supplier) pairs (`availqty = 50 + (p·31 + s·17) mod 200`
+    * — pure integer arithmetic both engines replay).
+    *
+    * Decorrelation, scale-first: the per-pair scalar subquery becomes
+    * ONE pre-reduced demand aggregate (exact DECIMAL quantity sums)
+    * joined SHUFFLE-HASH back to the ledger on the (part, supplier)
+    * key — never per-pair re-scans, never a broadcast of the
+    * fact-derived side; the `p_name` pattern prunes BOTH fact reads
+    * via a broadcast LEFT SEMI before either aggregate; the
+    * qualifying pairs reach `supplier` as a LEFT SEMI probe (hinted
+    * shuffle-hash — qualifying pairs are fact-derived); the nation
+    * dimension broadcasts. Pairs with no in-window demand are
+    * excluded, exactly as Q20's NULL-comparing scalar subquery
+    * excludes them. The comparison runs as `2·availqty > demand` on
+    * exact types — no 0.5 float on either engine. */
+  def excessStock(s: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(s, dir)
+      .filter(col("p_name").like(StockPattern))
+      .select("p_partkey")
+    val sliced = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+    val ledger = sliced
+      .select("l_partkey", "l_suppkey").distinct()
+      .withColumn("availqty",
+        lit(50L) + (col("l_partkey") * 31 + col("l_suppkey") * 17) % 200)
+    val demand = sliced
+      .filter(col("l_shipdate") >= lit(StockYearLo).cast("timestamp") &&
+        col("l_shipdate") < lit(StockYearHi).cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(dsumExact(col("l_quantity")).as("demand"))
+    val qualifying = ledger
+      .join(demand.hint("shuffle_hash"), Seq("l_partkey", "l_suppkey"))
+      .filter(lit(2) * col("availqty") > col("demand"))
+      .select("l_suppkey")
+    Tables.supplier(s, dir)
+      .join(qualifying.hint("shuffle_hash"),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === StockNation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), r4(col("s_acctbal")).as("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   /** Exact powers of ten (longs, so the double conversion is exact —
     * 10^15 < 2^53) shared by the Spark and SQL leading-digit
     * cascades. */
@@ -837,7 +895,9 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     "rel_benford_prices" -> (benfordPrices _),
+    "rel_excess_stock" -> (excessStock _),
     "rel_market_basket" -> (marketBasket _),
     "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
@@ -870,6 +930,28 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle keeps Q20's nested IN-subquery + correlated scalar
+    // form over the same deterministic ledger, proving the
+    // decorrelated rewrite
+    "rel_excess_stock" ->
+      s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE '$StockPattern'),
+         |cat AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+         |ledger AS (SELECT l_partkey, l_suppkey,
+         |    50 + (l_partkey * 31 + l_suppkey * 17) % 200 AS availqty
+         |  FROM cat),
+         |q AS (SELECT DISTINCT l_suppkey FROM ledger g
+         |  WHERE 2 * availqty > (
+         |    SELECT SUM(CAST(l_quantity AS DECIMAL(25,8))) FROM lineitem l
+         |    WHERE l.l_partkey = g.l_partkey AND l.l_suppkey = g.l_suppkey
+         |      AND l.l_shipdate >= TIMESTAMP '$StockYearLo'
+         |      AND l.l_shipdate < TIMESTAMP '$StockYearHi'))
+         |SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = '$StockNation'
+         |  AND s_suppkey IN (SELECT l_suppkey FROM q)
+         |ORDER BY s_name""".stripMargin,
+
     // leading digit derives arithmetically (no double->string render);
     // the 9 expected shares round to 8 dp before the chi2 arithmetic
     "rel_benford_prices" ->

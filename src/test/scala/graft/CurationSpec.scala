@@ -382,4 +382,40 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == want,
       s"first diff: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
   }
+
+  test("KMV sketch: k smallest distinct hashes, mergeable, exact below k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.KmvSketch.kmvSketch
+    // 1000 values hashed onto 0..999 with duplicates (each value
+    // twice): the k=16 sketch must hold the 16 smallest DISTINCT
+    val df = (0L until 1000L).flatMap(v => Seq(v, v)).toDF("h")
+    val got = df.agg(kmvSketch(col("h"), 16)).head().getSeq[Long](0)
+    assert(got == (0L until 16L), s"got $got")
+    // below k: all distinct values, sorted (the exact regime)
+    val small = (0L until 5L).toDF("h")
+      .agg(kmvSketch(col("h"), 16)).head().getSeq[Long](0)
+    assert(small == (0L until 5L))
+    // merge across partitions == single-partition result
+    val onePart = df.coalesce(1).agg(kmvSketch(col("h"), 16))
+      .head().getSeq[Long](0)
+    val manyPart = df.repartition(13).agg(kmvSketch(col("h"), 16))
+      .head().getSeq[Long](0)
+    assert(onePart == manyPart, "KMV merge is not partition-invariant")
+    // nulls ignored
+    val withNulls = df.select(when(col("h") < 100, col("h")).as("h"))
+      .agg(kmvSketch(col("h"), 16)).head().getSeq[Long](0)
+    assert(withNulls == (0L until 16L))
+  }
+
+  test("KMV estimate lands inside its certification envelope on the corpus") {
+    // the declared query's own certification runs oracle-side; this
+    // pins the same property in-JVM so a regression fails fast
+    val rows = graft.ext.Curation.profileColumnsSketch(spark, sf0001).collect()
+    assert(rows.length == 11)
+    rows.foreach { r =>
+      assert(r.getBoolean(6), s"sketch_ok must be claimed TRUE: $r")
+      assert(r.getLong(3) >= 1L, s"degenerate estimate: $r")
+    }
+  }
 }

@@ -133,6 +133,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"verify precedes the cheap cuts in the embedding join condition:\n$e")
   }
 
+  test("excess stock (Q20 shape): SHJ demand join, LEFT SEMI probe, broadcast part prune") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val plan = executed(operators.Relational.excessStock(spark, sf0001))
+    val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }
+    // the pre-reduced demand aggregate and the qualifying-pair probe
+    // are fact-derived: both must join shuffle-hash, and the supplier
+    // probe must be the LEFT SEMI (no pair multiplicity reaches it)
+    assert(shj.size >= 2, s"fact-derived joins lost shuffle-hash:\n$plan")
+    assert(shj.exists(_.joinType.sql == "LEFT SEMI"),
+      s"supplier probe lost its LEFT SEMI shape:\n$plan")
+    // the p_name pattern prunes the fact scans via broadcast semi
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.joinType.sql == "LEFT SEMI"),
+      s"part-pattern prune lost its broadcast semi:\n$plan")
+  }
+
+  test("sketch profiler: one scan, one map-combine pass, no Expand") {
+    // pipeline_profile's exact countDistinct plans an Expand + a
+    // full-width distinct-mode shuffle; the sketch form must not —
+    // that is its entire reason to exist at 100 TB
+    val plan = executed(ext.Curation.profileColumnsSketch(spark, sf0001))
+    val s = plan.toString
+    assert(!s.contains("Expand"),
+      s"sketch profiler regressed to a distinct-mode aggregate:\n$s")
+    assert(s.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"sketch profiler reads more than one scan:\n$s")
+    assert(s.contains("kmv_sketch") && s.contains("ObjectHashAggregate"),
+      s"KMV aggregate lost its one-pass ObjectHashAggregate shape:\n$s")
+  }
+
   test("vocab coverage: no Window anywhere, thresholds via TakeOrderedAndProject") {
     // a global row_number over the vocabulary would sort billions of
     // types (Heaps' law) on ONE reducer at 100 TB; the rewrite keeps

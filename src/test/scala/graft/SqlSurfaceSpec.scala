@@ -97,6 +97,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_soft_weights" -> "recursive CTE reachability + hex-string casts",
     "sample_poisson_bootstrap" -> "range(n) bb(b) alias + hex-string CAST to BIGINT",
     "events_bot_scores" -> "epoch_us() + HUGEINT exact square sums",
+    "pipeline_profile_sketch" -> "hex-string CAST + bare VARCHAR cast + scalar-subquery CTE blocks",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
