@@ -429,22 +429,25 @@ object Curation {
   def profileColumnsSketch(s: SparkSession, dir: String): DataFrame = {
     val kvs = ProfileCols.map { case (n, v, _) =>
       struct(lit(n).as("col_name"), v.as("v")) }
-    val hv = conv(substring(md5(concat(lit("kmv:"),
-      col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4))
-        .cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val cs = col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      .cast("string")
     val estD = lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble) /
       element_at(col("kmv"), KmvK).cast("double")
     Tables.lineitem(s, dir)
       .select(explode(array(kvs: _*)).as("kv"))
+      // the aggregate reads the canonical STRING and hashes it
+      // internally with a reused digest (KmvSketch doc) — the
+      // rendering runs in the codegen'd unpivot projection, the
+      // md5 never pays per-row MessageDigest/hex/conv allocations
       .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .withColumn("cs", when(col("v").isNotNull, cs))
       .groupBy("col_name")
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
         r4(min(col("v"))).as("min_v"),
         r4(max(col("v"))).as("max_v"),
-        graft.functions.KmvSketch.kmvSketch(
-          when(col("v").isNotNull, hv), KmvK).as("kmv"))
+        graft.functions.KmvSketch.kmvSketch(col("cs"), KmvK).as("kmv"))
       .withColumn("ndv_est",
         when(size(col("kmv")) < KmvK, size(col("kmv")).cast("long"))
           .otherwise(round(estD, 0).cast("long")))

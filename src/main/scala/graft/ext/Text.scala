@@ -653,7 +653,88 @@ object Text {
       .limit(PmiTopK)
   }
 
+  private val ChunkTok = 8       // tokens per paragraph-ish chunk
+  private val BoilerMinDocs = 3  // chunk present in ≥ docs ⇒ boilerplate
+
+  /** CCNet-style boilerplate detection (Wenzek et al. 2020 dedup
+    * paragraphs by hash across shards; Dodge et al. 2021 document the
+    * boilerplate mass in C4): a fixed-width token chunk standing in
+    * for a paragraph (this corpus has no newlines) is BOILERPLATE
+    * when it recurs verbatim in ≥ [[BoilerMinDocs]] distinct
+    * documents — navigation bars, cookie banners, license headers.
+    * Reported per source: chunk volume, boilerplate share, and
+    * distinct boilerplate chunks — the curation signal that
+    * source-level quality scores miss (a source can be high-quality
+    * per doc and still 40% repeated chrome).
+    *
+    * Shape: chunking is map-only (`transform` over token slices, full
+    * chunks only); the document-frequency aggregate is chunk-
+    * vocabulary-sized with a map-side (doc, chunk) pre-distinct; the
+    * chunk-frequency table re-joins the chunk stream SHUFFLE-HASH
+    * (corpus-derived — never broadcast). No window anywhere. */
+  def boilerplateChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = (size(toks) / ChunkTok).cast("int")
+    val chunkArr = when(size(toks) >= ChunkTok,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * ChunkTok + 1, lit(ChunkTok)))))
+      .otherwise(array().cast("array<string>"))
+    val inst = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(chunkArr).as("chunk"))
+    val dfreq = inst.select("doc_id", "chunk").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df_docs"))
+    inst.join(dfreq.hint("shuffle_hash"), Seq("chunk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df_docs") >= BoilerMinDocs, 1L).otherwise(0L))
+          .as("n_boiler_chunks"),
+        countDistinct(when(col("df_docs") >= BoilerMinDocs, col("chunk")))
+          .as("distinct_boiler_chunks"))
+      .withColumn("boiler_share",
+        graft.functions.Num.r4(col("n_boiler_chunks") / col("n_chunks")))
+      .orderBy("source")
+  }
+
+  private val PiiEmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PiiPhoneRe = "555-[0-9]{4}"
+
+  /** PII detection + redaction — the privacy-scrub stage every
+    * training-data pipeline runs before tokenization. The corpus is
+    * synthetic word-salad with no PII by construction, so the fixture
+    * PLANTS it deterministically (the `payroll_gap_fill` pattern):
+    * every 5th doc gains a derived email, every 7th a derived phone
+    * number — the oracle replays the identical injection, so the
+    * detector's counts AND the redacted text (as an md5) are
+    * hash-checked, not rows-only. Detection/redaction is regex over
+    * character classes both engines' regex dialects treat
+    * identically; the whole operator is map-only — scan, inject,
+    * count, replace, hash — zero shuffle at any corpus size (the
+    * output sort is the only exchange). */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val t0 = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(col("text"))
+    val injected = base.select(col("doc_id"), t0.as("t0"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("t0"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("t0")).as("t"))
+    injected.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(PiiEmailRe)).as("n_emails"),
+        regexp_count(col("t"), lit(PiiPhoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), lit(PiiEmailRe),
+          lit("[EMAIL]")), lit(PiiPhoneRe), lit("[PHONE]")).cast("binary"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate_chunks" -> (boilerplateChunks _),
+    "text_pii_scrub" -> (piiScrub _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_lm" -> (bigramLm _),
     "text_keyword_search" -> (keywordSearch _),
@@ -724,6 +805,52 @@ object Text {
     // identical smoothing tree and the shared 8-dp-rounded
     // exact-decimal log-prob discipline, one order up from
     // text_lm_score; bigrams zip positionally like text_pmi_bigrams
+    // full 8-token chunks only (the tail never chunks); df counts
+    // distinct docs per chunk; shares are exact integer ratios
+    "text_boilerplate_chunks" ->
+      s"""WITH d AS (SELECT doc_id, source, $tokSql AS tv FROM documents),
+         |ix AS (SELECT doc_id, source, tv,
+         |    unnest(range(0, len(tv) // $ChunkTok)) AS i FROM d),
+         |inst AS (SELECT doc_id, source,
+         |    array_to_string(tv[i * $ChunkTok + 1 : i * $ChunkTok + $ChunkTok],
+         |      ' ') AS chunk
+         |  FROM ix),
+         |dfq AS (SELECT chunk, count(*) AS df_docs
+         |  FROM (SELECT DISTINCT doc_id, chunk FROM inst) GROUP BY 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN df_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boiler_chunks,
+         |  CAST(count(DISTINCT CASE WHEN df_docs >= $BoilerMinDocs
+         |    THEN inst.chunk END) AS BIGINT) AS distinct_boiler_chunks,
+         |  round(sum(CASE WHEN df_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS boiler_share
+         |FROM inst JOIN dfq USING (chunk)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical deterministic injection, identical character-class
+    // regexes (both dialects agree on this class), md5 of the
+    // redacted bytes proves the replacement itself
+    "text_pii_scrub" ->
+      s"""WITH i1 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact user' || doc_id || '@example.com'
+         |      ELSE text END AS t0
+         |  FROM documents),
+         |i2 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN t0 || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+         |        4, '0')
+         |      ELSE t0 END AS t
+         |  FROM i1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS INTEGER)
+         |    AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t, '$PiiEmailRe', '[EMAIL]', 'g'),
+         |    '$PiiPhoneRe', '[PHONE]', 'g')) AS redacted_md5
+         |FROM i2 ORDER BY doc_id""".stripMargin,
+
     "text_bigram_lm" ->
       s"""WITH d AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |bg AS (SELECT doc_id,

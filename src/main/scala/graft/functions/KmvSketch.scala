@@ -43,10 +43,21 @@ case class KmvSketch(
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with ImplicitCastInputTypes with UnaryLike[Expression] {
 
-  override def inputTypes = Seq(LongType)
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
+
+  // The aggregate hashes its STRING input itself with a REUSED digest
+  // (the [[MinHashSketch]] discipline): routing the hash through the
+  // `md5()` expression instead costs a fresh MessageDigest + hex
+  // string + base-16 conv per row — profiled ~4× this whole
+  // aggregate's runtime on an 11-column unpivot. `h` is the top 60
+  // bits of md5("kmv:" ++ value) — identical to DuckDB's
+  // `CAST(concat('0x', substr(md5('kmv:' || v), 1, 15)) AS BIGINT)`.
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+  private val prefix = "kmv:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -61,7 +72,17 @@ case class KmvSketch(
   override def update(buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[Long])
+    if (v != null) {
+      md.reset()
+      md.update(prefix)
+      md.update(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      val d = md.digest()
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      add(buf, h)
+    }
     buf
   }
 
@@ -103,9 +124,10 @@ case class KmvSketch(
 }
 
 object KmvSketch {
-  /** Column-API entry point: aggregate a 60-bit hash column into the
-    * sorted array of its `k` smallest distinct values. */
-  def kmvSketch(hash: Column, k: Int): Column =
+  /** Column-API entry point: aggregate a canonical-string value
+    * column into the sorted array of the `k` smallest distinct
+    * md5-60 hashes of ("kmv:" + value). */
+  def kmvSketch(value: Column, k: Int): Column =
     GraftShims.column(
-      KmvSketch(GraftShims.expression(hash), k).toAggregateExpression())
+      KmvSketch(GraftShims.expression(value), k).toAggregateExpression())
 }

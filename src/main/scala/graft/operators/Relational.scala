@@ -763,6 +763,58 @@ object Relational {
       .limit(BasketTopK)
   }
 
+  private val JcmsD = 4    // CMS depth (independent hash rows)
+  private val JcmsW = 512  // CMS width (buckets per row)
+
+  /** Sketch-based equi-join cardinality estimation — the
+    * cost-based-optimizer statistic next to the profiler: estimate
+    * `|lineitem ⋈ orders|` on the order key WITHOUT running the join,
+    * via the count-min inner product (Cormode & Muthukrishnan 2005:
+    * for per-key frequency vectors a, b, `min_d Σ_w cmsA[d][w] ·
+    * cmsB[d][w]` never underestimates `Σ_k a_k·b_k` and overshoots by
+    * at most (e/W)·|A|·|B| with high probability). Each side's sketch
+    * is ONE pre-combined aggregate to [[JcmsD]]×[[JcmsW]] counters —
+    * mergeable, map-side-combined, kilobytes at any corpus size — so
+    * a planner can size every candidate join order from sketches
+    * built in one pass per table.
+    *
+    * Everything is keyed-md5 + integer arithmetic: both engines land
+    * on the identical sketch, estimate, and certification booleans —
+    * the output carries the exact join count (computed here as the
+    * certification term, dropped at 100 TB exactly like the certified
+    * profiler's exact ndv) and `within_bound`, with the upper bound
+    * stated in pure integers (`3·|A|·|B| / W` ≥ the e/W bound). */
+  def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val hash60 = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    def sketch(df: DataFrame): DataFrame =
+      df.select(explode(array((0 until JcmsD).map(d =>
+          struct(lit(d).as("d"),
+            pmod(hash60(concat(lit(s"jcms:$d:"), col("k").cast("string"))),
+              lit(JcmsW)).as("b"))): _*)).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    val or = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    val ip = sketch(li).toDF("d", "b", "ca")
+      .join(sketch(or).toDF("d", "b", "cb"), Seq("d", "b"))
+      .groupBy("d").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("est_join_rows"))
+    val exact = li.join(or.hint("shuffle_hash"), Seq("k"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    li.agg(count(lit(1)).as("n_left"))
+      .crossJoin(or.agg(count(lit(1)).as("n_right")))
+      .crossJoin(ip).crossJoin(exact)
+      .select(col("n_left"), col("n_right"), col("exact_join_rows"),
+        col("est_join_rows"),
+        // stated multiplied-through so the arithmetic stays integer
+        // on both engines (Spark's `/` on longs is double division)
+        (col("exact_join_rows") <= col("est_join_rows") &&
+          (col("est_join_rows") - col("exact_join_rows")) * lit(JcmsW.toLong) <=
+            lit(3L) * col("n_left") * col("n_right"))
+          .as("within_bound"))
+  }
+
   private val StockPattern = "small%"   // Q20's p_name LIKE predicate
   private val StockNation  = "NATION_7"
   private val StockYearLo  = "1996-01-01"
@@ -898,6 +950,7 @@ object Relational {
 
     "rel_benford_prices" -> (benfordPrices _),
     "rel_excess_stock" -> (excessStock _),
+    "rel_join_size_est" -> (joinSizeEst _),
     "rel_market_basket" -> (marketBasket _),
     "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
@@ -930,6 +983,32 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical keyed-md5 sketches, integer inner product, integer
+    // bound: both engines compute the same estimate and booleans
+    "rel_join_size_est" ->
+      s"""WITH la AS (SELECT l_orderkey AS k FROM lineitem),
+         |ob AS (SELECT o_orderkey AS k FROM orders),
+         |sa AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
+         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS ca
+         |  FROM la CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
+         |sb AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
+         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS cb
+         |  FROM ob CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
+         |ipd AS (SELECT sa.d, sum(ca * cb) AS ip FROM sa JOIN sb USING (d, b)
+         |  GROUP BY 1),
+         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ipd),
+         |ex AS (SELECT count(*) AS exact_join_rows FROM la JOIN ob USING (k)),
+         |n AS (SELECT (SELECT count(*) FROM la) AS n_left,
+         |    (SELECT count(*) FROM ob) AS n_right)
+         |SELECT CAST(n_left AS BIGINT) AS n_left,
+         |  CAST(n_right AS BIGINT) AS n_right,
+         |  CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+         |  est_join_rows,
+         |  (exact_join_rows <= est_join_rows AND
+         |   (est_join_rows - exact_join_rows) * $JcmsW <= 3 * n_left * n_right)
+         |    AS within_bound
+         |FROM n, est, ex""".stripMargin,
+
     // the oracle keeps Q20's nested IN-subquery + correlated scalar
     // form over the same deterministic ledger, proving the
     // decorrelated rewrite

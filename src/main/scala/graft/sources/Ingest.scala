@@ -596,6 +596,67 @@ object Ingest {
       .orderBy("event_type", "day")
   }
 
+  /** Delta split for the incremental-JOIN refresh: late-arriving
+    * orders (by date cutoff) and late-arriving customers (every 10th
+    * key models a dimension correction batch). */
+  private val IncrJoinCutoff = "1997-01-01"
+
+  /** Incremental view maintenance for a materialized JOIN — the
+    * second classic IVM shape next to [[incrementalAgg]]: with
+    * `A_new = A ∪ ΔA`, `B_new = B ∪ ΔB`,
+    * `A_new ⋈ B_new = (A ⋈ B) ∪ (ΔA ⋈ B_new) ∪ (A ⋈ ΔB)` — the
+    * standing join materialization absorbs both deltas by joining
+    * ONLY delta-sized streams against the other side, never
+    * re-joining base×base. Scale shape per term: `ΔA ⋈ B_new` hashes
+    * the delta against the full dimension (hinted shuffle-hash — the
+    * dimension is corpus-scale at 100 TB); `A ⋈ ΔB` BROADCASTS the
+    * delta (a correction batch is bounded by construction) so the
+    * base fact never reshuffles for it. The declared query aggregates
+    * the maintained join per market segment through exact decimal
+    * sums; the oracle states the full `A_new ⋈ B_new` recompute —
+    * union-of-terms ≡ one-shot is exactly the disjointness of the
+    * three terms, and `IngestSpec` asserts it row-for-row. */
+  def incrementalJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.Num._
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+    val c = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val aOld  = o.filter(col("o_orderdate") <  lit(IncrJoinCutoff))
+    val aDel  = o.filter(col("o_orderdate") >= lit(IncrJoinCutoff))
+    val bOld  = c.filter(col("c_custkey") % 10 =!= 0)
+    val bDel  = c.filter(col("c_custkey") % 10 === 0)
+    val bNew  = bOld.unionByName(bDel)
+    val joinKey = col("o_custkey") === col("c_custkey")
+    val base = aOld.join(bOld.hint("shuffle_hash"), joinKey)
+    val t1   = aDel.join(bNew.hint("shuffle_hash"), joinKey)
+    val t2   = aOld.join(broadcast(bDel), joinKey)
+    base.unionByName(t1).unionByName(t2)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** One-shot recompute of [[incrementalJoin]]'s maintained view —
+    * `IngestSpec` asserts bit-equality with the delta-maintained
+    * form. */
+  private[graft] def incrementalJoinOneShot(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num._
+    graft.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")).hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Declared compaction query — [[compactSnapshot]] under the oracle
     * gate. Builds a deterministically fragmented snapshot: three
     * appends of the monthly series (split by month-of-year mod 3,
@@ -641,16 +702,27 @@ object Ingest {
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map(
-      "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
+
+    "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_delete_tombstones" -> (deleteTombstones _),
       "ingest_snapshot_diff" -> (snapshotDiffQuery _),
       "ingest_schema_evolution" -> (schemaEvolution _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
       "ingest_incremental_agg" -> (incrementalAgg _),
+      "ingest_incremental_join" -> (incrementalJoin _),
       "ingest_compaction" -> (compactionReport _),
       "ingest_bucketed_join" -> (bucketedColocatedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    // the delta-maintained join must equal the full recompute: the
+    // three terms partition A_new x B_new, so the oracle states the
+    // one-shot join + aggregate
+    "ingest_incremental_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // file counts restated from the data: a year holds one pre-
     // compaction file per distinct month-mod-3 residue (one append
     // each), and compaction leaves 1 file wherever it had > 1

@@ -387,25 +387,35 @@ class CurationSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.KmvSketch.kmvSketch
-    // 1000 values hashed onto 0..999 with duplicates (each value
-    // twice): the k=16 sketch must hold the 16 smallest DISTINCT
-    val df = (0L until 1000L).flatMap(v => Seq(v, v)).toDF("h")
-    val got = df.agg(kmvSketch(col("h"), 16)).head().getSeq[Long](0)
-    assert(got == (0L until 16L), s"got $got")
-    // below k: all distinct values, sorted (the exact regime)
-    val small = (0L until 5L).toDF("h")
-      .agg(kmvSketch(col("h"), 16)).head().getSeq[Long](0)
-    assert(small == (0L until 5L))
+    // independent md5-60 replay of the aggregate's internal hash
+    def h60(v: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kmv:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // 1000 string values, each twice: the k=16 sketch must hold the
+    // 16 smallest DISTINCT hashes of them
+    val vals = (0L until 1000L).map(_.toString)
+    val want = vals.map(h60).distinct.sorted.take(16)
+    val df = vals.flatMap(v => Seq(v, v)).toDF("v")
+    val got = df.agg(kmvSketch(col("v"), 16)).head().getSeq[Long](0)
+    assert(got == want, s"got $got")
+    // below k: ALL distinct hashes, sorted (the exact regime)
+    val small = vals.take(5).toDF("v")
+      .agg(kmvSketch(col("v"), 16)).head().getSeq[Long](0)
+    assert(small == vals.take(5).map(h60).sorted)
     // merge across partitions == single-partition result
-    val onePart = df.coalesce(1).agg(kmvSketch(col("h"), 16))
+    val onePart = df.coalesce(1).agg(kmvSketch(col("v"), 16))
       .head().getSeq[Long](0)
-    val manyPart = df.repartition(13).agg(kmvSketch(col("h"), 16))
+    val manyPart = df.repartition(13).agg(kmvSketch(col("v"), 16))
       .head().getSeq[Long](0)
     assert(onePart == manyPart, "KMV merge is not partition-invariant")
     // nulls ignored
-    val withNulls = df.select(when(col("h") < 100, col("h")).as("h"))
-      .agg(kmvSketch(col("h"), 16)).head().getSeq[Long](0)
-    assert(withNulls == (0L until 16L))
+    val withNulls = df.select(
+        when(col("v").cast("long") < 100, col("v")).as("v"))
+      .agg(kmvSketch(col("v"), 16)).head().getSeq[Long](0)
+    assert(withNulls ==
+      vals.filter(_.toLong < 100).map(h60).distinct.sorted.take(16))
   }
 
   test("KMV estimate lands inside its certification envelope on the corpus") {

@@ -392,4 +392,14 @@ class IngestSpec extends SparkSpec {
       .filter(year(col("month")) === 1996).count()
     assert(pruned.count() == all)
   }
+
+  test("incremental join: delta-maintained view equals the one-shot recompute") {
+    // the three IVM terms partition A_new x B_new — any overlap or
+    // gap (double-counted or dropped delta rows) breaks equality
+    val inc = sources.Ingest.incrementalJoin(spark, sf0001).collect().map(_.toSeq)
+    val one = sources.Ingest.incrementalJoinOneShot(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(inc.length == one.length && inc.sameElements(one),
+      s"delta-maintained != one-shot:\n${inc.toSeq}\nvs\n${one.toSeq}")
+  }
 }

@@ -98,6 +98,9 @@ class SqlSurfaceSpec extends SparkSpec {
     "sample_poisson_bootstrap" -> "range(n) bb(b) alias + hex-string CAST to BIGINT",
     "events_bot_scores" -> "epoch_us() + HUGEINT exact square sums",
     "pipeline_profile_sketch" -> "hex-string CAST + bare VARCHAR cast + scalar-subquery CTE blocks",
+    "rel_join_size_est" -> "range(n) dd(d) alias + hex-string CAST to BIGINT",
+    "text_boilerplate_chunks" -> "string_split_regex + list slicing",
+    "text_pii_scrub" -> "regexp_extract_all + regexp_replace 'g' flag",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
