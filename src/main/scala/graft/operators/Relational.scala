@@ -763,6 +763,68 @@ object Relational {
       .limit(BasketTopK)
   }
 
+  private val IdleSince = "1999-01-01"
+
+  /** Customers with above-average wealth and NO RECENT orders — the
+    * TPC-H Q22 shape, the remaining classic decorrelation pattern: a
+    * GLOBAL scalar aggregate subquery (average positive balance)
+    * feeding a filter, composed with a NOT EXISTS anti-join (no order
+    * since [[IdleSince]] — Q22's "past 7 years" window; this
+    * generator gives every customer SOME order, so plain
+    * no-orders-ever is vacuous), rolled up by nation. Decorrelated
+    * scale-first: the average is a 1-row broadcast off a pre-reduced
+    * exact-decimal aggregate (never a per-row subquery); the NOT
+    * EXISTS becomes a LEFT ANTI join with the date filter pushed into
+    * the fact scan and the fact side hinted shuffle-hash (orders are
+    * corpus-scale — a broadcast build is the at-scale job-killer);
+    * the nation dimension broadcasts. The oracle keeps the faithful
+    * nested scalar-subquery + NOT EXISTS form. */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val rich = cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+    val noOrders = rich.join(
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(IdleSince).cast("timestamp"))
+        .select(col("o_custkey")).hint("shuffle_hash"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    noOrders
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        r4(dsum(col("c_acctbal"))).as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** Revenue-concentration screen — the TPC-H Q11 shape on this
+    * schema: parts whose total revenue exceeds a fixed fraction
+    * (1/1000) of GLOBAL revenue, i.e. a grouped aggregate HAVING a
+    * scalar-subquery threshold — here "part revenue above 1.5× the
+    * MEAN part revenue", a scale-free criterion (Q11's fixed global
+    * fraction degenerates as the part count grows). One pre-reduced
+    * per-part exact-decimal revenue aggregate; the global total AND
+    * part count re-aggregate the SAME partials (decimal addition is
+    * associative — no second fact scan) and broadcast as one row; the
+    * threshold comparison multiplies through
+    * (`2·n_parts·rev > 3·total`) so it stays exact DECIMAL/integer on
+    * both engines — no fraction literal in float. Output ranks by the
+    * rounded value with a key tie-break. */
+  def stockConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(dsumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev"))
+    val total = rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("n_parts"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("rev") * 2 * col("n_parts") > col("total") * 3)
+      .select(col("l_partkey"), r4(col("rev").cast("double")).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
   private val JcmsD = 4    // CMS depth (independent hash rows)
   private val JcmsW = 512  // CMS width (buckets per row)
 
@@ -951,6 +1013,8 @@ object Relational {
     "rel_benford_prices" -> (benfordPrices _),
     "rel_excess_stock" -> (excessStock _),
     "rel_join_size_est" -> (joinSizeEst _),
+    "rel_idle_rich_customers" -> (idleRichCustomers _),
+    "rel_stock_concentration" -> (stockConcentration _),
     "rel_market_basket" -> (marketBasket _),
     "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
@@ -983,6 +1047,33 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // faithful nested form: global scalar subquery + NOT EXISTS
+    "rel_idle_rich_customers" ->
+      s"""SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE), 4)
+        |    AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE)
+        |      / COUNT(c_acctbal)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '$IdleSince')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // grouped HAVING over a scalar-subquery threshold, multiplied
+    // through so the comparison stays exact DECIMAL
+    "rel_stock_concentration" ->
+      """WITH r AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(25,8))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS total, count(*) AS n_parts FROM r)
+        |SELECT l_partkey, round(CAST(rev AS DOUBLE), 4) AS part_value
+        |FROM r CROSS JOIN t
+        |WHERE rev * 2 * n_parts > total * 3
+        |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
+
     // identical keyed-md5 sketches, integer inner product, integer
     // bound: both engines compute the same estimate and booleans
     "rel_join_size_est" ->

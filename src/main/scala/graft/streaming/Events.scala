@@ -914,7 +914,80 @@ object Events {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  private val RateLimitPerDay = 3
+
+  /** Per-user rate limiting — the admission-control / abuse-throttle
+    * pass an event pipeline runs before aggregation: each user may
+    * emit [[RateLimitPerDay]] events per UTC day; later events in the
+    * day (event-time order, event_id tie-break) are THROTTLED. The
+    * declared query reports each user's ledger: events seen, events
+    * throttled, active days — the audit a quota system must produce.
+    *
+    * Batch form: one (user, day)-partitioned `row_number` over the
+    * pre-projected stream — day-bounded partitions, never a global
+    * window. The streaming twin ([[rateLimitStream]]) holds ONE
+    * (current-day, count-in-day) pair per user in
+    * `mapGroupsWithState` — bounded state regardless of history
+    * length, the token-bucket shape — and `EventsStreamSpec` asserts
+    * stream ≡ batch. */
+  def rateLimit(s: SparkSession, dir: String): DataFrame =
+    rateLimitOf(Tables.events(s, dir))
+
+  private[graft] def rateLimitOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rk") > RateLimitPerDay, 1L).otherwise(0L))
+          .as("n_throttled"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy("user_id")
+  }
+
+  case class RateState(day: Long, inDay: Long, total: Long,
+      throttled: Long, days: Long)
+  case class RateRow(user_id: Long, n_events: Long, n_throttled: Long,
+      n_days: Long)
+
+  /** Streaming twin of [[rateLimit]]: per-user token-bucket state —
+    * (current epoch-day, count-in-day, running totals), one tiny
+    * record per user, batch rows sorted by (ts, event_id) first
+    * (the [[funnelStream]] in-order discipline). Update mode re-emits
+    * a user's ledger as it advances. */
+  def rateLimitStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    streamEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0, 0, 0, 0))
+          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
+            case (_, _, _, day) =>
+              if (day != st.day)
+                st = st.copy(day = day, inDay = 0, days = st.days + 1)
+              val throttle = if (st.inDay >= RateLimitPerDay) 1L else 0L
+              st = st.copy(inDay = st.inDay + 1, total = st.total + 1,
+                throttled = st.throttled + throttle)
+          }
+          state.update(st)
+          RateRow(user, st.total, st.throttled, st.days)
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rate_limit" -> (rateLimit _),
     "events_dedup_replay"   -> (dedupReplay _),
     "events_daily_top_types" -> (dailyTopTypes _),
     "events_anomaly_daily"  -> (anomalyDaily _),
@@ -943,6 +1016,18 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // day-partitioned rank with the identical (ts, event_id) order
+    "events_rate_limit" ->
+      s"""WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+         |      ORDER BY ts ASC, event_id ASC) AS rk
+         |  FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN rk > $RateLimitPerDay THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_throttled,
+         |  CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // duplicate deliveries are byte-identical, so keyed dedup on the
     // unique event_id equals full-row DISTINCT — the oracle states
     // the set semantics directly

@@ -243,6 +243,32 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate limiter reproduces the batch ledger per user") {
+    import org.apache.spark.sql.functions._
+    val batch = Events.rateLimit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // some throttling must actually occur or the test proves nothing
+    assert(batch.values.exists(_._2 > 0), "fixture never throttles")
+
+    val q = Events.rateLimitStream(spark, sf0001)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rate_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode: totals only grow — max per user is the final state
+      val fin = spark.table("rate_out").groupBy("user_id")
+        .agg(max("n_events").as("e"), max("n_throttled").as("t"),
+          max("n_days").as("d"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(fin == batch,
+        s"stream != batch, e.g. ${fin.toSeq.diff(batch.toSeq).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join (pair level)") {
     import org.apache.spark.sql.functions._
     // batch truth: raw purchase×view pairs within the 1h lookback
