@@ -391,6 +391,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val SpanGram = 8
+
+  /** Exact duplicated-substring SPANS (Lee et al. 2022,
+    * arXiv:2107.06499: dedup training data by removing exact
+    * substrings ≥ k tokens that recur anywhere in the corpus — the
+    * suffix-array pass of "Deduplicating Training Data Makes Language
+    * Models Better"). Spark-first redesign of the suffix-array scan:
+    * a position is a DUPLICATED ANCHOR when its [[SpanGram]]-token
+    * gram occurs ≥ 2 times corpus-wide; a duplicated substring of
+    * length L produces exactly L − [[SpanGram]] + 1 consecutive
+    * anchors, so maximal anchor runs (the gaps-and-islands pattern,
+    * per-doc) ARE the duplicated spans — reported as (start, end,
+    * covered tokens), the byte ranges a span-level dedup pass would
+    * excise.
+    *
+    * Scale shape: anchor grams via per-doc `lead` windows
+    * (doc-bounded partitions); the gram-frequency aggregate is
+    * gram-vocabulary-sized with map-side combine; the duplicated-gram
+    * table re-joins the anchor stream SHUFFLE-HASH (corpus-derived —
+    * never broadcast); the island merge is a per-doc window. Output
+    * is linear in true duplication mass — never pairwise (the
+    * pair-attribution of WHO shares the span is [[jaccardPairs]]'s
+    * job; a span-level excision doesn't need it). */
+  def duplicateSpans(s: SparkSession, dir: String): DataFrame =
+    duplicateSpansOf(
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism))
+
+  /** [[duplicateSpans]] over an arbitrary (doc_id, text) frame —
+    * `DedupSpec` drives planted fixtures through this directly. */
+  private[graft] def duplicateSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tk = Text.tokens(col("text"))
+    val base = docs
+      .filter(size(tk) >= SpanGram)
+      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
+    val withLeads = (1 until SpanGram).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(wDoc))
+    }
+    val anchors = withLeads.filter(col(s"t${SpanGram - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          col("tok") +: (1 until SpanGram).map(i => col(s"t$i")): _*).as("sh"))
+    val dupSh = anchors.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("sh")
+    val dup = anchors.join(dupSh.hint("shuffle_hash"), Seq("sh"))
+      .select("doc_id", "pos")
+    // islands: consecutive anchor positions share (pos − row_number)
+    dup.withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("sp"), max("pos").as("ep"),
+        count(lit(1)).as("n_anchors"))
+      .select(col("doc_id"), col("sp").cast("long").as("start_pos"),
+        col("ep").cast("long").as("end_pos"), col("n_anchors"),
+        (col("ep") - col("sp") + SpanGram).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "start_pos")
+  }
+
   private val WinnowW = 4
 
   /** Winnowing document fingerprints (Schleimer et al.): hash every
@@ -1266,6 +1325,7 @@ object Dedup {
     "graph_link_prediction" -> (adamicAdar _),
     "graph_clustering" -> (clusteringCoeff _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
+    "dedup_duplicate_spans" -> (duplicateSpans _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -1432,6 +1492,27 @@ object Dedup {
          |SELECT doc_id, round(pr, 6) AS pagerank
          |FROM it$PrIters ORDER BY doc_id""".stripMargin
     },
+
+    // identical 8-gram anchors, corpus frequency >= 2, identical
+    // (pos - row_number) island arithmetic
+    "dedup_duplicate_spans" ->
+      s"""WITH d AS (SELECT doc_id, ${Text.tokSql} AS tv FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(tv) - ${SpanGram - 1}, 0))) AS p, tv
+         |  FROM d),
+         |h AS (SELECT doc_id, p,
+         |    array_to_string(tv[p + 1 : p + $SpanGram], ' ') AS sh FROM g),
+         |f AS (SELECT sh FROM h GROUP BY sh HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, p FROM h JOIN f USING (sh)),
+         |isl AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM dup)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,
+         |  CAST(max(p) AS BIGINT) AS end_pos,
+         |  CAST(count(*) AS BIGINT) AS n_anchors,
+         |  CAST(max(p) - min(p) + $SpanGram AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_pos""".stripMargin,
 
     "dedup_shingle_novelty" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

@@ -366,4 +366,34 @@ class DedupSpec extends SparkSpec {
     val eff = rows.map(_.getAs[Double]("weight")).sum
     assert(math.abs(eff - nClusters) < 0.01 * n)
   }
+
+  test("duplicate spans: planted shared runs surface as exact islands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1 and doc 2 share a 12-token run (planted mid-doc at
+    // different offsets); doc 3 is unique filler; doc 4 repeats its
+    // OWN 8-gram (within-doc duplication counts too, per Lee et al.)
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six seven $run eight nine"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14"),
+      (4L, "rep1 rep2 rep3 rep4 rep5 rep6 rep7 rep8 " +
+        "mid1 mid2 rep1 rep2 rep3 rep4 rep5 rep6 rep7 rep8")
+    ).toDF("doc_id", "text")
+    val spans = graft.ext.Dedup.duplicateSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // a shared 12-token run = 12-8+1 = 5 consecutive anchors
+    val d1 = spans.filter(_._1 == 1L)
+    assert(d1.length == 1 && d1.head == (1L, 3L, 7L, 5L, 12L), s"d1: ${d1.toSeq}")
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 5L && d2.head._5 == 12L,
+      s"d2: ${d2.toSeq}")
+    assert(!spans.exists(_._1 == 3L), "unique doc must produce no span")
+    // doc 4: the repeated 8-gram anchors at positions 0 and 10
+    val d4 = spans.filter(_._1 == 4L)
+    assert(d4.length == 2 && d4.forall(sp => sp._4 == 1L && sp._5 == 8L),
+      s"d4: ${d4.toSeq}")
+  }
 }

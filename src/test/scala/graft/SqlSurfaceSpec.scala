@@ -101,6 +101,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "rel_join_size_est" -> "range(n) dd(d) alias + hex-string CAST to BIGINT",
     "text_boilerplate_chunks" -> "string_split_regex + list slicing",
     "text_pii_scrub" -> "regexp_extract_all + regexp_replace 'g' flag",
+    "dedup_duplicate_spans" -> "string_split_regex + list slicing",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
