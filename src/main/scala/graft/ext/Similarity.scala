@@ -810,7 +810,32 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** ANN quality evaluation — recall@[[K]] of the LSH index against
+    * the exact brute-force baseline, per query: the SLA number every
+    * production vector store monitors continuously on a sampled query
+    * set (an index whose recall silently decays under drift is the
+    * characteristic ANN failure mode; this is the harness that
+    * catches it). Composes two declared pipelines — [[lshAnn]] and
+    * [[bruteForceTopK]] — and scores their overlap; the eval set is
+    * bounded by construction (sampled queries × k), so the join and
+    * aggregate are trivially small at any corpus size: the COST lives
+    * in the two retrieval pipelines, which carry their own scale
+    * shapes. The oracle replays both pipelines in one CTE chain. */
+  def evalAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    val approx = lshAnn(s, dir)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hit"))
+      .withColumn("recall", r4(col("n_hit") / col("n_exact")))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_eval_recall"     -> (evalAnnRecall _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_hard_negatives"  -> (hardNegatives _),
     "sim_topk_lsh_ann"    -> (lshAnn _),
@@ -1012,6 +1037,35 @@ object Similarity {
          |  FROM p2)
          |SELECT query_id, neighbor_id, round(d2, 4) AS d2, rank
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+    // both pipelines replayed in one CTE chain; recall is an exact
+    // integer ratio
+    "sim_eval_recall" ->
+      s"""WITH ${lshOracleCtes(Tables_, SigBits)},
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM n q JOIN n c ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE rank <= $K),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+         |  WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) DESC,
+         |          neighbor_id ASC) AS rank
+         |    FROM cand
+         |    JOIN n qn ON qn.vec_id = query_id
+         |    JOIN n cn ON cn.vec_id = neighbor_id) WHERE rank <= $K)
+         |SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM bf LEFT JOIN ap ON ap.query_id = bf.query_id
+         |  AND ap.neighbor_id = bf.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

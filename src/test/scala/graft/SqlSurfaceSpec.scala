@@ -102,6 +102,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_boilerplate_chunks" -> "string_split_regex + list slicing",
     "text_pii_scrub" -> "regexp_extract_all + regexp_replace 'g' flag",
     "dedup_duplicate_spans" -> "string_split_regex + list slicing",
+    "sim_eval_recall" -> "list_dot_product",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {
