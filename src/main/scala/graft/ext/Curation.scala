@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Num.r4
+import graft.functions.Num.{dsumExact, r4}
 
 /** Corpus-curation operators — the sampling / selection stage of a
   * training-data pipeline over `documents`. The reference has no
@@ -313,6 +313,98 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature exponent is pinned at 1/2 so the up/down-weighting
+    * power is `sqrt` — IEEE-754 requires sqrt correctly rounded, so
+    * the temperature curve is bit-identical on both engines where a
+    * libm `pow(x, 0.3)` would not be. */
+  private val TempBudgetShare = 0.5
+
+  /** Temperature-scaled multilingual mixture (the mC4/XLM-R α-scaling
+    * policy): languages are resampled toward `p_l^α / Σ p^α` with
+    * α = 1/2 — high-resource languages are down-weighted and
+    * low-resource ones up-weighted relative to their natural share,
+    * which is the published fix for English drowning out everything
+    * else in a multilingual pretraining mix ([[sourceMixture]] is the
+    * equal-share policy; this is the smooth interpolation between
+    * natural and uniform). Rates derive from two #languages-sized
+    * aggregates (per-language token totals, then the temperature
+    * normalizer as an exact decimal sum so its value is independent
+    * of reduction order); the ≤ #langs rate table joins back
+    * BROADCAST and the sampling pass is map-side keyed-md5 — zero
+    * data shuffle before the final per-language report, at any
+    * corpus size. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val per = docs.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    val tot = per.agg(sum("lang_tokens").as("corpus_tokens"))
+    // q_l = sqrt(p_l), rounded to 8 dp so the normalizer sums exact
+    // decimals (order-independent) instead of order-sensitive doubles
+    val withQ = per.crossJoin(broadcast(tot))
+      .withColumn("q",
+        round(sqrt(col("lang_tokens").cast("double") /
+          col("corpus_tokens").cast("double")), 8)
+          .cast("decimal(25,8)"))
+    val z = withQ.agg(dsumExact(col("q")).as("z"))
+    val rates = withQ.crossJoin(broadcast(z))
+      .select(col("lang"), col("lang_tokens"),
+        round(
+          least(lit(1.0),
+            col("corpus_tokens").cast("double") * lit(TempBudgetShare) *
+              (col("q").cast("double") / col("z").cast("double")) /
+              col("lang_tokens").cast("double")), 8).as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("u",
+        pmod(docHash60("temp:"), lit(1000000)).cast("double") / lit(1000000.0))
+      .filter(col("u") < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tokens").as("kept_tokens"),
+        r4(min(col("rate"))).as("rate"))
+      .orderBy("lang")
+  }
+
+  /** Power-of-two sequence-length ladder: smallest batch shape is 16
+    * tokens, largest is 512 — anything longer truncates to 512 (the
+    * max-context rule; longer docs are [[contextChunks]]' job). */
+  private val LenBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+
+  /** Sequence-length bucketing — the batch-shaping step between
+    * curation and training: group documents into power-of-two token-
+    * length buckets so each batch pads to its bucket cap instead of
+    * the global max (padding waste is the largest silent FLOP sink in
+    * a fixed-shape training job). Reports per-bucket doc count, real
+    * vs padded token volume, the padding-waste fraction, and how many
+    * docs hit the max-context truncation rule.
+    *
+    * Scale shape: token counting and bucket assignment are per-row
+    * expressions (a `when` cascade over the fixed ladder — no log2
+    * libm call, identical comparisons on both engines); the only
+    * shuffle carries ≤ #buckets pre-combined rows. Map-only but for
+    * the final ladder-sized aggregate, at any corpus size. */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val n = size(Text.tokens(col("text"))).cast("long")
+    val bucket = LenBuckets.reverse.tail
+      .foldLeft(lit(LenBuckets.last): Column) {
+        case (acc, cap) => when(n <= cap, lit(cap)).otherwise(acc)
+      }
+    Tables.documents(s, dir)
+      .select(bucket.as("bucket"), n.as("n_tokens"))
+      .select(col("bucket"),
+        least(col("n_tokens"), col("bucket")).as("kept_tokens"),
+        (col("n_tokens") > LenBuckets.last).cast("int").as("truncated"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept_tokens").as("total_tokens"),
+        sum("truncated").cast("long").as("n_truncated"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_pct",
+        r4(lit(1.0) - col("total_tokens").cast("double") /
+          col("padded_tokens").cast("double")))
+      .orderBy("bucket")
+  }
+
   private val ValPermille = 100 // 10.0% of CLUSTERS go to validation
 
   /** Near-dup-aware train/validation split — the leakage guard of an
@@ -617,6 +709,8 @@ object Curation {
     "pipeline_profile_sketch" -> (profileColumnsSketch _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
     "sample_source_mixture"  -> (sourceMixture _),
+    "sample_temperature_mixture" -> (temperatureMixture _),
+    "pack_length_buckets"    -> (lengthBuckets _),
     "sample_weighted"        -> (weightedSample _),
     "pipeline_decontaminate" -> (decontaminate _),
     "sample_hash_bernoulli" -> (hashBernoulli _),
@@ -762,6 +856,54 @@ object Curation {
          |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
          |  round(min(rate), 4) AS rate
          |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // α = 1/2 so the temperature power is IEEE-exact sqrt; the
+    // normalizer Z sums 8-dp decimals (order-independent) and the
+    // rate re-derives through the identical double tree
+    "sample_temperature_mixture" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    CAST(len(${Text.tokSql}) AS BIGINT) AS n_tokens FROM documents),
+         |per AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY 1),
+         |tot AS (SELECT sum(lang_tokens) AS corpus_tokens FROM per),
+         |q AS (SELECT lang, lang_tokens, corpus_tokens,
+         |    CAST(round(sqrt(CAST(lang_tokens AS DOUBLE)
+         |      / CAST(corpus_tokens AS DOUBLE)), 8) AS DECIMAL(25,8)) AS q
+         |  FROM per CROSS JOIN tot),
+         |z AS (SELECT SUM(q) AS z FROM q),
+         |r AS (SELECT lang,
+         |    round(least(CAST(1.0 AS DOUBLE),
+         |      CAST(corpus_tokens AS DOUBLE) * $TempBudgetShare *
+         |        (CAST(q AS DOUBLE) / CAST(z AS DOUBLE)) /
+         |        CAST(lang_tokens AS DOUBLE)), 8) AS rate
+         |  FROM q CROSS JOIN z),
+         |sel AS (SELECT d.lang, d.n_tokens, rate
+         |  FROM d JOIN r USING (lang)
+         |  WHERE CAST(${docHash60Sql("temp:")} % 1000000 AS DOUBLE)
+         |    / 1000000.0 < rate)
+         |SELECT lang, count(*) AS n_docs_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+         |  round(min(rate), 4) AS rate
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the CASE ladder is generated from the same LenBuckets constants
+    // the Spark cascade embeds, so the two sides cannot drift
+    "pack_length_buckets" -> {
+      val ladder = LenBuckets.init
+        .map(c => s"WHEN n <= $c THEN $c")
+        .mkString("\n         |      ").stripMargin
+      s"""WITH d AS (SELECT CAST(len(${Text.tokSql}) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (SELECT n, CASE $ladder
+         |      ELSE ${LenBuckets.last} END AS bucket FROM d)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(sum(least(n, bucket)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN n > ${LenBuckets.last} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_truncated,
+         |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+         |  round(1.0 - CAST(sum(least(n, bucket)) AS DOUBLE)
+         |    / CAST(count(*) * bucket AS DOUBLE), 4) AS waste_pct
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     // identical expression tree: cast-to-double BEFORE +1, key
     // rounded to 6 decimals before ranking, doc_id tie-break

@@ -834,7 +834,59 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Projected dimensionality for [[randomProjection]]. */
+  private val RpDims = 16
+
+  /** Johnson–Lindenstrauss projection matrix: [[RpDims]] × [[Dim]]
+    * Rademacher ±1 rows seeded from `md5("rp:j:i")` — the hyperplane
+    * discipline, reused (±1 entries keep every multiply exact, so
+    * the projection is an index-order double fold both engines
+    * reproduce bit-identically; the conventional 1/√k output scaling
+    * is an irrational constant that would break that, so it stays
+    * un-applied — distance RATIOS, which is all JL promises, are
+    * unaffected). */
+  private[ext] val RpMatrix: Seq[Seq[Double]] =
+    (0 until RpDims).map { j =>
+      (0 until Dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction — the cheap pre-ANN step of an embedding pipeline:
+    * project 64-dim vectors onto [[RpDims]] fixed Rademacher
+    * directions so downstream candidate generation pays 4× less
+    * per-vector compute and memory while pairwise distances survive
+    * within JL distortion (asserted on fixtures in SimilaritySpec).
+    *
+    * Scale shape: the projection matrix is a compile-time constant
+    * embedded in the plan (no join, no lookup — each output
+    * coordinate is one codegen'd [[graft.functions.DotProduct]]
+    * against a literal row), so projecting is MAP-ONLY at any corpus
+    * size; the query then reports per-dimension corpus moments, whose
+    * groupBy carries [[RpDims]] pre-combined rows per map task. The
+    * near-zero means and ≈‖x‖²-scale second moments are the
+    * projection-health diagnostic (a biased direction or dead
+    * coordinate shows up immediately). Coordinates round to 8 dp
+    * into exact DECIMAL before the corpus moments. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num.davg
+    val ys = array(RpMatrix.map(r =>
+      round(dot(col("v"), lit(r.toArray)), 8)): _*)
+    vectors(s, dir)
+      .select(posexplode(ys).as(Seq("pos", "y")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("y"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vectors"),
+        r4(davg(col("y"))).as("mean_y"),
+        r4(davg(round(col("y") * col("y"), 8))).as("mean_sq"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_random_projection" -> (randomProjection _),
     "sim_eval_recall"     -> (evalAnnRecall _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_hard_negatives"  -> (hardNegatives _),
@@ -955,6 +1007,26 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the projection matrix prints as ±1.0 literals generated from
+    // the same RpMatrix constants Spark embeds — the two sides cannot
+    // drift; list_dot_product replays the index-order double fold
+    "sim_random_projection" -> {
+      val m = RpMatrix.map(_.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+        .mkString("[\n         |  ", ",\n         |  ", "]")
+      s"""WITH r AS (SELECT $m AS m),
+         |e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT jj.j AS dim, round(list_dot_product(v, m[jj.j]), 8) AS y
+         |  FROM e CROSS JOIN r
+         |  CROSS JOIN (SELECT unnest(range(1, ${RpDims + 1})) AS j) jj(j))
+         |SELECT dim, count(*) AS n_vectors,
+         |  round(CAST(SUM(CAST(y AS DECIMAL(25,8))) AS DOUBLE)
+         |    / count(y), 4) AS mean_y,
+         |  round(CAST(SUM(CAST(round(y * y, 8) AS DECIMAL(25,8))) AS DOUBLE)
+         |    / count(round(y * y, 8)), 4) AS mean_sq
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "sim_topk_pq" ->
       s"""WITH ${pqOracleCtes(PqIters)},
          |xh AS (SELECT e.vec_id,

@@ -732,7 +732,44 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature linear classifier inference — the fastText-style
+    * quality-model scoring pass of a pretraining pipeline (CCNet /
+    * FineWeb run exactly this shape: a linear model over hashed
+    * bag-of-words features, applied to every document). The model
+    * here is a deterministic stand-in — each token's weight derives
+    * from its keyed 60-bit md5 mapped affinely onto [−1, 1) — but the
+    * EXECUTION shape is the real thing: weight lookup is pure
+    * expression arithmetic on the hash (no weight-table join — the
+    * hashing trick means the "table" is a function), the per-doc
+    * score is a fold over the token array (no explode, no shuffle),
+    * and the whole pass is map-only at any corpus size. Per-token
+    * weights round to 8 dp into exact DECIMAL so the fold total is
+    * order-independent; the mean re-derives in double on both
+    * engines; `quality_pass` is the sign test a real gate applies to
+    * the calibrated score. */
+  def qualityLinear(s: SparkSession, dir: String): DataFrame = {
+    // w(t) = h60("qw:" ++ t) / 2^59 − 1 ∈ [−1, 1), rounded to 8 dp
+    def w(t: Column): Column =
+      round(
+        conv(substring(md5(concat(lit("qw:"), t).cast("binary")), 1, 15),
+          16, 10).cast("long").cast("double")
+          / lit(5.76460752303423488e17) - lit(1.0), 8)
+        .cast("decimal(25,8)")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0).cast("decimal(25,8)"),
+          (acc, t) => (acc + w(t)).cast("decimal(25,8)")).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("wsum").cast("double") / col("n_tokens")).as("score"),
+        (col("wsum").cast("double") / col("n_tokens") > 0.0)
+          .as("quality_pass"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_linear" -> (qualityLinear _),
     "text_boilerplate_chunks" -> (boilerplateChunks _),
     "text_pii_scrub" -> (piiScrub _),
     "text_pmi_bigrams" -> (pmiBigrams _),
@@ -1025,6 +1062,22 @@ object Text {
          |  (dup_frac > CAST($DupTokenMax AS DOUBLE)
          |    OR 2 * n / n_tokens > CAST($TopBigramMax AS DOUBLE)) AS repetitive
          |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // the oracle replays the hashed-weight arithmetic over an unnest
+    // (set semantics) where Spark folds the token array in place —
+    // 8-dp decimal weights make both reductions order-independent
+    "text_quality_linear" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |w AS (SELECT doc_id, CAST(round(
+         |    CAST(CAST(concat('0x', substr(md5('qw:' || tok), 1, 15))
+         |      AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0, 8)
+         |    AS DECIMAL(25,8)) AS w FROM t),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(SUM(w) AS DOUBLE) / count(*) AS score
+         |  FROM w GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(score, 4) AS score,
+         |  score > 0.0 AS quality_pass
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // per-token log-probs round to exact decimals BEFORE the per-doc
     // mean, so both engines aggregate order-independently

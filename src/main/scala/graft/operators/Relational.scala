@@ -877,6 +877,52 @@ object Relational {
           .as("within_bound"))
   }
 
+  private val ProfitPattern = "%bolt%"  // Q9's p_name LIKE predicate
+
+  /** Product-profit by supplier nation and year — the TPC-H Q9 shape,
+    * the widest classic join tree (part ⋈ lineitem ⋈ supplier ⋈
+    * nation ⋈ orders): profit per line = revenue − supply cost ×
+    * quantity, grouped by the supplying nation and the order year.
+    * This schema has no partsupp table, so `ps_supplycost` derives
+    * deterministically from the (part, supplier) key — the
+    * [[excessStock]] ledger device (`cost = (100 + (p·13 + s·7) mod
+    * 900) / 100`, pure integer arithmetic then one exact divide, so
+    * both engines replay it bit-identically).
+    *
+    * Join order, scale-first: the `p_name` pattern is the only
+    * selective predicate, so the pruned part-key set joins lineitem
+    * FIRST as a broadcast LEFT-SEMI-shaped prune — every later join
+    * sees ~pattern-selectivity × |lineitem| rows; supplier⋈nation
+    * pre-joins dimension-side and broadcasts as one unit; the
+    * lineitem→orders equi-join is the single fact-fact shuffle in
+    * the plan (on the key both sides are naturally keyed by), and
+    * the final aggregate is #nations × #years rows with map-side
+    * combine. Profit amounts sum through exact DECIMAL. */
+  def profitByNationYear(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").like(ProfitPattern))
+      .select("p_partkey")
+    val sn = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val cost = (lit(100L) +
+      pmod(col("l_partkey") * 13 + col("l_suppkey") * 7, lit(900L)))
+      .cast("double") / lit(100.0)
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - cost * col("l_quantity")).as("amount"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), CalCols.yearOf(col("o_orderdate")).as("o_year"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(r4(dsum(col("amount"))).as("sum_profit"))
+      .orderBy(col("n_name").asc, col("o_year").desc)
+  }
+
   private val StockPattern = "small%"   // Q20's p_name LIKE predicate
   private val StockNation  = "NATION_7"
   private val StockYearLo  = "1996-01-01"
@@ -1012,6 +1058,7 @@ object Relational {
 
     "rel_benford_prices" -> (benfordPrices _),
     "rel_excess_stock" -> (excessStock _),
+    "rel_profit_by_nation_year" -> (profitByNationYear _),
     "rel_join_size_est" -> (joinSizeEst _),
     "rel_idle_rich_customers" -> (idleRichCustomers _),
     "rel_stock_concentration" -> (stockConcentration _),
@@ -1099,6 +1146,21 @@ object Relational {
          |   (est_join_rows - exact_join_rows) * $JcmsW <= 3 * n_left * n_right)
          |    AS within_bound
          |FROM n, est, ex""".stripMargin,
+
+    // the oracle keeps Q9's flat join form; the supply-cost ledger is
+    // the same integer arithmetic both engines replay exactly
+    "rel_profit_by_nation_year" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount) - " +
+           "((100 + (l_partkey * 13 + l_suppkey * 7) % 900) / 100.0) " +
+           "* l_quantity")}, 4) AS sum_profit
+         |FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '$ProfitPattern'
+         |GROUP BY 1, 2 ORDER BY n_name ASC, o_year DESC""".stripMargin,
 
     // the oracle keeps Q20's nested IN-subquery + correlated scalar
     // form over the same deterministic ledger, proving the

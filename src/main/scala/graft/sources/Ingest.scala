@@ -114,6 +114,65 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Merge-on-read view — the other half of the lakehouse write/read
+    * trade. [[upsertRoundtrip]]/[[deleteTombstones]] are COPY-ON-WRITE:
+    * each batch pays the merge at write time and readers scan a clean
+    * snapshot. Here the delta (updates AND tombstones) lands as an
+    * untouched APPEND next to the base files — write cost O(batch),
+    * zero base rewrite — and every read resolves base ∪ delta with
+    * the same last-write-wins-plus-tombstones window at READ time
+    * (Hudi's MOR table / Iceberg's merge-on-read deletes). Right for
+    * write-heavy read-rare tables; [[compactSnapshot]] is the
+    * compactor that periodically folds the delta back in.
+    *
+    * At 100 TB the read view costs one shuffle of base ∪ delta on the
+    * key per read — exactly the cost COW pays per WRITE batch; which
+    * side of the trade wins is the write:read ratio. The declared
+    * query reports the merged view's per-status rollup over ALL keys
+    * (not just touched ones), so the hash certifies the whole
+    * read-time merge: updated keys counted under their new status,
+    * tombstoned keys absent, untouched keys intact. The two file
+    * sets are REALLY written and re-read (separate parquet dirs);
+    * `IngestSpec` additionally asserts base files are byte-untouched
+    * by the delta commit and MOR ≡ COW row-for-row. */
+  def mergeOnRead(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 1))
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("deleted", lit(false))
+    val tomb = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 2))
+      .withColumn("deleted", lit(true))
+    val basePath = ingestTmpPath("mor_base", dir)
+    val deltaPath = ingestTmpPath("mor_delta", dir)
+    base.write.mode("overwrite").parquet(basePath)
+    upd.unionByName(tomb).write.mode("overwrite").parquet(deltaPath)
+    mergeOnReadView(s, basePath, deltaPath)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(25,8)")).cast("double"), 4)
+          .as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The read-time merge itself: base ∪ delta resolved per key by the
+    * [[upsertWithTombstones]] rule (newest version wins, tombstones
+    * outrank data at equal version, winning tombstones drop the key). */
+  private[graft] def mergeOnReadView(s: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaPath: String): DataFrame = {
+    val b = s.read.parquet(basePath).withColumn("deleted", lit(false))
+    val d = s.read.parquet(deltaPath)
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(col("o_orderdate").desc, col("deleted").desc)
+    b.unionByName(d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("deleted"))
+      .drop("__rn", "deleted")
+  }
+
   /** CDC between two keyed snapshots: classify every key as
     * INSERT (only in next), DELETE (only in prev), or UPDATE (in
     * both, any tracked column differs); unchanged keys produce no
@@ -705,6 +764,7 @@ object Ingest {
 
     "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_delete_tombstones" -> (deleteTombstones _),
+      "ingest_merge_on_read" -> (mergeOnRead _),
       "ingest_snapshot_diff" -> (snapshotDiffQuery _),
       "ingest_schema_evolution" -> (schemaEvolution _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
@@ -762,6 +822,28 @@ object Ingest {
 
     // tombstones outrank data at equal version (deleted DESC: TRUE
     // first in both engines); the winner-is-tombstone keys vanish
+    // same merge rule as the COW tombstones oracle, but the report
+    // rolls up the WHOLE merged view (MOR must resolve every key at
+    // read time, not just the touched ones)
+    "ingest_merge_on_read" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    o_totalprice, o_orderstatus, FALSE AS deleted FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderdate + 1 AS o_orderdate,
+        |    o_totalprice, 'R' AS o_orderstatus, FALSE AS deleted
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |tomb AS (SELECT o_orderkey, o_orderdate + 2 AS o_orderdate,
+        |    o_totalprice, o_orderstatus, TRUE AS deleted
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY o_orderdate DESC, deleted DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |        UNION ALL SELECT * FROM tomb))
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+        |    AS total_price
+        |FROM u WHERE rn = 1 AND NOT deleted
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ingest_delete_tombstones" ->
       """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |    o_totalprice, o_orderstatus, FALSE AS deleted FROM orders),

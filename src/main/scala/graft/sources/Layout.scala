@@ -104,8 +104,76 @@ object Layout {
       .orderBy("zbucket")
   }
 
+  /** File-stats data skipping over the z-ordered layout — the query-
+    * side payoff of [[zorderWrite]] and the mechanism behind every
+    * lakehouse "data skipping index" (Delta file stats, Iceberg
+    * manifest min/max): a planner consults the per-file min/max
+    * stats table and reads ONLY files whose bounding box overlaps
+    * the predicate; false positives are filtered inside the scan, so
+    * pruning is exact by construction — and the query CERTIFIES that
+    * in-plan (`pruning_exact`: rows matched through the pruned scan
+    * == rows matched by a full scan; the oracle expects TRUE).
+    *
+    * The 64 z-range buckets stand in for files ([[zorderStats]]'
+    * quadtree cells); the predicate is a 2-D range box placed
+    * RELATIVE to the corpus bounds (lo = min + span/4, hi = min +
+    * span/2, integer arithmetic) so the scenario is scale-invariant.
+    * At 100 TB the stats table is maintained incrementally at write
+    * time and is #files-sized — consulting it is a metadata read,
+    * never a data scan; building it in-query here is the
+    * certification device. Scale shape: the stats aggregate
+    * pre-combines map-side to ≤ 64 rows; the scanned-bucket set
+    * (bounded by bucket count, never corpus size) broadcasts into a
+    * LEFT SEMI over the fact rows. */
+  def statsPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+      min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
+    val thresholds = bounds.select(
+      (col("min_p") + floor((col("max_p") - col("min_p")) / lit(4))).as("p_lo"),
+      (col("min_p") + floor((col("max_p") - col("min_p")) / lit(2))).as("p_hi"),
+      (col("min_s") + floor((col("max_s") - col("min_s")) / lit(4))).as("s_lo"),
+      (col("min_s") + floor((col("max_s") - col("min_s")) / lit(2))).as("s_hi"))
+    val rows = li.crossJoin(broadcast(bounds))
+      .select(col("l_partkey"), col("l_suppkey"),
+        shiftright(zValue(
+          norm16(col("l_partkey"), col("min_p"), col("max_p")),
+          norm16(col("l_suppkey"), col("min_s"), col("max_s"))),
+          BucketShift).as("zbucket"))
+    val stats = rows.groupBy("zbucket")
+      .agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+        min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+    val overlap = !(col("maxp") < col("p_lo") || col("minp") > col("p_hi") ||
+      col("maxs") < col("s_lo") || col("mins") > col("s_hi"))
+    val flagged = stats.crossJoin(broadcast(thresholds))
+      .withColumn("scanned", overlap)
+    val fileAgg = flagged.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("scanned").cast("long")).as("n_scanned"))
+    val pred = col("l_partkey").between(col("p_lo"), col("p_hi")) &&
+      col("l_suppkey").between(col("s_lo"), col("s_hi"))
+    val matchedPruned = rows
+      .join(broadcast(flagged.filter(col("scanned")).select("zbucket")),
+        Seq("zbucket"), "left_semi")
+      .crossJoin(broadcast(thresholds))
+      .filter(pred)
+      .agg(count(lit(1)).as("n_pruned"))
+    val matchedFull = li.crossJoin(broadcast(thresholds))
+      .filter(pred)
+      .agg(count(lit(1)).as("n_match"))
+    fileAgg.crossJoin(matchedPruned).crossJoin(matchedFull)
+      .select(col("n_files"), col("n_scanned"),
+        graft.functions.Num.r4(lit(1.0) -
+          col("n_scanned").cast("double") / col("n_files").cast("double"))
+          .as("skip_frac"),
+        col("n_match"),
+        (col("n_pruned") === col("n_match")).as("pruning_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderStats _),
+    "layout_stats_prune" -> (statsPrune _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -121,6 +189,48 @@ object Layout {
          |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
          |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // identical bounds → thresholds → bucket-stats → overlap →
+    // count arithmetic; the oracle expects pruning_exact TRUE (the
+    // certification: stats-pruned scan loses no matching row)
+    "layout_stats_prune" -> {
+      val xn = norm16Sql("l_partkey", "min_p", "max_p")
+      val yn = norm16Sql("l_suppkey", "min_s", "max_s")
+      s"""WITH b AS (SELECT min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s FROM lineitem),
+         |t AS (SELECT
+         |    min_p + CAST(floor((max_p - min_p) / 4) AS BIGINT) AS p_lo,
+         |    min_p + CAST(floor((max_p - min_p) / 2) AS BIGINT) AS p_hi,
+         |    min_s + CAST(floor((max_s - min_s) / 4) AS BIGINT) AS s_lo,
+         |    min_s + CAST(floor((max_s - min_s) / 2) AS BIGINT) AS s_hi
+         |  FROM b),
+         |r AS (SELECT l_partkey, l_suppkey,
+         |    (${zValueSql(s"($xn)", s"($yn)")}) >> $BucketShift AS zbucket
+         |  FROM lineitem CROSS JOIN b),
+         |st AS (SELECT zbucket, min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         |    min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+         |  FROM r GROUP BY 1),
+         |sc AS (SELECT st.*, NOT (maxp < p_lo OR minp > p_hi
+         |    OR maxs < s_lo OR mins > s_hi) AS scanned
+         |  FROM st CROSS JOIN t),
+         |fa AS (SELECT count(*) AS n_files,
+         |    sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS n_scanned FROM sc),
+         |mp AS (SELECT count(*) AS n_pruned
+         |  FROM r JOIN (SELECT zbucket FROM sc WHERE scanned) USING (zbucket)
+         |  CROSS JOIN t
+         |  WHERE l_partkey BETWEEN p_lo AND p_hi
+         |    AND l_suppkey BETWEEN s_lo AND s_hi),
+         |mf AS (SELECT count(*) AS n_match FROM lineitem CROSS JOIN t
+         |  WHERE l_partkey BETWEEN p_lo AND p_hi
+         |    AND l_suppkey BETWEEN s_lo AND s_hi)
+         |SELECT CAST(n_files AS BIGINT) AS n_files,
+         |  CAST(n_scanned AS BIGINT) AS n_scanned,
+         |  round(1.0 - CAST(n_scanned AS DOUBLE) / CAST(n_files AS DOUBLE), 4)
+         |    AS skip_frac,
+         |  CAST(n_match AS BIGINT) AS n_match,
+         |  (n_pruned = n_match) AS pruning_exact
+         |FROM fa CROSS JOIN mp CROSS JOIN mf""".stripMargin
     },
   )
 }

@@ -418,6 +418,72 @@ class CurationSpec extends SparkSpec {
       vals.filter(_.toLong < 100).map(h60).distinct.sorted.take(16))
   }
 
+  test("temperature mixture replays exactly and upweights low-resource langs") {
+    import java.math.{BigDecimal => JBD}
+    // Spark's Round on double goes BigDecimal.valueOf (Double.toString
+    // canonical form) → setScale HALF_UP — replay exactly that
+    def r(x: Double, dp: Int): Double =
+      JBD.valueOf(x).setScale(dp, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "doc_id", "text").collect()
+      .map(row => (row.getString(0), row.getLong(1),
+        row.getString(2).trim.split("\\s+").length.toLong))
+    val perLang = docs.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    val corpus = perLang.values.sum
+    // q_l = round8(sqrt(p_l)); Z sums the 8-dp decimals exactly
+    val q = perLang.view.mapValues(n =>
+      r(math.sqrt(n.toDouble / corpus.toDouble), 8)).toMap
+    val z = q.values.map(x => BigDecimal(x).setScale(8)).sum.toDouble
+    val rate = q.map { case (l, ql) =>
+      l -> r(math.min(1.0, corpus.toDouble * 0.5 * (ql / z) / perLang(l)), 8)
+    }
+    val kept = docs.filter { case (l, id, _) =>
+      (jvmHash60("temp:", id) % 1000000).toDouble / 1000000.0 < rate(l) }
+    val expect = kept.groupBy(_._1).view.mapValues(ds =>
+      (ds.length.toLong, ds.map(_._3).sum)).toMap
+    val got = Curation.temperatureMixture(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { row =>
+      val l = row.getString(0)
+      assert((row.getLong(1), row.getLong(2)) == expect(l), s"lang $l")
+      assert(row.getDouble(3) == r(rate(l), 4), s"rate $l")
+    }
+    // α = 1/2 monotonicity: more natural tokens → lower (≤) keep rate
+    val byN = perLang.toSeq.sortBy(-_._2).map(p => rate(p._1))
+    assert(byN.zip(byN.tail).forall { case (hi, lo) => hi <= lo },
+      s"temperature must not upweight a higher-resource language: $rate")
+    assert(rate.values.forall(x => x > 0.0 && x <= 1.0))
+  }
+
+  test("length buckets: ladder replay, totals, and truncation rule") {
+    val lens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").length.toLong)
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+    def bucketOf(n: Long) = ladder.find(n <= _).getOrElse(ladder.last)
+    val expect = lens.groupBy(bucketOf).view.mapValues { ns =>
+      (ns.length.toLong, ns.map(n => math.min(n, 512L)).sum,
+        ns.count(_ > 512L).toLong)
+    }.toMap
+    val rows = Curation.lengthBuckets(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      val (nd, tt, tr) = expect(b)
+      assert(r.getLong(1) == nd && r.getLong(2) == tt && r.getLong(3) == tr,
+        s"bucket $b")
+      assert(r.getLong(4) == nd * b, s"padded tokens bucket $b")
+      val waste = r.getDouble(5)
+      assert(waste >= 0.0 && waste < 1.0, s"waste out of range: $waste")
+      if (b != ladder.last)
+        assert(tr == 0L, "truncation outside the top bucket")
+    }
+    assert(rows.map(_.getLong(1)).sum == lens.length,
+      "every document lands in exactly one bucket")
+  }
+
   test("KMV estimate lands inside its certification envelope on the corpus") {
     // the declared query's own certification runs oracle-side; this
     // pins the same property in-JVM so a regression fails fast

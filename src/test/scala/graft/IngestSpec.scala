@@ -393,6 +393,47 @@ class IngestSpec extends SparkSpec {
     assert(pruned.count() == all)
   }
 
+  test("merge-on-read view ≡ copy-on-write merge; delta commit leaves base untouched") {
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 1))
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("deleted", lit(false))
+    val tomb = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderdate", date_add(col("o_orderdate"), 2))
+      .withColumn("deleted", lit(true))
+    val root = Files.createTempDirectory("graft_mor_spec").toFile
+    try {
+      val basePath = s"${root.getPath}/base"
+      val deltaPath = s"${root.getPath}/delta"
+      base.write.parquet(basePath)
+      val baseFiles = Option(new java.io.File(basePath).listFiles).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+      upd.unionByName(tomb).write.parquet(deltaPath)
+      val afterDelta = Option(new java.io.File(basePath).listFiles).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+      assert(baseFiles == afterDelta,
+        "MOR delta commit must not rewrite a single base file")
+      val mor = Ingest.mergeOnReadView(spark, basePath, deltaPath)
+        .collect().map(_.toSeq).toSet
+      val cow = Ingest.upsertWithTombstones(base, upd.unionByName(tomb),
+        "o_orderkey", "o_orderdate", "deleted")
+        .collect().map(_.toSeq).toSet
+      assert(mor == cow,
+        s"read-time merge diverges from write-time merge: ${mor.size} vs ${cow.size}")
+      assert(mor.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("incremental join: delta-maintained view equals the one-shot recompute") {
     // the three IVM terms partition A_new x B_new — any overlap or
     // gap (double-counted or dropped delta rows) breaks equality

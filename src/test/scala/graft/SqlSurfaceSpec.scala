@@ -60,6 +60,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "sample_hash_bernoulli" -> "hex-string CAST to BIGINT",
     "sample_weighted" -> "string_split_regex + hex-string CAST",
     "sample_stratified" -> "hex-string CAST to BIGINT",
+    "sample_temperature_mixture" -> "string_split_regex + hex-string CAST",
+    "pack_length_buckets" -> "string_split_regex",
+    "text_quality_linear" -> "string_split_regex + hex-string CAST",
+    "sim_random_projection" -> "list_dot_product + list-literal indexing",
     "sim_topk_bruteforce" -> "list_dot_product",
     "sim_topk_ivf" -> "list comprehension k-means unroll",
     "sim_topk_lsh_ann" -> "list_dot_product",

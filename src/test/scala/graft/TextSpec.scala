@@ -5,6 +5,38 @@ import graft.ext.Text
 
 class TextSpec extends SparkSpec {
 
+  test("hashed linear classifier matches an independent JVM replay") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def w(tok: String): JBD = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"qw:$tok".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+      JBD.valueOf(h.toDouble / 576460752303423488.0 - 1.0)
+        .setScale(8, RoundingMode.HALF_UP)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val rows = ext.Text.qualityLinear(spark, sf0001).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, n, score, pass) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      val toks = docs(id)
+      assert(n == toks.size, s"n_tokens doc $id")
+      val s0 = toks.map(w).reduce(_.add(_)).doubleValue() / toks.size
+      assert(score == JBD.valueOf(s0)
+        .setScale(4, RoundingMode.HALF_UP).doubleValue(), s"score doc $id")
+      assert(pass == (s0 > 0.0), s"pass doc $id")
+    }
+    // a hash-derived zero-mean model should split the corpus, not
+    // degenerate to one side
+    val nPass = rows.count(_.getBoolean(3))
+    assert(nPass > 0 && nPass < rows.length, s"degenerate gate: $nPass")
+  }
+
   test("approx_count_distinct (HLL) lands within its bound of the exact vocab") {
     val exact = Text.vocabStats(spark, sf0001).head().getLong(0)
     val approx = Tables.documents(spark, sf0001)
