@@ -885,7 +885,84 @@ object Similarity {
       .orderBy("dim")
   }
 
+  private val MmrC = 8       // candidates per query entering the re-rank
+  private val MmrK = 4       // diversified results kept per query
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3    // written out, NOT 1−λ (0.3 parses exactly
+                             // on both engines; 1−0.7 in binary does not)
+
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) — the post-ANN step a retrieval pipeline runs so
+    * the k results are not k near-duplicates of each other: greedily
+    * pick `argmax λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` until
+    * [[MmrK]] results stand. RAG context assembly and eval-set
+    * construction both need this; plain top-k hands a near-dup-heavy
+    * corpus back its duplicates.
+    *
+    * Scale shape: the greedy loop is inherently sequential, but ONLY
+    * over the [[MmrC]]-bounded per-query candidate list — so the
+    * whole re-rank costs O(queries · C² · k) independent of corpus
+    * size, and the unrolled [[MmrK]] selection steps are static
+    * relational operators (anti-join remaining ∪ max-penalty join ∪
+    * per-query argmax window over ≤ C rows) — the deterministic-Lloyd
+    * unroll discipline, not a driver loop and not a UDF. Candidate
+    * generation composes any declared ANN surface ([[bruteForceTopK]]
+    * here; [[lshAnn]]/[[ivfTopK]] at 100 TB). Similarities round to
+    * 6 dp BEFORE every comparison, ties break on neighbor id — both
+    * engines walk the identical greedy path. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val q = vs.toDF("query_id", "qv", "qnrm").filter(col("query_id") < NQueries)
+    val c = vs.toDF("nid", "cv", "cnrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("nid").asc)
+    val cand = c.join(broadcast(q), col("nid") =!= col("query_id"))
+      .withColumn("qcos",
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= MmrC)
+      .select(col("query_id"), col("nid"), col("qcos"), col("r"),
+        col("cv"), col("cnrm"))
+    val a = cand.select(col("query_id"), col("nid").as("na"),
+      col("cv").as("va"), col("cnrm").as("nrma"))
+    val b = cand.select(col("query_id").as("qb"), col("nid").as("nb"),
+      col("cv").as("vb"), col("cnrm").as("nrmb"))
+    val sims = a.join(b, col("query_id") === col("qb") && col("na") =!= col("nb"))
+      .select(col("query_id"), col("na"), col("nb"),
+        round(dot(col("va"), col("vb")) / (col("nrma") * col("nrmb")), 6)
+          .as("sim"))
+    val slim = cand.select("query_id", "nid", "qcos", "r")
+    var selected = slim.filter(col("r") === 1)
+      .select(col("query_id"), col("nid"),
+        round(lit(MmrLambda) * col("qcos"), 6).as("score"),
+        lit(1L).as("mmr_rank"))
+    for (t <- 2 to MmrK) {
+      val selSet = selected.select(col("query_id").as("sq"), col("nid").as("snid"))
+      val rem = slim.join(selected.select("query_id", "nid"),
+        Seq("query_id", "nid"), "left_anti")
+      val pen = sims
+        .join(selSet, sims("query_id") === col("sq") && sims("nb") === col("snid"))
+        .groupBy(sims("query_id").as("query_id"), sims("na").as("nid"))
+        .agg(max("sim").as("pen"))
+      val ws = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("nid").asc)
+      val st = rem.join(pen, Seq("query_id", "nid"))
+        .withColumn("score",
+          round(lit(MmrLambda) * col("qcos") - lit(MmrMu) * col("pen"), 6))
+        .withColumn("rr", row_number().over(ws))
+        .filter(col("rr") === 1)
+        .select(col("query_id"), col("nid"), col("score"),
+          lit(t.toLong).as("mmr_rank"))
+      selected = selected.unionByName(st)
+    }
+    selected
+      .select(col("query_id"), col("mmr_rank"),
+        col("nid").as("neighbor_id"), r4(col("score")).as("score"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank"      -> (mmrRerank _),
     "sim_random_projection" -> (randomProjection _),
     "sim_eval_recall"     -> (evalAnnRecall _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
@@ -1007,6 +1084,52 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle unrolls the identical greedy selection (the Lloyd-
+    // unroll discipline): step t = anti-join vs selected, max-penalty
+    // vs selected, 6-dp-rounded score, argmax with nid tie-break
+    "sim_mmr_rerank" -> {
+      def selUnion(t: Int): String =
+        (1 until t).map(i => s"SELECT query_id, nid FROM s$i")
+          .mkString("(", " UNION ALL ", ")")
+      val steps = (2 to MmrK).map { t =>
+        s"""s$t AS (SELECT query_id, nid, score,
+           |    CAST($t AS BIGINT) AS mmr_rank
+           |  FROM (SELECT g.*, row_number() OVER (PARTITION BY g.query_id
+           |      ORDER BY g.score DESC, g.nid ASC) AS rr
+           |    FROM (SELECT c.query_id, c.nid,
+           |        round($MmrLambda * c.qcos - $MmrMu * max(p.sim), 6) AS score
+           |      FROM c JOIN p ON p.query_id = c.query_id AND p.na = c.nid
+           |      JOIN ${selUnion(t)} sel
+           |        ON sel.query_id = p.query_id AND sel.nid = p.nb
+           |      WHERE NOT EXISTS (SELECT 1 FROM ${selUnion(t)} z
+           |        WHERE z.query_id = c.query_id AND z.nid = c.nid)
+           |      GROUP BY c.query_id, c.nid, c.qcos) g)
+           |  WHERE rr = 1)""".stripMargin
+      }.mkString(",\n         |")
+      val all = (1 to MmrK).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c0 AS (SELECT q.vec_id AS query_id, c.vec_id AS nid,
+         |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS qcos
+         |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NQueries),
+         |c AS (SELECT * FROM (SELECT c0.*, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY qcos DESC, nid ASC) AS r
+         |  FROM c0) WHERE r <= $MmrC),
+         |p AS (SELECT a.query_id, a.nid AS na, b.nid AS nb,
+         |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+         |  FROM c a JOIN c b ON a.query_id = b.query_id AND a.nid != b.nid
+         |  JOIN n x ON x.vec_id = a.nid JOIN n y ON y.vec_id = b.nid),
+         |s1 AS (SELECT query_id, nid, round($MmrLambda * qcos, 6) AS score,
+         |    CAST(1 AS BIGINT) AS mmr_rank
+         |  FROM c WHERE r = 1),
+         |$steps
+         |SELECT query_id, mmr_rank, nid AS neighbor_id,
+         |  round(score, 4) AS score
+         |FROM ($all) ORDER BY query_id, mmr_rank""".stripMargin
+    },
+
     // the projection matrix prints as ±1.0 literals generated from
     // the same RpMatrix constants Spark embeds — the two sides cannot
     // drift; list_dot_product replays the index-order double fold

@@ -877,6 +877,59 @@ object Relational {
           .as("within_bound"))
   }
 
+  private val LocalRegion = "ASIA"        // Q5's region slice
+  private val LocalYearLo = "1997-01-01"  // Q5's one-year window
+  private val LocalYearHi = "1998-01-01"
+
+  /** Local-supplier volume — the TPC-H Q5 shape, whose distinguishing
+    * feature is the CROSS-DIMENSION equality `c_nationkey =
+    * s_nationkey`: revenue counts only when the ordering customer and
+    * the line's supplier sit in the same nation (of one region, one
+    * order year). That predicate can't prune either fact scan; it
+    * lives in the join graph, which makes Q5 the classic join-ORDER
+    * test.
+    *
+    * Scale-first ordering: orders carries the only selective fact
+    * predicate (the year window — pushed to its scan), so orders
+    * joins customer FIRST (pre-pruned by the region's nations,
+    * broadcast LEFT SEMI via the nation filter) to pin each order's
+    * customer nation; lineitem then joins that reduced order set on
+    * the natural key — the single fact-fact shuffle; supplier
+    * (dimension-sized) broadcasts, and the same-nation equality
+    * applies AT that join (`l_suppkey = s_suppkey AND s_nationkey =
+    * cust_nation`), so mismatched rows die inside the join instead of
+    * surviving to a filter. Nation/region prune broadcast-side. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === LocalRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(LocalYearLo) &&
+        col("o_orderdate") < lit(LocalYearHi))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+    val oc = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    val sup = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(oc, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("cust_nation"))
+      .join(broadcast(nr.select(col("n_nationkey").as("nk"), col("n_name"))),
+        col("cust_nation") === col("nk"))
+      .groupBy("n_name")
+      .agg(r4(dsum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   private val ProfitPattern = "%bolt%"  // Q9's p_name LIKE predicate
 
   /** Product-profit by supplier nation and year — the TPC-H Q9 shape,
@@ -1059,6 +1112,7 @@ object Relational {
     "rel_benford_prices" -> (benfordPrices _),
     "rel_excess_stock" -> (excessStock _),
     "rel_profit_by_nation_year" -> (profitByNationYear _),
+    "rel_local_supplier_volume" -> (localSupplierVolume _),
     "rel_join_size_est" -> (joinSizeEst _),
     "rel_idle_rich_customers" -> (idleRichCustomers _),
     "rel_stock_concentration" -> (stockConcentration _),
@@ -1146,6 +1200,25 @@ object Relational {
          |   (est_join_rows - exact_join_rows) * $JcmsW <= 3 * n_left * n_right)
          |    AS within_bound
          |FROM n, est, ex""".stripMargin,
+
+    // the oracle keeps Q5's flat form with the same-nation equality
+    // in the WHERE clause; the engine runs the join-graph placement
+    "rel_local_supplier_volume" ->
+      s"""SELECT n_name,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4)
+         |    AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE c_nationkey = s_nationkey
+         |  AND r_name = '$LocalRegion'
+         |  AND o_orderdate >= TIMESTAMP '$LocalYearLo'
+         |  AND o_orderdate < TIMESTAMP '$LocalYearHi'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     // the oracle keeps Q9's flat join form; the supply-cost ledger is
     // the same integer arithmetic both engines replay exactly

@@ -387,6 +387,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"p_name pattern not pushed to the part scan:\n$s")
   }
 
+  test("Q5 local-supplier: year window pushed, same-nation check inside a broadcast join") {
+    val df = operators.Relational.localSupplierVolume(spark, sf0001)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-year window not pushed to the orders scan:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+    // the cross-dimension equality must ride a hash join's condition,
+    // not survive into a post-join filter over the wide product
+    assert(!s.toLowerCase.contains("cartesian"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("hashed linear classifier is map-only: weights come from the hash") {
     val plan = ext.Text.qualityLinear(spark, sf0001)
       .queryExecution.executedPlan.toString

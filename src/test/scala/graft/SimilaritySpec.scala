@@ -239,6 +239,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR re-rank matches an independent JVM greedy replay and diversifies") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dotp(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      r6(dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b))))
+    }
+    // greedy replay: top-8 candidates, then λ·qcos − μ·max-sim picks
+    val expect = (0L until 10L).flatMap { qid =>
+      val cand = vecs.keys.filter(_ != qid).toSeq
+        .map(nid => nid -> cos(vecs(qid), vecs(nid)))
+        .sortBy { case (nid, qc) => (-qc, nid) }.take(8)
+      var sel = List.empty[(Long, Double)] // (nid, score) in pick order
+      for (t <- 1 to 4) {
+        val rem = cand.filterNot { case (nid, _) => sel.exists(_._1 == nid) }
+        val scored = rem.map { case (nid, qc) =>
+          val penalty = if (sel.isEmpty) 0.0
+            else sel.map { case (snid, _) => cos(vecs(nid), vecs(snid)) }.max
+          nid -> r6(0.7 * qc - (if (sel.isEmpty) 0.0 else 0.3 * penalty))
+        }
+        val best = scored.minBy { case (nid, sc) => (-sc, nid) }
+        sel = sel :+ best
+      }
+      sel.zipWithIndex.map { case ((nid, sc), i) =>
+        (qid, (i + 1).toLong, nid,
+          java.math.BigDecimal.valueOf(sc)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+    }.toSet
+    val got = Similarity.mmrRerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect,
+      s"greedy paths diverge:\nonly-spark=${got.diff(expect)}\nonly-jvm=${expect.diff(got)}")
+    // the point of MMR: selected sets are no more self-similar than
+    // the plain top-4 they replace
+    def meanPairSim(ids: Seq[Long]) = {
+      val ps = for (Seq(a, b) <- ids.combinations(2).toSeq)
+        yield cos(vecs(a), vecs(b))
+      ps.sum / ps.size
+    }
+    val perQuery = got.groupBy(_._1)
+    val diffs = (0L until 10L).map { qid =>
+      val mmrIds = perQuery(qid).toSeq.sortBy(_._2).map(_._3)
+      val topIds = vecs.keys.filter(_ != qid).toSeq
+        .map(nid => nid -> cos(vecs(qid), vecs(nid)))
+        .sortBy { case (nid, qc) => (-qc, nid) }.take(4).map(_._1)
+      meanPairSim(topIds) - meanPairSim(mmrIds)
+    }
+    assert(diffs.sum >= 0.0,
+      s"MMR selections are MORE self-similar than plain top-k: $diffs")
+  }
+
   test("random projection preserves pairwise distances within JL distortion") {
     // independent replay of the Rademacher matrix seed
     val R = (0 until 16).map { j =>

@@ -64,6 +64,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "pack_length_buckets" -> "string_split_regex",
     "text_quality_linear" -> "string_split_regex + hex-string CAST",
     "sim_random_projection" -> "list_dot_product + list-literal indexing",
+    "sim_mmr_rerank" -> "list_dot_product",
     "sim_topk_bruteforce" -> "list_dot_product",
     "sim_topk_ivf" -> "list comprehension k-means unroll",
     "sim_topk_lsh_ann" -> "list_dot_product",
