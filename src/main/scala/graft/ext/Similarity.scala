@@ -916,21 +916,29 @@ object Similarity {
     val c = vs.toDF("nid", "cv", "cnrm")
     val w = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("nid").asc)
-    val cand = c.join(broadcast(q), col("nid") =!= col("query_id"))
-      .withColumn("qcos",
-        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= MmrC)
-      .select(col("query_id"), col("nid"), col("qcos"), col("r"),
-        col("cv"), col("cnrm"))
-    val a = cand.select(col("query_id"), col("nid").as("na"),
-      col("cv").as("va"), col("cnrm").as("nrma"))
-    val b = cand.select(col("query_id").as("qb"), col("nid").as("nb"),
-      col("cv").as("vb"), col("cnrm").as("nrmb"))
-    val sims = a.join(b, col("query_id") === col("qb") && col("na") =!= col("nb"))
-      .select(col("query_id"), col("na"), col("nb"),
-        round(dot(col("va"), col("vb")) / (col("nrma") * col("nrmb")), 6)
-          .as("sim"))
+    // the candidate list and its pair-sim table are queries·C-bounded;
+    // memoized+cached so the 4 unrolled selection steps (each of which
+    // branches on both frames) never re-run the corpus scan
+    val cand = graft.SessionMemo.cached(s, dir, "sim_mmr_cand") {
+      c.join(broadcast(q), col("nid") =!= col("query_id"))
+        .withColumn("qcos",
+          round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= MmrC)
+        .select(col("query_id"), col("nid"), col("qcos"), col("r"),
+          col("cv"), col("cnrm"))
+        .repartition(1) // queries·C rows — one task per downstream stage
+    }
+    val sims = graft.SessionMemo.cached(s, dir, "sim_mmr_sims") {
+      val a = cand.select(col("query_id"), col("nid").as("na"),
+        col("cv").as("va"), col("cnrm").as("nrma"))
+      val b = cand.select(col("query_id").as("qb"), col("nid").as("nb"),
+        col("cv").as("vb"), col("cnrm").as("nrmb"))
+      a.join(b, col("query_id") === col("qb") && col("na") =!= col("nb"))
+        .select(col("query_id"), col("na"), col("nb"),
+          round(dot(col("va"), col("vb")) / (col("nrma") * col("nrmb")), 6)
+            .as("sim"))
+    }
     val slim = cand.select("query_id", "nid", "qcos", "r")
     var selected = slim.filter(col("r") === 1)
       .select(col("query_id"), col("nid"),

@@ -121,54 +121,65 @@ object Layout {
     * At 100 TB the stats table is maintained incrementally at write
     * time and is #files-sized — consulting it is a metadata read,
     * never a data scan; building it in-query here is the
-    * certification device. Scale shape: the stats aggregate
-    * pre-combines map-side to ≤ 64 rows; the scanned-bucket set
-    * (bounded by bucket count, never corpus size) broadcasts into a
-    * LEFT SEMI over the fact rows. */
+    * certification device. Scale shape: ONE pass over the fact
+    * evaluates the z-expression and pre-combines map-side into the
+    * ≤ 64-row stats-plus-match-counts aggregate; everything after
+    * that is arithmetic over bucket-count-sized frames (the
+    * completeness check reads the skipped buckets' match mass out of
+    * the same aggregate instead of re-scanning the fact). */
   def statsPrune(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    // bounds AND the derived predicate thresholds in ONE 1-row frame,
+    // so the fact contributes exactly two scans: this cheap min/max
+    // pass and the stats pass below
     val bounds = li.agg(
       min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
       min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
-    val thresholds = bounds.select(
-      (col("min_p") + floor((col("max_p") - col("min_p")) / lit(4))).as("p_lo"),
-      (col("min_p") + floor((col("max_p") - col("min_p")) / lit(2))).as("p_hi"),
-      (col("min_s") + floor((col("max_s") - col("min_s")) / lit(4))).as("s_lo"),
-      (col("min_s") + floor((col("max_s") - col("min_s")) / lit(2))).as("s_hi"))
-    val rows = li.crossJoin(broadcast(bounds))
+      .select(col("min_p"), col("max_p"), col("min_s"), col("max_s"),
+        (col("min_p") + floor((col("max_p") - col("min_p")) / lit(4))).as("p_lo"),
+        (col("min_p") + floor((col("max_p") - col("min_p")) / lit(2))).as("p_hi"),
+        (col("min_s") + floor((col("max_s") - col("min_s")) / lit(4))).as("s_lo"),
+        (col("min_s") + floor((col("max_s") - col("min_s")) / lit(2))).as("s_hi"))
+    // ONE pass over the fact evaluates the z-expression once and
+    // folds the per-bucket stats AND the per-bucket match counts into
+    // the same ≤64-row aggregate; the completeness certification then
+    // needs no second fact scan — "pruned scan loses no matching row"
+    // ⟺ "skipped buckets hold zero matching rows", and the skipped-
+    // bucket match mass is already in the aggregate
+    val pred = col("l_partkey").between(col("p_lo"), col("p_hi")) &&
+      col("l_suppkey").between(col("s_lo"), col("s_hi"))
+    val stats = li.crossJoin(broadcast(bounds))
       .select(col("l_partkey"), col("l_suppkey"),
         shiftright(zValue(
           norm16(col("l_partkey"), col("min_p"), col("max_p")),
           norm16(col("l_suppkey"), col("min_s"), col("max_s"))),
-          BucketShift).as("zbucket"))
-    val stats = rows.groupBy("zbucket")
+          BucketShift).as("zbucket"),
+        pred.cast("long").as("m"),
+        col("p_lo"), col("p_hi"), col("s_lo"), col("s_hi"))
+      .groupBy("zbucket")
       .agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
-        min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+        min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"),
+        sum("m").as("n_match_b"),
+        // the thresholds are constant per group; folding them through
+        // the aggregate avoids a second bounds scan
+        min("p_lo").as("p_lo"), min("p_hi").as("p_hi"),
+        min("s_lo").as("s_lo"), min("s_hi").as("s_hi"))
     val overlap = !(col("maxp") < col("p_lo") || col("minp") > col("p_hi") ||
       col("maxs") < col("s_lo") || col("mins") > col("s_hi"))
-    val flagged = stats.crossJoin(broadcast(thresholds))
+    stats
       .withColumn("scanned", overlap)
-    val fileAgg = flagged.agg(
-      count(lit(1)).as("n_files"),
-      sum(col("scanned").cast("long")).as("n_scanned"))
-    val pred = col("l_partkey").between(col("p_lo"), col("p_hi")) &&
-      col("l_suppkey").between(col("s_lo"), col("s_hi"))
-    val matchedPruned = rows
-      .join(broadcast(flagged.filter(col("scanned")).select("zbucket")),
-        Seq("zbucket"), "left_semi")
-      .crossJoin(broadcast(thresholds))
-      .filter(pred)
-      .agg(count(lit(1)).as("n_pruned"))
-    val matchedFull = li.crossJoin(broadcast(thresholds))
-      .filter(pred)
-      .agg(count(lit(1)).as("n_match"))
-    fileAgg.crossJoin(matchedPruned).crossJoin(matchedFull)
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("scanned").cast("long")).as("n_scanned"),
+        sum("n_match_b").as("n_match"),
+        sum(when(!col("scanned"), col("n_match_b")).otherwise(lit(0L)))
+          .as("skipped_matches"))
       .select(col("n_files"), col("n_scanned"),
         graft.functions.Num.r4(lit(1.0) -
           col("n_scanned").cast("double") / col("n_files").cast("double"))
           .as("skip_frac"),
         col("n_match"),
-        (col("n_pruned") === col("n_match")).as("pruning_exact"))
+        (col("skipped_matches") === 0L).as("pruning_exact"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

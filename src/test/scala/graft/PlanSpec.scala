@@ -400,6 +400,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(s.contains("BroadcastHashJoin"), s)
   }
 
+  test("stats prune: stats and certification fold into one fact pass (two scans total)") {
+    val df = sources.Layout.statsPrune(spark, sf0001)
+    val s = executed(df).toString
+    val scans = "FileScan parquet \\[l_partkey".r.findAllIn(s).size
+    assert(scans == 2,
+      s"expected bounds + stats scans only, found $scans lineitem scans:\n$s")
+  }
+
   test("hashed linear classifier is map-only: weights come from the hash") {
     val plan = ext.Text.qualityLinear(spark, sf0001)
       .queryExecution.executedPlan.toString
