@@ -98,16 +98,32 @@ object Events {
         max("k").as("max_k"))
       .orderBy("event_type")
 
-  /** Sessionization: 30-minute-gap session windows per user —
-    * `session_window` in batch (and unchanged in streaming, where
-    * state lives in the store and closes via watermark). */
-  def sessionize(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  /** 30-minute-gap session windows per user — the shared transform
+    * ([[hourlyTransform]] discipline): identical over a batch or a
+    * watermarked streaming input. */
+  private def sessionTransform(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), r4(dsum(col("value"))).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Sessionization, batch form (oracled). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionTransform(Tables.events(s, dir))
       .orderBy("user_id", "session_start")
+
+  /** Streaming face of [[sessionize]]: the same `session_window`
+    * aggregate over the watermarked stream. Session MERGING is the
+    * stateful part (a late event can glue two open sessions), so the
+    * state store holds only OPEN sessions per user; a session closes
+    * — and emits, append mode — once the watermark passes its
+    * gap-extended end. Bounded state: open sessions of
+    * watermark-recent users only, at any stream length
+    * (`EventsStreamSpec` asserts stream ≡ batch through a sentinel
+    * that flushes the trailing sessions). */
+  def sessionizeStream(s: SparkSession, dir: String): DataFrame =
+    sessionTransform(streamEvents(s, dir).withWatermark("ts", "30 minutes"))
 
   /** Streaming dedup-by-key (S4 upsert semantics on a stream):
     * watermarked `dropDuplicates` on event_id — bounded state. */

@@ -357,4 +357,44 @@ class EventsStreamSpec extends SparkSpec {
       assert(n == distinct && n > 0)
     } finally q.stop()
   }
+
+  test("streaming session windows == batch sessions (append mode, watermark close)") {
+    import org.apache.spark.sql.functions._
+    val batch = Events.sessionize(spark, sf0001).collect().map(_.toSeq).toSet
+    // sanity: sessions actually merge events (gap logic does work)
+    assert(batch.exists(_(3).asInstanceOf[Long] > 1L),
+      "fixture has no multi-event session")
+
+    // corpus + one far-future sentinel event (impossible user id) so
+    // the watermark passes every real session's gap-extended end and
+    // append mode flushes them all
+    val tmp = java.nio.file.Files.createTempDirectory("sess_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw.write.parquet(s"$tmp/events.parquet")
+    val tsPlus10d = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(10L * 24L * 3600L * 1000000000L)
+      case _ => col("ts") + expr("interval 10 days")
+    }
+    raw.orderBy(col("ts").desc).limit(1)
+      .select(lit(-1L).as("event_id"), tsPlus10d.as("ts"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$tmp/events_sentinel.parquet")
+
+    val q = Events.sessionizeStream(spark, tmp)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .filter(col("user_id") >= 0)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} sessions != batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
 }
