@@ -81,6 +81,28 @@ object Tables {
   def monthlySeriesCached(s: SparkSession, dir: String): DataFrame =
     SessionMemo.cached(s, dir, "monthly_series")(monthlySeries(s, dir))
 
+  /** Decouple CPU-bound map-stage parallelism from scan split
+    * granularity. A parquet corpus written as a few large row groups
+    * scans as that many tasks no matter how many slots the cluster
+    * has (Spark can split a file, but a split with no row-group start
+    * reads zero rows) — so a tokenize/hash/decode stage fed straight
+    * off such a scan runs on a handful of cores while the rest idle.
+    * This helper round-robins the input across the session's
+    * parallelism ONLY when the scan genuinely underfills it (fewer
+    * partitions than half the slots); on a realistically-laid-out
+    * corpus (row groups ≫ slots — any 100 TB table) it is a no-op and
+    * costs nothing. Callers apply it at the head of per-row-EXPENSIVE
+    * pipelines only — scan-light relational queries keep the bare
+    * scan so pushdown/pruning economics stay untouched — and only
+    * where downstream results are partition-order independent (exact
+    * DECIMAL sums, set/min/max sketches, per-row maps), which is the
+    * repo's determinism discipline everywhere.
+    */
+  def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val slots = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < slots) df.repartition(slots) else df
+  }
+
   /** S2's external half: the reference reads its table straight from
     * PostgreSQL (`/root/reference/dashboard_nfp.py:67-68`). The Spark
     * equivalent is a JDBC scan; `partitionColumn` bounds split it into

@@ -519,27 +519,47 @@ object Curation {
     * the cast is exact and both engines print the identical scaled
     * string). */
   def profileColumnsSketch(s: SparkSession, dir: String): DataFrame = {
-    val kvs = ProfileCols.map { case (n, v, _) =>
-      struct(lit(n).as("col_name"), v.as("v")) }
-    val cs = col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4))
-      .cast("string")
+    // Single-pass WIDE aggregate, not an unpivot: exploding n rows ×
+    // 11 columns into 11n skinny rows (the certified profiler's
+    // shape) multiplies the aggregate's input — and at 100 TB the
+    // shuffle — by the column count. Here the scan stays columnar,
+    // every per-column statistic is one aggregate expression over the
+    // ORIGINAL rows, and each partition emits exactly ONE wide row
+    // (55 scalars + 11 ≤256-long arrays, kilobytes) to the final
+    // merge. The 11-row output unpivots from that single row — a
+    // driver-side-free explode over one row.
+    //
+    // The canonical DECIMAL(18,4) string renders in a codegen'd
+    // projection BEFORE the aggregate (the KmvSketch doc's
+    // discipline: its interpreted child.eval must stay a bare column
+    // reference, not a per-row interpreted cast tree).
+    val pre = Tables.fanOut(s, Tables.lineitem(s, dir)).select(
+      ProfileCols.flatMap { case (n, v, _) =>
+        val cs = v.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .cast("string")
+        Seq(v.as(s"${n}__v"), when(v.isNotNull, cs).as(s"${n}__cs"))
+      }: _*)
+    val aggs = ProfileCols.flatMap { case (n, _, _) =>
+      val v = col(s"${n}__v")
+      Seq(
+        count(lit(1)).as(s"${n}__n_rows"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"${n}__n_null"),
+        r4(min(v)).as(s"${n}__min_v"),
+        r4(max(v)).as(s"${n}__max_v"),
+        graft.functions.KmvSketch.kmvSketch(col(s"${n}__cs"), KmvK)
+          .as(s"${n}__kmv"))
+    }
+    val wide = pre.agg(aggs.head, aggs.tail: _*)
+    val outs = ProfileCols.map { case (n, _, _) =>
+      struct(lit(n).as("col_name"), col(s"${n}__n_rows").as("n_rows"),
+        col(s"${n}__n_null").as("n_null"), col(s"${n}__min_v").as("min_v"),
+        col(s"${n}__max_v").as("max_v"), col(s"${n}__kmv").as("kmv")) }
     val estD = lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble) /
       element_at(col("kmv"), KmvK).cast("double")
-    Tables.lineitem(s, dir)
-      .select(explode(array(kvs: _*)).as("kv"))
-      // the aggregate reads the canonical STRING and hashes it
-      // internally with a reused digest (KmvSketch doc) — the
-      // rendering runs in the codegen'd unpivot projection, the
-      // md5 never pays per-row MessageDigest/hex/conv allocations
-      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
-      .withColumn("cs", when(col("v").isNotNull, cs))
-      .groupBy("col_name")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        r4(min(col("v"))).as("min_v"),
-        r4(max(col("v"))).as("max_v"),
-        graft.functions.KmvSketch.kmvSketch(col("cs"), KmvK).as("kmv"))
+    wide.select(explode(array(outs: _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("r.n_rows").as("n_rows"),
+        col("r.n_null").as("n_null"), col("r.min_v").as("min_v"),
+        col("r.max_v").as("max_v"), col("r.kmv").as("kmv"))
       .withColumn("ndv_est",
         when(size(col("kmv")) < KmvK, size(col("kmv")).cast("long"))
           .otherwise(round(estD, 0).cast("long")))

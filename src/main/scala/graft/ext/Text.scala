@@ -38,12 +38,22 @@ object Text {
     s"len(list_filter(toks, t -> list_contains($lst, t))) / len(toks)"
   }
 
+  /** The corpus scan behind the per-doc map-heavy queries
+    * (tokenize / regex / rolling-hash projections), fanned out across
+    * the session's slots when the scan's row-group layout underfills
+    * them ([[Tables.fanOut]]) — a no-op on a real many-row-group
+    * corpus. The memo-based families (`distinct_tokens`,
+    * `shingle_rows`, …) already repartition inside their cache build;
+    * this covers the one-shot scans. */
+  private def fannedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(s, Tables.documents(s, dir))
+
   /** Quality scoring: length, token stats, punctuation + stopword
     * ratios, and a simple acceptance flag — the filters a pretraining
     * data pipeline runs before anything expensive. */
   def quality(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -64,7 +74,7 @@ object Text {
     * no shuffle — is identical. */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    val base = Tables.documents(s, dir).select(
+    val base = fannedDocs(s, dir).select(
       col("doc_id"), col("lang"),
       hitRatio(t, stopEn).as("s_en"), hitRatio(t, stopDe).as("s_de"),
       hitRatio(t, stopFr).as("s_fr"), hitRatio(t, stopEs).as("s_es"))
@@ -82,12 +92,16 @@ object Text {
   /** Token counting: whitespace tokens and a BPE-ish regex token
     * count (letters / digit-runs / punct-runs as separate tokens). */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
+    // bare scan, no fan-out: the native count kernel left nothing
+    // here worth a redistribution shuffle
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+        // native run-count kernel ≡ size(regexp_extract_all(text,
+        // "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")) without materializing
+        // the match array ([[graft.functions.TextKernels]])
+        graft.functions.TextKernels.bpeTokenCount(col("text"))
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
@@ -95,7 +109,7 @@ object Text {
     * pre-combines map-side, so the shuffle carries one row per
     * (partition, distinct token) — vocabulary-sized, not corpus-sized. */
   def termFreq(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
@@ -108,7 +122,7 @@ object Text {
     * sketch `approx_count_distinct` — `TextSpec` asserts the sketch
     * lands within its error bound of this exact query. */
   def vocabStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .agg(
         countDistinct(col("token")).as("vocab_size"),
@@ -133,7 +147,7 @@ object Text {
     * so shuffle order cannot move the result and the oracle lands
     * bit-equal. */
   def entropyBySource(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
+    val tf = fannedDocs(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("tf"))
     val tot = tf.groupBy("source").agg(
@@ -176,7 +190,7 @@ object Text {
     * at-or-before the k-th threshold pair — exactly the old rank ≤ k,
     * all pairs being distinct (the token is unique per row). */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
+    val tf = fannedDocs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
     // k-th thresholds: TakeOrderedAndProject keeps CoverageKs.max
@@ -222,7 +236,7 @@ object Text {
     * corpus count is the only broadcast. Per-doc window on (doc,
     * score). */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = fannedDocs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     // corpus size as a broadcast 1-row frame — no driver-side action
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
@@ -247,8 +261,15 @@ object Text {
     * text — the canonical-form key for exact-after-normalization
     * dedup (a cheap, exact complement to MinHash). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    // fused native kernel ≡ trim(regexp_replace(regexp_replace(
+    //   lower(text), "[^a-z0-9 ]", ""), "\\s+", " ")) — the regex
+    // chain was ~80 ns/char, the whole remaining data path of this
+    // query at 10× bench scale ([[graft.functions.TextKernels]]);
+    // lower() stays OUTSIDE so Unicode one-to-many mappings precede
+    // the ASCII class filter exactly as in the chain + oracle
+    val norm = graft.functions.TextKernels.fingerprintNorm(lower(col("text")))
+    // bare scan, no fan-out: with the kernel the map side is ~1 ns/
+    // char — a redistribution shuffle would cost more than it saves
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(norm.cast("binary")).as("fingerprint"))
       .orderBy("doc_id")
@@ -304,7 +325,7 @@ object Text {
           when(run > acc("best"), x).otherwise(acc("arg")).as("arg"))
       })
     val topFrac = lit(2) * col("top_bigram_n") / col("n_tokens")
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .filter(size(t) >= 2)
       .select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
@@ -340,7 +361,7 @@ object Text {
     * engine-specific. The 20-term collect is bounded by the top-k
     * size, not the corpus. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
     val cms = toks.stat.countMinSketch("token", CmsEps, CmsConf, CmsSeed)
     val top = termFreq(s, dir)
@@ -370,7 +391,7 @@ object Text {
     * decimal-sum path, so accumulation order cannot shift the result
     * and both engines derive xent/ppl from the identical double. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    val tok = fannedDocs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val totals = tf.agg(sum("cnt").as("n_corpus"), count(lit(1)).as("vocab"))
@@ -411,7 +432,7 @@ object Text {
     * [[graft.operators.Relational.priceRegression]] discipline). */
   def zipfFit(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Num.dsumExact
-    val top = Tables.documents(s, dir)
+    val top = fannedDocs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
@@ -447,7 +468,7 @@ object Text {
     * double means go through the exact decimal-sum path. */
   def qualityBySource(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(
         col("source"),
         size(t).cast("long").as("n_tokens"),
@@ -480,7 +501,7 @@ object Text {
     * equals the one-window form (asserted in `TextSpec`). Ranking is
     * (count desc, token asc) — deterministic integer ordering. */
   def topTermsPerLang(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
+    val tf = fannedDocs(s, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("n"))
@@ -510,7 +531,7 @@ object Text {
     * dimension), keeping the clip pass map-side, and the clipped
     * means go through the exact decimal-sum path. */
   def winsorizedTokens(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    val base = fannedDocs(s, dir)
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
     val pct = base.groupBy("lang").agg(
       percentile(col("n_tokens"), lit(0.05)).as("p05"),
@@ -541,7 +562,7 @@ object Text {
   private[ext] val SearchTerms = Seq("vector", "merge", "window")
 
   def keywordSearch(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val posts = d
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(SearchTerms.map(t => t: Any): _*))
@@ -582,7 +603,7 @@ object Text {
     * at 8 dp before the ≤|terms|-element sum, and the final score
     * rounds at 4 dp — the rank-feeding value, identical in DuckDB. */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    val tok = fannedDocs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(
@@ -679,7 +700,7 @@ object Text {
       transform(sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice(toks, i * ChunkTok + 1, lit(ChunkTok)))))
       .otherwise(array().cast("array<string>"))
-    val inst = Tables.documents(s, dir)
+    val inst = fannedDocs(s, dir)
       .select(col("doc_id"), col("source"), explode(chunkArr).as("chunk"))
     val dfreq = inst.select("doc_id", "chunk").distinct()
       .groupBy("chunk").agg(count(lit(1)).as("df_docs"))
@@ -711,7 +732,7 @@ object Text {
     * count, replace, hash — zero shuffle at any corpus size (the
     * output sort is the only exchange). */
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    val base = fannedDocs(s, dir)
     val t0 = when(col("doc_id") % 5 === 0,
       concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@example.com")))
@@ -755,7 +776,7 @@ object Text {
           16, 10).cast("long").cast("double")
           / lit(5.76460752303423488e17) - lit(1.0), 8)
         .cast("decimal(25,8)")
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),

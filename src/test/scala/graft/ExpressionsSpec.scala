@@ -102,4 +102,51 @@ class ExpressionsSpec extends SparkSpec {
       df.select(sortedIntersectSize(col("a"), col("b"))).collect()
     }
   }
+
+  // tricky fixture shared by both text kernels: case, punctuation,
+  // runs of mixed whitespace, leading/trailing junk, digits glued to
+  // letters, empty/whitespace-only strings, multibyte UTF-8 (2- and
+  // 3-byte code points, adjacent and interleaved), the İ one-to-many
+  // lowercase mapping, and the Kelvin sign K (lowercases to ASCII k)
+  private val kernelFixture = Seq(
+    "Hello, World!  42x", "  a .  b  ", "...", "", "   ",
+    "tabs\tand\nnewlines\f\rhere", "abc123def", "ÉLAN déjà-vu",
+    "日本語テスト text", "İstanbul", "Kelvin", "a b",
+    "mixed ÅçÇ 99 end.", "naïve—café", "(x)+(y)=z", "__under__score__")
+
+  test("fingerprint_norm == the regex normalize chain (incl. unicode)") {
+    val df = kernelFixture.toDF("text")
+    val chain = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    val got = df.select(
+      graft.functions.TextKernels.fingerprintNorm(lower(col("text"))).as("fast"),
+      chain.as("ref"), col("text")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"input=${r.getString(2)} fast=${r.getString(0)} ref=${r.getString(1)}"))
+  }
+
+  test("bpe_token_count == size(regexp_extract_all(...)) (incl. unicode)") {
+    val df = kernelFixture.toDF("text")
+    val ref = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+    val got = df.select(
+      graft.functions.TextKernels.bpeTokenCount(col("text")).as("fast"),
+      ref.as("ref"), col("text")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"input=${r.getString(2)} fast=${r.getInt(0)} ref=${r.getInt(1)}"))
+  }
+
+  test("text kernels: null input yields null; interpreted == codegen") {
+    val df = Seq(Option.empty[String], Some("A  b!")).toDF("text")
+    val rows = df.select(
+      graft.functions.TextKernels.fingerprintNorm(lower(col("text"))),
+      graft.functions.TextKernels.bpeTokenCount(col("text"))).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    // interpreted path (literal eval, no codegen)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.TextKernels
+      .normalize(UTF8String.fromString("a  b!")).toString == "a b")
+    assert(graft.functions.TextKernels
+      .bpeCount(UTF8String.fromString("A  b!42c")) == 5)
+  }
 }
