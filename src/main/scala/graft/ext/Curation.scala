@@ -36,8 +36,8 @@ object Curation {
     * DuckDB: `CAST(concat('0x', substr(md5(key || doc_id), 1, 15)) AS
     * BIGINT)`. */
   private def docHash60(key: String): Column =
-    conv(substring(md5(concat(lit(key), col("doc_id").cast("string"))
-      .cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5Hash60(
+      concat(lit(key), col("doc_id").cast("string")))
 
   private def docHash60Sql(key: String): String =
     s"CAST(concat('0x', substr(md5('$key' || doc_id), 1, 15)) AS BIGINT)"
@@ -235,14 +235,13 @@ object Curation {
   private val EvalMod   = 37L // eval split: doc_id % EvalMod == 0
 
   /** 60-bit hashes of the doc's [[DecontamN]]-token shingles (empty
-    * when the doc is shorter than one shingle — `sequence` would
-    * otherwise run DESCENDING for a negative span). */
+    * when the doc is shorter than one shingle) — the native
+    * [[graft.functions.NgramHash60]] kernel; bit-identical to the
+    * interpreted `transform(sequence(...), i => conv(substring(md5(
+    * concat_ws(" ", slice(t,i,n))...)` chain it replaces (asserted in
+    * ExpressionsSpec) at a fraction of the per-shingle cost. */
   private def ngramHashes(t: Column): Column =
-    when(size(t) >= DecontamN,
-      transform(sequence(lit(1), size(t) - (DecontamN - 1)),
-        i => conv(substring(md5(concat_ws(" ", slice(t, i, lit(DecontamN)))
-          .cast("binary")), 1, 15), 16, 10).cast("long")))
-      .otherwise(array().cast("array<long>"))
+    graft.functions.NgramHash60.ngramHash60(t, DecontamN)
 
   /** Benchmark decontamination — the pipeline stage every serious
     * training-data run performs between dedup and packing: flag any
@@ -420,9 +419,8 @@ object Curation {
   def leakFreeSplit(s: SparkSession, dir: String): DataFrame =
     Dedup.clusters(s, dir)
       .withColumn("h",
-        pmod(conv(substring(md5(concat(lit("split:"),
-          col("cluster_rep").cast("string")).cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(1000)))
+        pmod(graft.functions.Md5Hash60.md5Hash60(concat(lit("split:"),
+          col("cluster_rep").cast("string"))), lit(1000)))
       .withColumn("split",
         when(col("h") < ValPermille, lit("val")).otherwise(lit("train")))
       .select(col("doc_id"), col("cluster_rep"), col("split"))
@@ -470,7 +468,7 @@ object Curation {
   def profileColumns(s: SparkSession, dir: String): DataFrame = {
     val kvs = ProfileCols.map { case (n, v, _) =>
       struct(lit(n).as("col_name"), v.as("v")) }
-    Tables.lineitem(s, dir)
+    Tables.fanOut(s, Tables.lineitem(s, dir))
       .select(explode(array(kvs: _*)).as("kv"))
       .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
       .groupBy("col_name")
@@ -596,8 +594,8 @@ object Curation {
       .select(col("doc_id"), col("source"),
         explode(Text.tokens(col("text"))).as("token"))
       .withColumn("b",
-        pmod(conv(substring(md5(concat(lit("dsir:"), col("token"))
-          .cast("binary")), 1, 15), 16, 10).cast("long"), lit(DsirBuckets)))
+        pmod(graft.functions.Md5Hash60.md5Hash60(
+          concat(lit("dsir:"), col("token"))), lit(DsirBuckets)))
     val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("source") === DsirTarget)
       .groupBy("b").agg(count(lit(1)).as("ct"))
@@ -645,9 +643,9 @@ object Curation {
       .withColumn("epoch",
         explode(array((0 until ShuffleEpochs).map(lit(_)): _*)))
       .withColumn("h",
-        conv(substring(md5(concat(lit("epoch"), col("epoch").cast("string"),
-          lit(":"), col("doc_id").cast("string")).cast("binary")), 1, 15),
-          16, 10).cast("long"))
+        graft.functions.Md5Hash60.md5Hash60(
+          concat(lit("epoch"), col("epoch").cast("string"),
+            lit(":"), col("doc_id").cast("string"))))
       .withColumn("bucket", floor(col("h") / lit(1L << 52)).cast("long"))
     val sums = d.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -704,9 +702,10 @@ object Curation {
       .withColumn("b",
         explode(array((0 until BootReps).map(lit(_)): _*)))
       .withColumn("u",
-        (conv(substring(md5(concat(lit("boot"), col("b").cast("string"),
-          lit(":"), col("doc_id").cast("string")).cast("binary")), 1, 15),
-          16, 10).cast("double") + lit(1.0)) / lit(math.pow(2.0, 60)))
+        (graft.functions.Md5Hash60.md5Hash60(
+          concat(lit("boot"), col("b").cast("string"),
+            lit(":"), col("doc_id").cast("string"))).cast("double")
+          + lit(1.0)) / lit(math.pow(2.0, 60)))
     // fold in REVERSE so the smallest threshold lands outermost —
     // the ladder must test c_0 first (earliest threshold wins)
     val wLadder = PoisCdf.zipWithIndex.reverse

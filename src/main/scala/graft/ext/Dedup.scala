@@ -31,7 +31,7 @@ object Dedup {
     * base-16 integer. DuckDB equivalent:
     * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`. */
   private def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5Hash60(c)
 
   /** Distinct (doc_id, tok) rows — the shared input of the Jaccard /
     * MinHash / SimHash family. Cached + memoized per (session, dir)

@@ -184,7 +184,7 @@ object Similarity {
   /** 60-bit md5 hash (first 15 hex digits as base-16 int) — computed
     * identically by DuckDB, used to seed the k-means init. */
   private def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5Hash60(c)
 
   /** Deterministic Lloyd k-means over the corpus vectors — the IVF
     * build step. Init is an md5-seeded random partition

@@ -506,8 +506,8 @@ object Text {
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("n"))
       .withColumn("salt",
-        pmod(conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(LangTopSalts)))
+        pmod(graft.functions.Md5Hash60.md5Hash60(col("token")),
+          lit(LangTopSalts)))
     val perSlice = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "salt").orderBy(col("n").desc, col("token").asc)
     val perLang = org.apache.spark.sql.expressions.Window
@@ -772,8 +772,8 @@ object Text {
     // w(t) = h60("qw:" ++ t) / 2^59 − 1 ∈ [−1, 1), rounded to 8 dp
     def w(t: Column): Column =
       round(
-        conv(substring(md5(concat(lit("qw:"), t).cast("binary")), 1, 15),
-          16, 10).cast("long").cast("double")
+        graft.functions.Md5Hash60.md5Hash60(concat(lit("qw:"), t))
+          .cast("double")
           / lit(5.76460752303423488e17) - lit(1.0), 8)
         .cast("decimal(25,8)")
     fannedDocs(s, dir)

@@ -488,8 +488,8 @@ object Payroll {
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     val ser = series(s, dir)
     val bounds = ser.agg(min("month").as("mn"), max("month").as("mx"))
-    val monthHash = conv(substring(md5(col("month").cast("string")
-      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val monthHash =
+      graft.functions.Md5Hash60.md5Hash60(col("month").cast("string"))
     val gapped = ser.crossJoin(broadcast(bounds))
       .filter(col("month") === col("mn") || col("month") === col("mx") ||
         pmod(monthHash, lit(5)) =!= 0)

@@ -848,7 +848,7 @@ object Relational {
     * stated in pure integers (`3·|A|·|B| / W` ≥ the e/W bound). */
   def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
     val hash60 = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      graft.functions.Md5Hash60.md5Hash60(c)
     def sketch(df: DataFrame): DataFrame =
       df.select(explode(array((0 until JcmsD).map(d =>
           struct(lit(d).as("d"),

@@ -136,6 +136,45 @@ class ExpressionsSpec extends SparkSpec {
       s"input=${r.getString(2)} fast=${r.getInt(0)} ref=${r.getInt(1)}"))
   }
 
+  test("ngram_hash60 == the interpreted md5/conv transform chain") {
+    val df = Seq(
+      Seq("a", "b", "c", "d", "e", "f"),
+      Seq("x", "y", "z", "w", "v"),          // exactly one 5-shingle
+      Seq("too", "short"),                   // below width -> empty
+      Seq.empty[String],
+      Seq("ünï", "códe", "多字", "toks", "mixed", "bytes"),
+    ).toDF("t")
+    val n = 5
+    val chain = when(size(col("t")) >= n,
+      transform(sequence(lit(1), size(col("t")) - (n - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(col("t"), i, lit(n)))
+          .cast("binary")), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val got = df.select(
+      graft.functions.NgramHash60.ngramHash60(col("t"), n).as("fast"),
+      chain.as("ref")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+  }
+
+  test("md5_hash60 == conv(substring(md5(...))) chain on strings and binary") {
+    val df = Seq("", "a", "sample:42", "ünïcode 多字", "qw:the", "0" * 200)
+      .toDF("v")
+    val got = df.select(
+      graft.functions.Md5Hash60.md5Hash60(col("v")).as("fast"),
+      conv(substring(md5(col("v").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("ref"),
+      graft.functions.Md5Hash60.md5Hash60(col("v").cast("binary")).as("fastBin"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(2) == r.getLong(1), r.toString)
+    }
+    val nulls = Seq(Option.empty[String]).toDF("v")
+      .select(graft.functions.Md5Hash60.md5Hash60(col("v"))).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("text kernels: null input yields null; interpreted == codegen") {
     val df = Seq(Option.empty[String], Some("A  b!")).toDF("text")
     val rows = df.select(
