@@ -243,12 +243,17 @@ object Similarity {
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {
     import graft.functions.Num.davg
     val vs = vectors(s, dir)
-    var assign = vs.select(col("vec_id"),
+    // the assignment frames CARRY (v, nrm): every per-round frame is
+    // a pure map over the corpus, so the centroid aggregation reads
+    // it directly — the earlier vs ⋈ assign self-join re-shuffled the
+    // corpus on vec_id once per Lloyd round for data the map side
+    // already had in hand
+    var assign = vs.select(col("vec_id"), col("v"), col("nrm"),
       pmod(md5Hash60(col("vec_id").cast("string")), lit(k))
         .cast("int").as("cell"))
     var cents: Seq[(Int, Seq[Double], Double)] = Nil
     for (_ <- 0 until iters) {
-      val rows = vs.join(assign, Seq("vec_id"))
+      val rows = assign
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(davg(col("x")).as("cx"))
@@ -261,7 +266,7 @@ object Similarity {
       }.sortBy(_._1)
       assign = assignToNearestAny(vs, cents)
     }
-    (assign, cents)
+    (assign.select("vec_id", "cell"), cents)
   }
 
   /** Map-side nearest-centroid assignment: each centroid is a literal
@@ -275,7 +280,7 @@ object Similarity {
         (dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cnrm))).as("cos"),
         lit(-c).as("negc"))
     }: _*)
-    vs.select(col("vec_id"),
+    vs.select(col("vec_id"), col("v"), col("nrm"),
       (-array_max(scored).getField("negc")).cast("int").as("cell"))
   }
 
@@ -293,12 +298,17 @@ object Similarity {
     val s = vs.sparkSession
     import s.implicits._
     val centDF = broadcast(cents.toDF("cell", "cv", "cnrm"))
+    // v/nrm ride INSIDE the max struct (same values on every row of a
+    // vec_id; negc is distinct per row so they never decide the max)
+    // — the assignment keeps the vector without a join back
     vs.crossJoin(centDF)
       .select(col("vec_id"),
         struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"),
-          (-col("cell")).as("negc")).as("sc"))
+          (-col("cell")).as("negc"), col("v").as("v"), col("nrm").as("nrm"))
+          .as("sc"))
       .groupBy("vec_id").agg(max(col("sc")).as("m"))
-      .select(col("vec_id"), (-col("m.negc")).cast("int").as("cell"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        (-col("m.negc")).cast("int").as("cell"))
   }
 
   /** Literal scoring for model-sized k (fully codegen'd, zero
