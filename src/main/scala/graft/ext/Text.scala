@@ -792,6 +792,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_linear" -> (qualityLinear _),
     "text_boilerplate_chunks" -> (boilerplateChunks _),
+    "text_bpe_train" -> (bpeTrain _),
     "text_pii_scrub" -> (piiScrub _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_lm" -> (bigramLm _),
@@ -814,6 +815,94 @@ object Text {
     "text_entropy_by_source" -> (entropyBySource _),
     "text_vocab_coverage" -> (vocabCoverage _),
   )
+
+  private[graft] val BpeRounds = 6
+
+  /** Byte-pair-encoding vocabulary TRAINING (Sennrich et al. 2016) —
+    * the tokenizer-learning step of a pretraining pipeline: learn the
+    * first [[BpeRounds]] merges over the corpus's word-frequency
+    * table. Each round counts every adjacent symbol pair (weighted by
+    * word frequency), merges the most frequent pair corpus-wide
+    * (ties: lexicographic on the pair), and rewrites the symbol
+    * sequences with canonical LEFT-TO-RIGHT GREEDY application — in a
+    * run of overlapping matches (`a a a a` under merge `(a,a)`) the
+    * 1st, 3rd, … apply, which the rewrite expresses relationally:
+    * candidate positions group into consecutive runs (`pos − rank`
+    * constant) and even offsets from each run's start apply. No UDF,
+    * no driver loop over data — the per-round driver sync is ONE
+    * (pair, count) row, the Lloyd-centroid pattern.
+    *
+    * Scale shape: everything after the corpus tokenize is
+    * VOCABULARY-sized (the word-frequency table — the same table a
+    * real BPE trainer holds; HuggingFace's trainer keeps it in one
+    * process, this one shards it): per round, a pre-combined pair
+    * count, a TakeOrdered(1), and a rewrite join keyed (word, pos) —
+    * shuffle-hash, the corpus-derived-side discipline. Rounds chain
+    * relationally with each round's form table cached (bounded:
+    * vocabulary rows × shrinking symbol arrays). Restricting trained
+    * words to `^[a-z]+$` pins cross-engine char semantics to ASCII
+    * (real trainers pre-normalize the same way). Fixed round budget,
+    * not convergence — deterministic cost, the bounded-build norm.
+    * Output: the learned merge table (rank, pair, merged symbol,
+    * corpus pair count) — integer/string arithmetic only, replayed
+    * bit-for-bit by the oracle's [[BpeRounds]] unrolled CTE rounds. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = fannedDocs(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var forms = words.select(col("word"), col("cnt"),
+      regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("syms"))
+      .localCheckpoint() // truncate lineage per round: plans stay flat
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    val wPos = Window.partitionBy("word").orderBy("pos")
+    for (r <- 1 to BpeRounds) {
+      val symRows = forms
+        .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+      val best = symRows.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE round $r: no adjacent pairs in corpus")
+      val (ba, bb, bn) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r.toLong, ba, bb, ba + bb, bn))
+      // Canonical greedy application, join-free: every flag below is
+      // a window over the ONE (word, pos) sort symRows already has.
+      // Candidate runs share `pos − candidate_rank` (rid); the run
+      // start is the min candidate pos of the (word, rid) group; a
+      // candidate applies at even offset from its run start; the
+      // successor of an applied position drops.
+      if (r < BpeRounds) { // final round trains its merge only
+        val cnd = col("sym") === lit(ba) && col("nxt") === lit(bb)
+        val crk = sum(when(cnd, 1).otherwise(0))
+          .over(wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val wRun = Window.partitionBy("word", "rid")
+        forms = symRows
+          .withColumn("cand", cnd)
+          .withColumn("rid", when(cnd, col("pos") - crk))
+          .withColumn("p0", min(when(col("cand"), col("pos"))).over(wRun))
+          .withColumn("m",
+            col("cand") && pmod(col("pos") - col("p0"), lit(2)) === 0)
+          .withColumn("dropped", coalesce(lag(col("m"), 1).over(wPos), lit(false)))
+          .filter(!col("dropped"))
+          .select(col("word"), col("cnt"), col("pos"),
+            when(col("m"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("out"))
+          .groupBy("word", "cnt")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("out")))),
+            x => x.getField("out")).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    import s.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
 
   /** Bigram language model with add-one smoothing, scored as per-doc
     * perplexity — the CCNet-style quality gate a corpus pipeline runs
@@ -859,7 +948,53 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** [[BpeRounds]] unrolled BPE rounds mirroring [[bpeTrain]]
+    * bit-for-bit: per round r, `sr{r}` explodes the symbol arrays
+    * (1-based j; parity logic is base-invariant), `b{r}` is the
+    * (count desc, pair asc) argmax, `ap{r}` applies the canonical
+    * left-to-right greedy (runs of consecutive candidate positions,
+    * even offsets from each run's start), `f{r+1}` rewrites. Pure
+    * integer/string arithmetic — no float anywhere. */
+  private def bpeOracle: String = {
+    val init =
+      s"""t AS (SELECT unnest($tokSql) AS word FROM documents),
+         |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t
+         |  WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY 1),
+         |f0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS syms FROM w)""".stripMargin
+    val rounds = (0 until BpeRounds).map { r =>
+      s"""sr$r AS MATERIALIZED (SELECT word, cnt, j, syms[j] AS sym,
+         |    CASE WHEN j < len(syms) THEN syms[j + 1] END AS nxt
+         |  FROM (SELECT word, cnt, syms,
+         |      unnest(range(1, len(syms) + 1)) AS j FROM f$r)),
+         |b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM sr$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |cd$r AS MATERIALIZED (SELECT word, j,
+         |    j - row_number() OVER (PARTITION BY word ORDER BY j) AS rid
+         |  FROM sr$r WHERE sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)),
+         |ap$r AS MATERIALIZED (SELECT word, j FROM (SELECT word, j,
+         |      min(j) OVER (PARTITION BY word, rid) AS j0 FROM cd$r)
+         |  WHERE (j - j0) % 2 = 0),
+         |f${r + 1} AS MATERIALIZED (SELECT word, cnt, list(out ORDER BY j) AS syms FROM (
+         |    SELECT s.word, s.cnt, s.j,
+         |      CASE WHEN a1.j IS NOT NULL THEN s.sym || s.nxt ELSE s.sym END AS out
+         |    FROM sr$r s
+         |    LEFT JOIN ap$r a1 ON s.word = a1.word AND s.j = a1.j
+         |    LEFT JOIN ap$r a2 ON s.word = a2.word AND s.j = a2.j + 1
+         |    WHERE a2.j IS NULL) GROUP BY 1, 2)""".stripMargin
+    }
+    val out = (0 until BpeRounds).map { r =>
+      s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
+         |  a || b AS merged, n AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (init +: rounds).mkString("WITH ", ",\n", "\n") +
+      out + "\nORDER BY merge_rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the unrolled-round trainer oracle (doc above)
+    "text_bpe_train" -> bpeOracle,
+
     // identical smoothing tree and the shared 8-dp-rounded
     // exact-decimal log-prob discipline, one order up from
     // text_lm_score; bigrams zip positionally like text_pmi_bigrams

@@ -108,6 +108,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_pii_scrub" -> "regexp_extract_all + regexp_replace 'g' flag",
     "dedup_duplicate_spans" -> "string_split_regex + list slicing",
     "sim_eval_recall" -> "list_dot_product",
+    "text_bpe_train" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {

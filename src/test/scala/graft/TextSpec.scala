@@ -276,4 +276,77 @@ class TextSpec extends SparkSpec {
       assert(eff > 0 && eff <= 1.0, s"$src: efficiency $eff out of range")
     }
   }
+
+  /** Reference BPE: word-frequency table in, first `rounds` merges
+    * out, canonical left-to-right greedy application (overlapping
+    * matches: 1st, 3rd, … of each run apply). */
+  private def referenceBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    var forms: Map[Vector[String], Long] =
+      words.groupBy(_._1.toVector.map(_.toString))
+        .view.mapValues(_.values.sum).toMap
+    (1 to rounds).map { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      forms.foreach { case (syms, cnt) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + cnt }
+      }
+      val ((ba, bb), bn) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      forms = forms.toSeq.map { case (syms, cnt) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == ba && syms(i + 1) == bb) {
+            out += (ba + bb); i += 2  // greedy: consume both, no overlap
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), cnt)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (ba, bb, bn)
+    }
+  }
+
+  test("BPE merges match the reference greedy trainer on the corpus") {
+    val words = Tables.documents(spark, sf0001)
+      .select("text").collect().flatMap(_.getString(0).trim.split("\\s+"))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = referenceBpe(words, graft.ext.Text.BpeRounds)
+    val got = graft.ext.Text.bpeTrain(spark, sf0001).collect()
+    assert(got.length == graft.ext.Text.BpeRounds)
+    got.zip(want).foreach { case (r, (a, b, n)) =>
+      assert(r.getString(1) == a && r.getString(2) == b &&
+        r.getString(3) == a + b && r.getLong(4) == n,
+        s"rank ${r.getLong(0)}: got (${r.getString(1)},${r.getString(2)}," +
+          s"${r.getLong(4)}) want ($a,$b,$n)")
+    }
+  }
+
+  test("BPE greedy application: overlapping runs merge 1st, 3rd, ...") {
+    // corpus engineered so merge 1 is (a,a): "aaaa" must become
+    // (aa)(aa) — run positions 0,1,2 with 0 and 2 applied — and
+    // "aaa" must become (aa)(a); round 2 counts then see the merged
+    // symbols, which only the canonical application produces
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_runs").toString
+    import spark.implicits._
+    Seq(
+      (1L, "aaaa aaaa aaaa xy", "en", "src0"),
+      (2L, "aaa aaa xy xy", "en", "src0"),
+      (3L, "aa ba xy", "en", "src0"),
+      (4L, "abcdefgh abcdefgh", "en", "src0")) // pair fuel for 6 rounds
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val words = Map("aaaa" -> 3L, "aaa" -> 2L, "xy" -> 4L, "aa" -> 1L,
+      "ba" -> 1L, "abcdefgh" -> 2L)
+    val want = referenceBpe(words, graft.ext.Text.BpeRounds)
+    // sanity on the fixture itself: merge 1 is (a,a) with overlap
+    // counting (3 words "aaaa" x 3 pairs + 2 x "aaa" x 2 pairs + "aa")
+    assert(want.head == ("a", "a", 14L), s"fixture drifted: ${want.head}")
+    val got = graft.ext.Text.bpeTrain(spark, tmp).collect()
+    got.zip(want).foreach { case (r, (a, b, n)) =>
+      assert(r.getString(1) == a && r.getString(2) == b && r.getLong(4) == n,
+        s"rank ${r.getLong(0)}: got (${r.getString(1)},${r.getString(2)}," +
+          s"${r.getLong(4)}) want ($a,$b,$n)")
+    }
+  }
 }
