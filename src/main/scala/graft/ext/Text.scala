@@ -793,6 +793,7 @@ object Text {
     "text_quality_linear" -> (qualityLinear _),
     "text_boilerplate_chunks" -> (boilerplateChunks _),
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_pii_scrub" -> (piiScrub _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_lm" -> (bigramLm _),
@@ -846,37 +847,47 @@ object Text {
     * Output: the learned merge table (rank, pair, merged symbol,
     * corpus pair count) — integer/string arithmetic only, replayed
     * bit-for-bit by the oracle's [[BpeRounds]] unrolled CTE rounds. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = fannedDocs(s, dir)
-      .select(explode(tokens(col("text"))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    var forms = words.select(col("word"), col("cnt"),
-      regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("syms"))
-      .localCheckpoint() // truncate lineage per round: plans stay flat
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, String, Long)]
-    val wPos = Window.partitionBy("word").orderBy("pos")
-    for (r <- 1 to BpeRounds) {
-      val symRows = forms
-        .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
-        .withColumn("nxt", lead(col("sym"), 1).over(wPos))
-      val best = symRows.filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(sum("cnt").as("n"))
-        .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
-        .limit(1).collect()
-      require(best.nonEmpty, s"BPE round $r: no adjacent pairs in corpus")
-      val (ba, bb, bn) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((r.toLong, ba, bb, ba + bb, bn))
-      // Canonical greedy application, join-free: every flag below is
-      // a window over the ONE (word, pos) sort symRows already has.
-      // Candidate runs share `pos − candidate_rank` (rid); the run
-      // start is the min candidate pos of the (word, rid) group; a
-      // candidate applies at even offset from its run start; the
-      // successor of an applied position drops.
-      if (r < BpeRounds) { // final round trains its merge only
+  /** (session, dir)-memoized trainer core: the merge table AND the
+    * final (word, cnt, syms) forms after all [[BpeRounds]] merges —
+    * [[bpeTrain]] reports the former, [[bpeEncode]] tokenizes with
+    * the latter; the [[graft.ext.Similarity]] kmeansMemo pattern
+    * (train once, query many). */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Seq[(Long, String, String, String, Long)], DataFrame)]
+
+  private def trainBpe(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    bpeMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.expressions.Window
+      val words = fannedDocs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      var forms = words.select(col("word"), col("cnt"),
+        regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("syms"))
+        .localCheckpoint() // truncate lineage per round: plans stay flat
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      val wPos = Window.partitionBy("word").orderBy("pos")
+      for (r <- 1 to BpeRounds) {
+        val symRows = forms
+          .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
+          .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+        val best = symRows.filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(sum("cnt").as("n"))
+          .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
+          .limit(1).collect()
+        require(best.nonEmpty, s"BPE round $r: no adjacent pairs in corpus")
+        val (ba, bb, bn) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, ba, bb, ba + bb, bn))
+        // Canonical greedy application, join-free: every flag below is
+        // a window over the ONE (word, pos) sort symRows already has.
+        // Candidate runs share `pos − candidate_rank` (rid); the run
+        // start is the min candidate pos of the (word, rid) group; a
+        // candidate applies at even offset from its run start; the
+        // successor of an applied position drops.
         val cnd = col("sym") === lit(ba) && col("nxt") === lit(bb)
         val crk = sum(when(cnd, 1).otherwise(0))
           .over(wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -897,11 +908,44 @@ object Text {
             x => x.getField("out")).as("syms"))
           .localCheckpoint()
       }
-    }
+      graft.SessionMemo.registerCleanup(s, s"bpe:$dir") { () =>
+        bpeMemo.remove((s, dir)); ()
+      }
+      (merges.toSeq, forms)
+    })
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    merges.toSeq
+    trainBpe(s, dir)._1
       .toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
       .orderBy("merge_rank")
+  }
+
+  /** BPE ENCODING readout — the trained tokenizer applied back to the
+    * corpus: per source, word instances, character volume, post-merge
+    * symbol volume, and the compression ratio (symbols / characters —
+    * 1.0 with no merges, shrinking as merges bite). The encode itself
+    * is a broadcast-free vocabulary join: per-(source, word) counts
+    * (corpus-derived, shuffle-hash) against the trained forms table,
+    * weighted by count — the corpus is never re-walked symbol by
+    * symbol. Integer sums; one final rounded division on both
+    * engines. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val forms = trainBpe(s, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val ws = fannedDocs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    ws.join(forms.hint("shuffle_hash"), Seq("word"))
+      .groupBy("source")
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"),
+        sum(col("cnt") * col("n_syms")).as("n_symbols"))
+      .withColumn("compression",
+        round(col("n_symbols").cast("double") / col("n_chars"), 4))
+      .orderBy("source")
   }
 
   /** Bigram language model with add-one smoothing, scored as per-doc
@@ -961,28 +1005,7 @@ object Text {
          |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t
          |  WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY 1),
          |f0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS syms FROM w)""".stripMargin
-    val rounds = (0 until BpeRounds).map { r =>
-      s"""sr$r AS MATERIALIZED (SELECT word, cnt, j, syms[j] AS sym,
-         |    CASE WHEN j < len(syms) THEN syms[j + 1] END AS nxt
-         |  FROM (SELECT word, cnt, syms,
-         |      unnest(range(1, len(syms) + 1)) AS j FROM f$r)),
-         |b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS n
-         |  FROM sr$r WHERE nxt IS NOT NULL GROUP BY 1, 2
-         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
-         |cd$r AS MATERIALIZED (SELECT word, j,
-         |    j - row_number() OVER (PARTITION BY word ORDER BY j) AS rid
-         |  FROM sr$r WHERE sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)),
-         |ap$r AS MATERIALIZED (SELECT word, j FROM (SELECT word, j,
-         |      min(j) OVER (PARTITION BY word, rid) AS j0 FROM cd$r)
-         |  WHERE (j - j0) % 2 = 0),
-         |f${r + 1} AS MATERIALIZED (SELECT word, cnt, list(out ORDER BY j) AS syms FROM (
-         |    SELECT s.word, s.cnt, s.j,
-         |      CASE WHEN a1.j IS NOT NULL THEN s.sym || s.nxt ELSE s.sym END AS out
-         |    FROM sr$r s
-         |    LEFT JOIN ap$r a1 ON s.word = a1.word AND s.j = a1.j
-         |    LEFT JOIN ap$r a2 ON s.word = a2.word AND s.j = a2.j + 1
-         |    WHERE a2.j IS NULL) GROUP BY 1, 2)""".stripMargin
-    }
+    val rounds = (0 until BpeRounds).map(bpeRoundCte)
     val out = (0 until BpeRounds).map { r =>
       s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
          |  a || b AS merged, n AS pair_count FROM b$r""".stripMargin
@@ -991,9 +1014,61 @@ object Text {
       out + "\nORDER BY merge_rank"
   }
 
+  /** One unrolled oracle round (shared by [[bpeOracle]] and
+    * [[bpeEncodeOracle]]): explode (sr), argmax pair (b), candidate
+    * runs (cd), greedy-applied positions (ap), rewrite (f{r+1}).
+    * MATERIALIZED throughout — inlined CTEs re-expand the whole chain
+    * per reference, exponentially across rounds. */
+  private def bpeRoundCte(r: Int): String =
+    s"""sr$r AS MATERIALIZED (SELECT word, cnt, j, syms[j] AS sym,
+       |    CASE WHEN j < len(syms) THEN syms[j + 1] END AS nxt
+       |  FROM (SELECT word, cnt, syms,
+       |      unnest(range(1, len(syms) + 1)) AS j FROM f$r)),
+       |b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM sr$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+       |cd$r AS MATERIALIZED (SELECT word, j,
+       |    j - row_number() OVER (PARTITION BY word ORDER BY j) AS rid
+       |  FROM sr$r WHERE sym = (SELECT a FROM b$r) AND nxt = (SELECT b FROM b$r)),
+       |ap$r AS MATERIALIZED (SELECT word, j FROM (SELECT word, j,
+       |      min(j) OVER (PARTITION BY word, rid) AS j0 FROM cd$r)
+       |  WHERE (j - j0) % 2 = 0),
+       |f${r + 1} AS MATERIALIZED (SELECT word, cnt, list(out ORDER BY j) AS syms FROM (
+       |    SELECT s.word, s.cnt, s.j,
+       |      CASE WHEN a1.j IS NOT NULL THEN s.sym || s.nxt ELSE s.sym END AS out
+       |    FROM sr$r s
+       |    LEFT JOIN ap$r a1 ON s.word = a1.word AND s.j = a1.j
+       |    LEFT JOIN ap$r a2 ON s.word = a2.word AND s.j = a2.j + 1
+       |    WHERE a2.j IS NULL) GROUP BY 1, 2)""".stripMargin
+
+  /** Encode oracle: the trainer's identical unrolled rounds, read out
+    * through the FINAL forms table `f{BpeRounds}` joined to
+    * per-(source, word) counts — mirror of [[bpeEncode]]. */
+  private def bpeEncodeOracle: String = {
+    val init =
+      s"""t AS (SELECT unnest($tokSql) AS word FROM documents),
+         |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t
+         |  WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY 1),
+         |f0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS syms FROM w)""".stripMargin
+    val rounds = (0 until BpeRounds).map(bpeRoundCte)
+    val ws =
+      s"""ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest($tokSql) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY 1, 2)""".stripMargin
+    (init +: rounds :+ ws).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT source, CAST(SUM(ws.cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(ws.cnt * length(ws.word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(ws.cnt * len(f.syms)) AS BIGINT) AS n_symbols,
+         |  round(CAST(SUM(ws.cnt * len(f.syms)) AS DOUBLE) /
+         |    SUM(ws.cnt * length(ws.word)), 4) AS compression
+         |FROM ws JOIN f$BpeRounds f USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // the unrolled-round trainer oracle (doc above)
     "text_bpe_train" -> bpeOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
 
     // identical smoothing tree and the shared 8-dp-rounded
     // exact-decimal log-prob discipline, one order up from

@@ -109,6 +109,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_duplicate_spans" -> "string_split_regex + list slicing",
     "sim_eval_recall" -> "list_dot_product",
     "text_bpe_train" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
+    "text_bpe_encode" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
   )
 
   test("every ANSI-portable oracle text runs through spark.sql with identical results") {

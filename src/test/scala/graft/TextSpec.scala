@@ -322,6 +322,45 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("BPE encode: symbol volume matches the reference final forms") {
+    // replay the reference trainer to its FINAL forms and recompute
+    // the per-source encode stats driver-side
+    val rows = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allWords = rows.flatMap(_._2.trim.split("\\s+"))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // re-derive final symbol counts per word by applying the learned
+    // merges with the same greedy scan as referenceBpe
+    val merges = referenceBpe(allWords, graft.ext.Text.BpeRounds)
+      .map { case (a, b, _) => (a, b) }
+    def encode(word: String): Int = {
+      var syms = word.toVector.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val got = graft.ext.Text.bpeEncode(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val ws = ds.flatMap(_._2.trim.split("\\s+")).filter(_.matches("^[a-z]+$"))
+      val r = got(src)
+      assert(r.getLong(1) == ws.length, s"$src n_words")
+      assert(r.getLong(2) == ws.map(_.length.toLong).sum, s"$src n_chars")
+      assert(r.getLong(3) == ws.map(encode(_).toLong).sum, s"$src n_symbols")
+      assert(r.getLong(3) <= r.getLong(2), s"$src compression > 1")
+    }
+  }
+
   test("BPE greedy application: overlapping runs merge 1st, 3rd, ...") {
     // corpus engineered so merge 1 is (a,a): "aaaa" must become
     // (aa)(aa) — run positions 0,1,2 with 0 and 2 applied — and
