@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => WindowNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayAgreeCount, DotProduct, MinHashSketch, SortedIntersectSize}
+import graft.functions.{ArrayAgreeCount, BpeTokenCount, DotProduct,
+  FingerprintNorm, JaroWinkler, KmvSketch, Md5Hash60, MinHashSketch,
+  NgramHash60, SortedIntersectSize}
 
 /** Advisory lint (SURVEY.md §4): a `Window` with an empty partition
   * spec serializes its whole input onto one task — correct, and fine
@@ -100,6 +102,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Hash60(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("fingerprint_norm"),
+      new ExpressionInfo(classOf[FingerprintNorm].getName, "fingerprint_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FingerprintNorm(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeTokenCount(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("ngram_hash60"),
+      new ExpressionInfo(classOf[NgramHash60].getName, "ngram_hash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = exprs.lift(1)
+          .filter(_.foldable).map(_.eval()).collect {
+            case i: Int => i
+            case l: Long => l.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "ngram_hash60(toks, n): n must be an integer literal"))
+        NgramHash60(exprs(0), n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs.lift(1)
+          .filter(_.foldable).map(_.eval()).collect {
+            case i: Int => i
+            case l: Long => l.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "kmv_sketch(v, k): k must be an integer literal"))
+        KmvSketch(exprs(0), k).toAggregateExpression()
+      }))
     e.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),

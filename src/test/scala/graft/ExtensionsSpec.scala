@@ -16,6 +16,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getDouble(2) == 11.0)
   }
 
+  test("round-8 kernels are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT md5_hash60('abc') AS h, " +
+        "fingerprint_norm(lower('A  b!')) AS fp, " +
+        "bpe_token_count('ab 12x!') AS bc, " +
+        "ngram_hash60(array('a','b','c'), 2) AS ng, " +
+        "jaro_winkler('martha', 'marhta') AS jw").head()
+    // each must equal its Column-API twin
+    val ref = Seq(("abc", "A  b!", "ab 12x!", Seq("a", "b", "c"), "martha", "marhta"))
+      .toDF("s", "t", "u", "a", "x", "y")
+      .select(
+        graft.functions.Md5Hash60.md5Hash60(col("s")),
+        graft.functions.TextKernels.fingerprintNorm(lower(col("t"))),
+        graft.functions.TextKernels.bpeTokenCount(col("u")),
+        graft.functions.NgramHash60.ngramHash60(col("a"), 2),
+        graft.functions.JaroWinkler.jaroWinkler(col("x"), col("y"))).head()
+    assert(r.getLong(0) == ref.getLong(0))
+    assert(r.getString(1) == ref.getString(1) && r.getString(1) == "a b")
+    assert(r.getInt(2) == ref.getInt(2) && r.getInt(2) == 4)
+    assert(r.getSeq[Long](3) == ref.getSeq[Long](3))
+    assert(r.getDouble(4) == ref.getDouble(4))
+  }
+
+  test("kmv_sketch aggregates via SQL") {
+    val sig = spark.sql(
+      "SELECT kmv_sketch(t, 8) AS s FROM VALUES ('a'), ('b'), ('c') v(t)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 3 && sig == sig.sorted)
+  }
+
   test("minhash_sketch aggregates via SQL") {
     val sig = spark.sql(
       "SELECT minhash_sketch(t, 4) AS sig FROM VALUES ('a'), ('b'), ('c') v(t)")
