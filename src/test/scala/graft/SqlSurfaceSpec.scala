@@ -30,6 +30,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "graph_triangles" -> "minhash CTE (string_split_regex + hex-string casts)",
     "graph_link_prediction" -> "minhash CTE (string_split_regex + hex-string casts)",
     "graph_clustering" -> "minhash CTE (string_split_regex + hex-string casts)",
+    "graph_label_prop" -> "minhash CTE (string_split_regex + hex-string casts)",
     "sim_hard_negatives" -> "list_dot_product",
     "text_pmi_bigrams" -> "unnest() zipped list_transform bigrams",
     "text_bigram_lm" -> "unnest() zipped list_transform bigrams",
