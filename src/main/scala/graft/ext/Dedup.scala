@@ -450,6 +450,64 @@ object Dedup {
       .orderBy("doc_id", "start_pos")
   }
 
+  /** Span-level dedup EXCISION — the action to [[duplicateSpans]]'
+    * detection (Lee et al. 2022 §4: cut every exact duplicated
+    * substring ≥ k tokens out of the corpus): drop each token
+    * position covered by a duplicated [[SpanGram]]-gram anchor,
+    * rebuild the survivors in order, report per doc the before/
+    * removed token counts and the md5 of the scrubbed
+    * (space-rejoined) text — the content key a downstream exact-dedup
+    * pass would consume.
+    *
+    * Coverage is computed with ONE window, no join and no per-anchor
+    * position explosion: anchor flags ride the token stream, and
+    * position q is covered iff any of the [[SpanGram]] rows ending at
+    * q carries an anchor — `max(flag) OVER (rows G−1 PRECEDING)`
+    * (positions are dense per doc, so the row frame IS the position
+    * range). Docs shorter than one gram pass through untouched; a
+    * fully-duplicated doc scrubs to the empty string. */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubOf(
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism))
+
+  /** [[spanScrub]] over an arbitrary (doc_id, text) frame —
+    * `DedupSpec` drives planted fixtures through this directly. */
+  private[graft] def spanScrubOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tk = Text.tokens(col("text"))
+    val base = docs
+      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
+    val withLeads = (1 until SpanGram).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(wDoc))
+    }
+    val flagged = withLeads
+      .withColumn("sh", when(col(s"t${SpanGram - 1}").isNotNull,
+        concat_ws(" ",
+          col("tok") +: (1 until SpanGram).map(i => col(s"t$i")): _*)))
+      .select(col("doc_id"), col("pos"), col("tok"), col("sh"))
+    val dupSh = flagged.filter(col("sh").isNotNull)
+      .groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("sh"), lit(1).as("anch"))
+    val marked = flagged
+      .join(dupSh.hint("shuffle_hash"), Seq("sh"), "left")
+      .withColumn("covered",
+        max(coalesce(col("anch"), lit(0)))
+          .over(wDoc.rowsBetween(-(SpanGram - 1), Window.currentRow)) === 1)
+    marked
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(!col("covered"), struct(col("pos"), col("tok"))))),
+            x => x.getField("tok"))).cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   private val WinnowW = 4
 
   /** Winnowing document fingerprints (Schleimer et al.): hash every
@@ -1380,6 +1438,7 @@ object Dedup {
     "graph_clustering" -> (clusteringCoeff _),
     "dedup_shingle_novelty" -> (shingleNovelty _),
     "dedup_duplicate_spans" -> (duplicateSpans _),
+    "dedup_span_scrub"    -> (spanScrub _),
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -1589,6 +1648,32 @@ object Dedup {
          |  CAST(max(p) - min(p) + $SpanGram AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, grp
          |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // identical anchors; coverage via the position-range join (the
+    // Spark side's window frame over dense positions computes the
+    // same [p, p+G-1] union); scrubbed text re-joins survivors in
+    // position order — md5 of identical bytes
+    "dedup_span_scrub" ->
+      s"""WITH d AS (SELECT doc_id, ${Text.tokSql} AS tv FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(tv) - ${SpanGram - 1}, 0))) AS p, tv
+         |  FROM d),
+         |h AS (SELECT doc_id, p,
+         |    array_to_string(tv[p + 1 : p + $SpanGram], ' ') AS sh FROM g),
+         |f AS (SELECT sh FROM h GROUP BY sh HAVING count(*) >= 2),
+         |anch AS (SELECT doc_id, p FROM h JOIN f USING (sh)),
+         |pos AS (SELECT doc_id, unnest(range(0, len(tv))) AS q, tv FROM d),
+         |cov AS (SELECT DISTINCT pos.doc_id, pos.q
+         |  FROM pos JOIN anch ON anch.doc_id = pos.doc_id
+         |    AND anch.p BETWEEN pos.q - ${SpanGram - 1} AND pos.q)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(c.q) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(
+         |    list(p.tv[p.q + 1] ORDER BY p.q) FILTER (WHERE c.q IS NULL),
+         |    ' '), '')) AS scrubbed_md5
+         |FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.q = p.q
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
 
     "dedup_shingle_novelty" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk

@@ -422,4 +422,40 @@ class DedupSpec extends SparkSpec {
     assert(d4.length == 2 && d4.forall(sp => sp._4 == 1L && sp._5 == 8L),
       s"d4: ${d4.toSeq}")
   }
+
+  test("span scrub: excised text matches a driver-side cut of the same spans") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val full = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six seven $run eight nine"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14"),
+      (4L, full), (5L, full), // exact dups -> scrub to empty
+      (6L, "tiny doc")) // under one gram -> untouched
+    val got = graft.ext.Dedup.spanScrubOf(fixture.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // driver replay: covered = union of [p, p+7] over duplicated
+    // 8-gram anchor positions, computed over the whole fixture
+    val toks = fixture.map { case (id, t) => id -> t.trim.split("\\s+").toVector }
+    val grams = toks.flatMap { case (id, tv) =>
+      tv.sliding(8).filter(_.size == 8).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) } }
+    val dupG = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    toks.foreach { case (id, tv) =>
+      val anchors = grams.filter(g => g._1 == id && dupG(g._3)).map(_._2)
+      val covered = anchors.flatMap(p => p until p + 8).toSet
+      val kept = tv.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t }.mkString(" ")
+      val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (n, rm, h) = got(id)
+      assert(n == tv.length, s"doc $id n_tokens")
+      assert(rm == covered.size, s"doc $id n_removed: $rm != ${covered.size}")
+      assert(h == wantMd5, s"doc $id hash")
+    }
+    assert(got(4L)._2 == 8 && got(5L)._2 == 8, "exact dups must fully scrub")
+    assert(got(6L)._2 == 0, "sub-gram doc must pass untouched")
+  }
 }

@@ -108,6 +108,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_boilerplate_chunks" -> "string_split_regex + list slicing",
     "text_pii_scrub" -> "regexp_extract_all + regexp_replace 'g' flag",
     "dedup_duplicate_spans" -> "string_split_regex + list slicing",
+    "dedup_span_scrub" -> "string_split_regex + list slicing + aggregate FILTER",
     "sim_eval_recall" -> "list_dot_product",
     "text_bpe_train" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
     "text_bpe_encode" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
