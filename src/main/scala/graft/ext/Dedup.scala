@@ -1136,6 +1136,11 @@ object Dedup {
       labels = labels
         .join(adopted.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        // labels feed BOTH next-round consumers (the adopt join and
+        // the keep-own fallback); materialize per round or the
+        // lineage re-executes ~2^rounds times (the BPE-trainer
+        // discipline — the frame is |V| rows, kilobytes per node)
+        .localCheckpoint()
     }
     labels.select(col("doc_id"), col("lab").as("community"))
       .orderBy("doc_id")
