@@ -84,6 +84,76 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  private val NeymanBudget = 200L // total sample size across strata
+
+  /** NEYMAN-OPTIMAL stratified allocation (Neyman 1934) — the other
+    * classic next to [[stratifiedSample]]'s equal quotas: allocate a
+    * fixed budget of [[NeymanBudget]] draws across strata (sources)
+    * proportional to `N_h · S_h` (stratum size × token-count standard
+    * deviation), the allocation that minimizes the variance of the
+    * stratified mean estimator. High-variance sources get deeper
+    * samples; uniform ones get shallow.
+    *
+    * Determinism at every step: per-stratum Σx and Σx² are exact
+    * BIGINT sums (x = token count; DECIMAL at a scale where Σx²
+    * approaches 2⁶³); the population variance and `S_h` derive
+    * through the identical double tree on both engines with `S_h`
+    * rounded to 8 dp; weights round to 8 dp and total through the
+    * exact-DECIMAL path (double sum order must not matter);
+    * fractional allocations resolve by LARGEST-REMAINDER rounding
+    * (floor + top-remainder bumps, ties on source) so the realized
+    * total is exactly the budget; the draw itself is the keyed-hash
+    * order (salted two-phase rank, the [[stratifiedSample]] shape —
+    * no stratum ever ranks on one task). Allocations cap at the
+    * stratum size without redistribution (documented; never binds on
+    * balanced corpora). */
+  def neymanSample(s: SparkSession, dir: String): DataFrame = {
+    val x = size(Text.tokens(col("text"))).cast("long")
+    val base = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), x.as("x"))
+      .withColumn("h", docHash60("neyman:"))
+    val per = base.groupBy("source").agg(
+      count(lit(1)).as("nh"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val d = (c: Column) => c.cast("double")
+    val s2 = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("nh"))) /
+      d(col("nh"))
+    val weighted = per
+      .withColumn("sd", round(sqrt(s2), 8))
+      .withColumn("w8", round(d(col("nh")) * col("sd"), 8)
+        .cast(org.apache.spark.sql.types.DecimalType(25, 8)))
+    val tot = weighted.agg(sum(col("w8")).as("wtot"))
+    val ideal = lit(NeymanBudget.toDouble) * d(col("w8")) / d(col("wtot"))
+    val alloc0 = weighted.crossJoin(broadcast(tot))
+      .withColumn("ideal", ideal)
+      .withColumn("base", floor(col("ideal")).cast("long"))
+      .withColumn("rem", col("ideal") - col("base"))
+    val spare = alloc0.agg((lit(NeymanBudget) - sum(col("base"))).as("spare"))
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    val alloc = alloc0.crossJoin(broadcast(spare))
+      // strata-count-sized frame: the global remainder rank is fine
+      .withColumn("rr", row_number().over(wRem))
+      .withColumn("n_alloc",
+        least(col("base") + when(col("rr") <= col("spare"), 1L).otherwise(0L),
+          col("nh")))
+      .select(col("source"), col("sd").as("sd_tokens"), col("n_alloc"))
+    val perSlice = Window.partitionBy("source", "salt")
+      .orderBy(col("h"), col("doc_id"))
+    val perSrc = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("salt", pmod(col("h"), lit(StratSalts)))
+      .withColumn("r1", row_number().over(perSlice))
+      .filter(col("r1") <= NeymanBudget) // phase-1 cap: a stratum never
+                                         // exceeds the whole budget
+      .withColumn("rk", row_number().over(perSrc).cast("long"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("rk") <= col("n_alloc"))
+      .select(col("source"), col("doc_id"), col("rk"),
+        col("n_alloc"), col("sd_tokens"))
+      .orderBy("source", "rk")
+  }
+
   /** End-to-end curation: one fused scan computes the quality gate
     * (token count in range, stopword ratio above floor — the
     * [[Text.quality]] acceptance flag) and the language gate
@@ -734,6 +804,7 @@ object Curation {
     "pipeline_decontaminate" -> (decontaminate _),
     "sample_hash_bernoulli" -> (hashBernoulli _),
     "sample_stratified"     -> (stratifiedSample _),
+    "sample_neyman"         -> (neymanSample _),
     "pack_token_shards"     -> (tokenShards _),
     "pack_context_chunks"   -> (contextChunks _),
     "pipeline_curation"     -> (pipeline _),
@@ -986,6 +1057,46 @@ object Curation {
          |FROM documents
          |WHERE ${docHash60Sql("sample:")} % 100 < $SamplePct
          |ORDER BY doc_id""".stripMargin,
+
+    // identical exact BIGINT moment sums, identical double variance
+    // tree (S_h and the 8-dp weights), largest-remainder allocation
+    // replayed with the same remainder/source ordering, one-window
+    // draw semantics for the two-phase Spark rank
+    "sample_neyman" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len(${Text.tokSql}) AS BIGINT) AS x,
+         |    ${docHash60Sql("neyman:")} AS h FROM documents),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM d GROUP BY 1),
+         |wtd AS (SELECT source, nh,
+         |    round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+         |      CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)) / CAST(nh AS DOUBLE)),
+         |      8) AS sd,
+         |    CAST(round(CAST(nh AS DOUBLE) *
+         |      round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+         |        CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)) / CAST(nh AS DOUBLE)),
+         |        8), 8) AS DECIMAL(25,8)) AS w8
+         |  FROM per),
+         |tot AS (SELECT SUM(w8) AS wtot FROM wtd),
+         |a0 AS (SELECT source, nh, sd,
+         |    $NeymanBudget * CAST(w8 AS DOUBLE) / CAST(wtot AS DOUBLE) AS ideal
+         |  FROM wtd, tot),
+         |a1 AS (SELECT source, nh, sd, ideal,
+         |    CAST(floor(ideal) AS BIGINT) AS base FROM a0),
+         |sp AS (SELECT $NeymanBudget - CAST(SUM(base) AS BIGINT) AS spare FROM a1),
+         |al AS (SELECT source, sd,
+         |    least(base + CASE WHEN row_number() OVER (
+         |        ORDER BY ideal - base DESC, source ASC) <= (SELECT spare FROM sp)
+         |      THEN 1 ELSE 0 END, nh) AS n_alloc
+         |  FROM a1),
+         |r AS (SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source ORDER BY h, doc_id) AS rk FROM d)
+         |SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk,
+         |  al.n_alloc, al.sd AS sd_tokens
+         |FROM r JOIN al USING (source)
+         |WHERE r.rk <= al.n_alloc
+         |ORDER BY r.source, r.rk""".stripMargin,
 
     // one-window form: the oracle states the SEMANTICS; the Spark
     // side's two-phase plan must reproduce it exactly

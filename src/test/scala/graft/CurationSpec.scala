@@ -85,6 +85,35 @@ class CurationSpec extends SparkSpec {
       s"phase-1 window should partition by (lang, salt):\n$plan")
   }
 
+  test("neymanSample: budget lands exactly; allocation tracks N_h * S_h") {
+    val rows = Curation.neymanSample(spark, sf0001).collect()
+    val alloc = rows.map(r => r.getString(0) ->
+      ((r.getLong(3), r.getDouble(4)))).toMap
+    // realized sample = one row per (source, rk <= n_alloc)
+    val bySrc = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    bySrc.foreach { case (src, n) =>
+      assert(n.toLong == alloc(src)._1, s"$src realized $n != alloc") }
+    assert(bySrc.values.sum == 200, s"total ${bySrc.values.sum} != budget")
+    // allocation must follow the Neyman weights: recompute driver-side
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val w = docs.groupBy(_._1).view.mapValues { ds =>
+      val xs = ds.map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val s2 = (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / n
+      n * BigDecimal(math.sqrt(s2))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val wTot = w.values.sum
+    w.foreach { case (src, wh) =>
+      val ideal = 200.0 * wh / wTot
+      val got = alloc(src)._1.toDouble
+      assert(math.abs(got - ideal) <= 1.0 + 1e-9,
+        s"$src alloc $got too far from ideal $ideal")
+    }
+  }
+
   test("pipeline_curation output satisfies every gate it composes") {
     SessionMemo.clear(spark)
     val out = Curation.pipeline(spark, sf0001).collect()

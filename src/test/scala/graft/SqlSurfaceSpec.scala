@@ -94,6 +94,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_topk_ivfpq" -> "list comprehension k-means unroll + list_dot_product",
     "payroll_autocorr" -> "variable INTERVAL (expr) MONTH arithmetic",
     "pipeline_dsir_sample" -> "string_split_regex + hex-string CAST to BIGINT",
+    "sample_neyman" -> "string_split_regex + hex-string CAST to BIGINT",
     "events_sliding_hourly" -> "time_bucket + range(n) kk(k) alias + k * INTERVAL",
     "events_asof_last_touch_1h" -> "native ASOF LEFT JOIN + epoch_us()",
     "text_vocab_coverage" -> "string_split_regex + unnest() lateral",
