@@ -602,6 +602,43 @@ object Events {
     * in double through one fixed IEEE tree (n·Σx² − (Σx)² form) on
     * both engines, rank on the ROUNDED CV with user tie-break, top-k
     * as TakeOrderedAndProject. */
+  private val DecayHalflifeUs = 8.64e10 // 24 h in microseconds
+
+  /** Exponentially TIME-DECAYED event counts per type — the trending
+    * readout a feed/monitoring pipeline keeps next to plain counts:
+    * each event contributes `2^(−Δt/halflife)` toward its type, Δt
+    * measured back from the corpus horizon (max ts), so a type whose
+    * volume is recent out-scores an equal-volume type whose traffic
+    * is stale (`recency_score` = decayed/raw makes that contrast
+    * explicit). The half-life form is the batch face of the classic
+    * streaming decayed counter (Cormode et al. forward/backward
+    * decay): the decayed sum is MERGEABLE (partials decay-shift by
+    * their own horizons), so map-side combine applies exactly as for
+    * a plain count.
+    *
+    * Scale shape: one scan, one 1-row horizon broadcast (no driver
+    * action), one pre-combined groupBy on the type key. Determinism:
+    * the per-event `pow` rounds to 8 dp into exact DECIMAL before the
+    * sum (the repo's libm-ulp discipline), output rounds to 4 dp. */
+  def decayCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val horizon = ev.agg(max("tsu").as("h"))
+    val contrib = round(
+      pow(lit(2.0),
+        -(col("h") - col("tsu")).cast("double") / lit(DecayHalflifeUs)), 8)
+      .cast("decimal(25,8)")
+    ev.crossJoin(broadcast(horizon))
+      .select(col("event_type"), contrib.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("ds"))
+      .select(col("event_type"), col("n_events"),
+        round(col("ds").cast("double"), 4).as("decayed_count"),
+        round(col("ds").cast("double") / col("n_events"), 4)
+          .as("recency_score"))
+      .orderBy(col("decayed_count").desc, col("event_type").asc)
+  }
+
   def botScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
@@ -1020,6 +1057,7 @@ object Events {
     "events_sliding_hourly" -> (slidingHourly _),
     "events_hll_intersection" -> (hllIntersection _),
     "events_bot_scores"     -> (botScores _),
+    "events_decay_counts"   -> (decayCounts _),
     "events_json_kv"        -> (jsonKv _),
     "events_sessionize"     -> (sessionize _),
     "events_value_quantiles" -> (valueQuantiles _),
@@ -1205,6 +1243,20 @@ object Events {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(${dsumSql("value")}, 4) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical exponent tree (exact-long delta / the same literal),
+    // per-event pow rounded 8 dp into exact DECIMAL before the sum
+    "events_decay_counts" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu FROM events),
+         |h AS (SELECT max(tsu) AS h FROM e),
+         |c AS (SELECT event_type, CAST(round(
+         |    pow(2.0, -CAST(h.h - tsu AS DOUBLE) / 8.64e10), 8)
+         |    AS DECIMAL(25,8)) AS c FROM e, h)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(CAST(sum(c) AS DOUBLE), 4) AS decayed_count,
+         |  round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS recency_score
+         |FROM c GROUP BY 1
+         |ORDER BY decayed_count DESC, event_type ASC""".stripMargin,
 
     // exact integer sums (gap^2 through HUGEINT/DECIMAL), then the
     // identical n*S2 - S1^2 double tree and rounded-CV ranking

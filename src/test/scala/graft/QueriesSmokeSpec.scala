@@ -763,4 +763,27 @@ class QueriesSmokeSpec extends SparkSpec {
     val nCust = Tables.customer(spark, sf0001).count()
     assert(dist == nCust, s"$dist vs $nCust")
   }
+
+  test("decayed counts: bounded by raw counts and match a driver-side replay") {
+    val rows = streaming.Events.decayCounts(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val h = ev.map(_._2).max
+    val want = ev.groupBy(_._1).view.mapValues { es =>
+      val d = es.map { case (_, t) =>
+        BigDecimal(math.pow(2.0, -(h - t).toDouble / 8.64e10))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (es.length.toLong, (d.setScale(4, BigDecimal.RoundingMode.HALF_UP)).toDouble)
+    }.toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, d) = want(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_events")
+      assert(r.getDouble(2) == d, s"${r.getString(0)} decayed: ${r.getDouble(2)} != $d")
+      assert(r.getDouble(2) <= n.toDouble, "decayed must not exceed raw")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, "recency in (0,1]")
+    }
+  }
 }

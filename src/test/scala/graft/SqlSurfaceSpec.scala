@@ -104,6 +104,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_soft_weights" -> "recursive CTE reachability + hex-string casts",
     "sample_poisson_bootstrap" -> "range(n) bb(b) alias + hex-string CAST to BIGINT",
     "events_bot_scores" -> "epoch_us() + HUGEINT exact square sums",
+    "events_decay_counts" -> "epoch_us()",
     "pipeline_profile_sketch" -> "hex-string CAST + bare VARCHAR cast + scalar-subquery CTE blocks",
     "rel_join_size_est" -> "range(n) dd(d) alias + hex-string CAST to BIGINT",
     "text_boilerplate_chunks" -> "string_split_regex + list slicing",
