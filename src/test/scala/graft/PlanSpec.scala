@@ -233,7 +233,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val corpusOnly = Seq(
       "dedup_jaccard_pairs"   -> ext.Dedup.jaccardPairs(spark, sf0001),
       "dedup_minhash_lsh"     -> ext.Dedup.minhashLsh(spark, sf0001),
-      "dedup_shingle_jaccard" -> ext.Dedup.shingleJaccardPairs(spark, sf0001))
+      "dedup_shingle_jaccard" -> ext.Dedup.shingleJaccardPairs(spark, sf0001),
+      // r8: the span-excision anchor join (dup-gram table is
+      // corpus-derived) and the BPE-encode vocabulary join (the
+      // trained forms table grows with the vocabulary — Heaps' law,
+      // unbounded at 100 TB)
+      "dedup_span_scrub"      -> ext.Dedup.spanScrubOf(
+        Tables.documents(spark, sf0001)),
+      "text_bpe_encode"       -> ext.Text.bpeEncode(spark, sf0001))
     corpusOnly.foreach { case (name, df) =>
       val plan = executed(df)
       val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
