@@ -253,10 +253,33 @@ object Multimodal {
       (sum, cnt)
     }.map(st => cutsFromStats(row.media_id, st.map(_._1), st.map(_._2)))
 
-  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+  /** Codec-aware scene cuts — the production face: GIF payloads
+    * decode for REAL ([[sceneCutsGif]]), everything else takes the
+    * byte-frame stub. Not hash-checkable (no SQL replays a codec), so
+    * the DECLARED query is [[sceneCuts]], which restricts BOTH engines
+    * to the stub-decodable population. Spec-tested on synthetic
+    * animated GIFs. */
+  def sceneCutsMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .mapPartitions(_.map(r => sceneCutsGif(r).getOrElse(sceneCutStub(r))))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Declared-query face, oracle-gated: payloads sniffing as GIF
+    * (magic `GIF8`) are EXCLUDED on both engines — a real decode is
+    * not SQL-replayable, so routing a `GIF8`-prefixed payload through
+    * ImageIO while the oracle replays byte frames would silently
+    * diverge the correctness gate the moment a generator emits real
+    * (or merely GIF8-prefixed text) media. The sniff is a pure prefix
+    * test both engines compute identically; on this corpus it
+    * excludes nothing. The codec-aware face is [[sceneCutsMedia]]. */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(r => !looksLikeGif(r.content))
+      .mapPartitions(_.map(sceneCutStub))
       .toDF()
       .orderBy("media_id")
   }
@@ -314,10 +337,23 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  def frameSample(s: SparkSession, dir: String): DataFrame = {
+  /** Codec-aware frame sampling — production face; see
+    * [[sceneCutsMedia]] for the oracle-gating rationale. */
+  def frameSampleMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .mapPartitions(_.map(r => frameSampleGif(r).getOrElse(frameSampleStub(r))))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Declared-query face, oracle-gated exactly like [[sceneCuts]]:
+    * `GIF8`-sniffing payloads are excluded on both engines. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(r => !looksLikeGif(r.content))
+      .mapPartitions(_.map(frameSampleStub))
       .toDF()
       .orderBy("media_id")
   }
@@ -567,17 +603,50 @@ object Multimodal {
     * verify — only (id, long) tuples ever shuffle). Exact-duplicate
     * docs land at Hamming 0; docs sharing a 72-byte prefix pattern at
     * ≤ 3. */
-  def imageDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pngs = mediaTable(s, dir)
-      .mapPartitions(_.map(r => MediaRow(r.media_id, toGrayPng(r.content), r.source)))
-    // band plan scales with the hash population (here: the corpus —
-    // every payload renders to a decodable PNG)
-    val population = Tables.documents(s, dir).count()
-    nearDupImagePairs(imageHashes(pngs), population)
+  def imageDedup(s: SparkSession, dir: String): DataFrame =
+    verifiedImagePairs(s, dir)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
-  }
+
+  /** Verified Hamming-pair set, session-memoized (S5): the pair query
+    * and [[imageClusters]] share one materialization of the
+    * render→hash→band→verify pipeline. */
+  private def verifiedImagePairs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "image_neardup_pairs") {
+      import s.implicits._
+      val pngs = mediaTable(s, dir)
+        .mapPartitions(_.map(r =>
+          MediaRow(r.media_id, toGrayPng(r.content), r.source)))
+      // band plan scales with the hash population (here: the corpus —
+      // every payload renders to a decodable PNG)
+      val population = Tables.documents(s, dir).count()
+      nearDupImagePairs(imageHashes(pngs), population)
+    }
+
+  /** Perceptual image near-dup CLUSTERS — the linear-output form of
+    * [[imageDedup]]: pair listing is quadratic in duplicate-group
+    * size (a million-copy logo is ~5·10¹¹ pair rows); the cluster map
+    * is one row per media. Connected components over the VERIFIED
+    * Hamming-pair graph via the shared large-star/small-star
+    * machinery (`Dedup.clustersFromBuckets` — O(log d) rounds, every
+    * round shuffles only (long, long) edges), singletons re-entering
+    * via per-media self buckets. Recall is exactly [[imageDedup]]'s:
+    * the same verified edges, re-expressed as components. Output
+    * (media_id, cluster_rep, cluster_size) — the form a curation
+    * pipeline acts on (keep rep, drop the rest). */
+  def imageClusters(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "image_clusters") {
+      val pairs = verifiedImagePairs(s, dir).select("id_a", "id_b")
+      val pairKey = concat_ws(",",
+        col("id_a").cast("string"), col("id_b").cast("string"))
+      val bk = pairs.select(col("id_a").as("doc_id"), pairKey.as("bucket"))
+        .union(pairs.select(col("id_b").as("doc_id"), pairKey.as("bucket")))
+        .union(Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket")))
+      Dedup.clustersFromBuckets(bk)
+        .withColumnRenamed("doc_id", "media_id")
+        .orderBy("media_id")
+    }
 
   // DuckDB replay of the dHash bits on the 9×8 raster: BYTE p of the
   // payload's UTF-8 encoding (0 past end), bit i compares positions
@@ -608,6 +677,7 @@ object Multimodal {
     "mm_scene_cuts"   -> (sceneCuts _),
     "mm_audio_meta"   -> (audioMeta _),
     "mm_image_dedup"  -> (imageDedup _),
+    "mm_image_clusters" -> (imageClusters _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -634,9 +704,12 @@ object Multimodal {
         |      1)), '')) AS checksum
         |FROM b ORDER BY media_id""".stripMargin,
 
+    // the `NOT GIF8` guard mirrors the Spark side's oracle gate: GIF
+    // payloads route to a real decoder there, which no SQL replays
     "mm_frame_sample" ->
       s"""WITH b AS (SELECT doc_id AS media_id, text,
-        |    octet_length(encode(text)) AS nb FROM documents)
+        |    octet_length(encode(text)) AS nb FROM documents
+        |  WHERE substr(text, 1, 4) <> 'GIF8')
         |SELECT media_id,
         |  CAST((nb + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames,
         |  CAST(((nb + ${FrameBytes - 1}) // $FrameBytes + ${SampleEvery - 1})
@@ -658,7 +731,8 @@ object Multimodal {
     // real corpus has empty payloads).
     "mm_scene_cuts" ->
       s"""WITH b AS (SELECT doc_id AS media_id, text,
-        |    octet_length(encode(text)) AS nb FROM documents),
+        |    octet_length(encode(text)) AS nb FROM documents
+        |  WHERE substr(text, 1, 4) <> 'GIF8'),
         |fr AS (SELECT media_id, nb,
         |    unnest(range(0, (nb + ${FrameBytes - 1}) // $FrameBytes)) AS k,
         |    text FROM b),
@@ -722,5 +796,30 @@ object Multimodal {
          |FROM h a JOIN h b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same brute-force verified pairs, closed under recursive-CTE
+    // reachability (the established CC oracle pattern): min member is
+    // the rep, every media appears once, singletons are their own rep
+    "mm_image_clusters" ->
+      s"""WITH RECURSIVE hb AS (SELECT doc_id,
+         |    hex(encode(text)) || repeat('00', 74) AS hx FROM documents),
+         |h AS (SELECT doc_id AS media_id,
+         |    CAST(${duckDHashHalf(0, 32)} AS BIGINT) AS lo,
+         |    CAST(${duckDHashHalf(32, 64)} AS BIGINT) AS hi
+         |  FROM hb),
+         |vp AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp),
+         |reach AS (
+         |  SELECT media_id, media_id AS r FROM h
+         |  UNION
+         |  SELECT e.dst AS media_id, reach.r
+         |  FROM reach JOIN edges e ON e.src = reach.media_id),
+         |rep AS (SELECT media_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT r.media_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.media_id""".stripMargin,
   )
 }

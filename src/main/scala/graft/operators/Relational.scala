@@ -811,8 +811,16 @@ object Relational {
     * associative — no second fact scan) and broadcast as one row; the
     * threshold comparison multiplies through
     * (`2·n_parts·rev > 3·total`) so it stays exact DECIMAL/integer on
-    * both engines — no fraction literal in float. Output ranks by the
-    * rounded value with a key tie-break. */
+    * both engines — no fraction literal in float. Precision is sized
+    * so NEITHER engine loses scale mid-multiply: `2·n_parts` pre-casts
+    * to DECIMAL(12,0) (exact to 5·10¹¹ parts — beyond any real
+    * catalog) so `rev(25,8) × (12,0)` lands exactly on Spark's 38-digit
+    * cap with scale 8 intact, and `total` pre-casts to DECIMAL(30,8)
+    * before `× 3` for the same reason; an unchecked
+    * `rev * 2 * n_parts` would silently drop to scale 6 under Spark's
+    * precision-loss rule while DuckDB kept full scale — a part within
+    * 1e-6 of the threshold would classify differently across engines.
+    * Output ranks by the rounded value with a key tie-break. */
   def stockConcentration(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .groupBy("l_partkey")
@@ -820,7 +828,8 @@ object Relational {
         .as("rev"))
     val total = rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(total))
-      .filter(col("rev") * 2 * col("n_parts") > col("total") * 3)
+      .filter(col("rev") * (col("n_parts") * 2).cast("decimal(12,0)") >
+        col("total").cast("decimal(30,8)") * lit(java.math.BigDecimal.valueOf(3)))
       .select(col("l_partkey"), r4(col("rev").cast("double")).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey").asc)
   }
@@ -870,10 +879,17 @@ object Relational {
       .select(col("n_left"), col("n_right"), col("exact_join_rows"),
         col("est_join_rows"),
         // stated multiplied-through so the arithmetic stays integer
-        // on both engines (Spark's `/` on longs is double division)
+        // on both engines (Spark's `/` on longs is double division);
+        // the bound term runs in DECIMAL so `3·n_left·n_right` cannot
+        // silently wrap negative in non-ANSI BIGINT once
+        // |A|·|B| > 2^63/3 (~sf300) — scale-0 decimals are exact to
+        // 38 digits on both engines
         (col("exact_join_rows") <= col("est_join_rows") &&
-          (col("est_join_rows") - col("exact_join_rows")) * lit(JcmsW.toLong) <=
-            lit(3L) * col("n_left") * col("n_right"))
+          (col("est_join_rows") - col("exact_join_rows")).cast("decimal(20,0)") *
+            lit(java.math.BigDecimal.valueOf(JcmsW.toLong)) <=
+            lit(java.math.BigDecimal.valueOf(3)) *
+              col("n_left").cast("decimal(18,0)") *
+              col("n_right").cast("decimal(18,0)"))
           .as("within_bound"))
   }
 
@@ -1172,7 +1188,8 @@ object Relational {
         |t AS (SELECT SUM(rev) AS total, count(*) AS n_parts FROM r)
         |SELECT l_partkey, round(CAST(rev AS DOUBLE), 4) AS part_value
         |FROM r CROSS JOIN t
-        |WHERE rev * 2 * n_parts > total * 3
+        |WHERE rev * CAST(2 * n_parts AS DECIMAL(12,0))
+        |  > CAST(total AS DECIMAL(30,8)) * CAST(3 AS DECIMAL(3,0))
         |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
 
     // identical keyed-md5 sketches, integer inner product, integer
@@ -1197,7 +1214,10 @@ object Relational {
          |  CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
          |  est_join_rows,
          |  (exact_join_rows <= est_join_rows AND
-         |   (est_join_rows - exact_join_rows) * $JcmsW <= 3 * n_left * n_right)
+         |   CAST(est_join_rows - exact_join_rows AS DECIMAL(20,0))
+         |     * CAST($JcmsW AS DECIMAL(4,0))
+         |   <= CAST(3 AS DECIMAL(1,0)) * CAST(n_left AS DECIMAL(18,0))
+         |     * CAST(n_right AS DECIMAL(18,0)))
          |    AS within_bound
          |FROM n, est, ex""".stripMargin,
 

@@ -316,4 +316,35 @@ import graft.ext.Multimodal
       if (r.getLong(2) == 0) assert(r.isNullAt(3))
     }
   }
+
+  test("image clusters cover every media; pairs share a rep; others singleton") {
+    val reps = Multimodal.imageClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.documents(spark, sf0001).count()
+    assert(reps.size.toLong == n, "clusters must cover every media item")
+    val pairs = Multimodal.imageDedup(spark, sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain verified image pairs")
+    pairs.foreach { case (a, b) =>
+      assert(reps(a)._1 == reps(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    reps.filterNot(kv => paired(kv._1)).foreach { case (v, (rep, size)) =>
+      assert(rep == v && size == 1L, s"non-paired media $v not a singleton")
+    }
+  }
+
+  test("declared cut/sample faces agree with the codec-aware faces on a GIF-free corpus") {
+    // the declared faces exclude GIF8-sniffing payloads (the oracle
+    // gate); this corpus has none, so the two faces must be identical
+    // row-for-row — a GIF8-prefixed generator change would shrink the
+    // declared set on BOTH engines instead of silently diverging
+    val declared = Multimodal.sceneCuts(spark, sf0001).collect().map(_.toSeq)
+    val media = Multimodal.sceneCutsMedia(spark, sf0001).collect().map(_.toSeq)
+    assert(declared.sameElements(media), "scene-cut faces diverge")
+    val fsDecl = Multimodal.frameSample(spark, sf0001).collect().map(_.toSeq)
+    val fsMedia = Multimodal.frameSampleMedia(spark, sf0001).collect().map(_.toSeq)
+    assert(fsDecl.sameElements(fsMedia), "frame-sample faces diverge")
+  }
 }
