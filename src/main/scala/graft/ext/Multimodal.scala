@@ -610,18 +610,24 @@ object Multimodal {
 
   /** Verified Hamming-pair set, session-memoized (S5): the pair query
     * and [[imageClusters]] share one materialization of the
-    * render→hash→band→verify pipeline. */
+    * render→hash→band→verify pipeline. `PlanSpec` asserts the join
+    * shapes on [[buildImagePairs]] — the exact builder that fills
+    * this cache. */
   private def verifiedImagePairs(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "image_neardup_pairs") {
-      import s.implicits._
-      val pngs = mediaTable(s, dir)
-        .mapPartitions(_.map(r =>
-          MediaRow(r.media_id, toGrayPng(r.content), r.source)))
-      // band plan scales with the hash population (here: the corpus —
-      // every payload renders to a decodable PNG)
-      val population = Tables.documents(s, dir).count()
-      nearDupImagePairs(imageHashes(pngs), population)
+      buildImagePairs(s, dir)
     }
+
+  private[graft] def buildImagePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pngs = mediaTable(s, dir)
+      .mapPartitions(_.map(r =>
+        MediaRow(r.media_id, toGrayPng(r.content), r.source)))
+    // band plan scales with the hash population (here: the corpus —
+    // every payload renders to a decodable PNG)
+    val population = Tables.documents(s, dir).count()
+    nearDupImagePairs(imageHashes(pngs), population)
+  }
 
   /** Perceptual image near-dup CLUSTERS — the linear-output form of
     * [[imageDedup]]: pair listing is quadratic in duplicate-group

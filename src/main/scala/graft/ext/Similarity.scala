@@ -602,16 +602,31 @@ object Similarity {
   /** Target expected vectors per k-means cell — the knob that makes
     * candidate volume LINEAR in corpus size (cells scale with n). */
   private val NearTargetOcc = 64
-  /** Cells each vector lands in (top-[[NearProbe]] nearest centroids)
-    * — boundary pairs split across cells still meet in a shared
-    * lower-choice cell. */
+  /** Cells each vector lands in (top-[[NearProbe]] nearest cells by
+    * sub-centroid cosine) — boundary pairs split across cells still
+    * meet in a shared lower-choice cell. */
   private val NearProbe = 3
+  /** Coarse cells each vector consults when ranking sub-centroids for
+    * its [[NearProbe]] cell probes — boundary vectors near a coarse
+    * frontier still see the neighboring coarse cell's sub-space. */
+  private val CoarseProbe = 2
 
   /** Corpus-derived cell count: n / [[NearTargetOcc]] (ceil), floored
     * at [[KCells]]. Pure integer arithmetic so the DuckDB oracle
     * derives the identical k from `COUNT(*)`. */
   private[graft] def nearDupK(n: Long): Int =
     math.max(KCells, ((n + NearTargetOcc - 1) / NearTargetOcc).toInt)
+
+  /** Coarse cell count of the two-level model: ⌈√k⌉. IEEE-754 `sqrt`
+    * is correctly rounded by the standard (unlike log/exp), so
+    * `ceil(sqrt(k))` over an exact integer is bit-identical on the
+    * JVM and in DuckDB — the oracle derives the same k1. */
+  private[graft] def nearDupCoarseK(k: Int): Int =
+    math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Sub-cells per coarse cell: ⌈k / k1⌉ — total cells k1·k2 ≥ k keep
+    * the fixed-occupancy (and with it the linear-candidate) design. */
+  private[graft] def nearDupSubK(k: Int, k1: Int): Int = (k + k1 - 1) / k1
 
   /** Lloyd rounds for the near-dup model — fewer than the IVF index's
     * [[KmIters]]: candidates are exact-cosine-verified afterwards, so
@@ -622,11 +637,12 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs, k-means-bucketed
     * (SemDeDup-style, Abbas et al. 2023: cluster the embedding space,
-    * compare within clusters): candidates are same-cell pairs under a
-    * corpus-scaled deterministic Lloyd model ([[kmeansModelK]],
-    * k = n / [[NearTargetOcc]]) with each vector probing its top-2
-    * cells, then exact cosine ≥ [[NearDupCos]] verifies candidates
-    * only.
+    * compare within clusters): candidates are same-cell pairs under
+    * the corpus-scaled TWO-LEVEL deterministic Lloyd model
+    * ([[nearDupModel]]: ⌈√k⌉ coarse cells route into k2 sub-cells
+    * each, k1·k2 ≥ k = n / [[NearTargetOcc]] total cells) with each
+    * vector probing its top-[[NearProbe]] cells, then exact cosine ≥
+    * [[NearDupCos]] verifies candidates only.
     *
     * Why not hyperplane LSH (the first-cut design): at a LOW
     * threshold like 0.45 the LSH exponent ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.6,
@@ -637,12 +653,20 @@ object Similarity {
     * candidates — linear by construction at any corpus size
     * (`SimilaritySpec` bounds measured candidate growth against
     * corpus growth) — and per-cell comparison is what production
-    * semantic-dedup pipelines actually run. Recall comes from the
-    * learned cells following the data distribution (vs LSH's
-    * data-oblivious planes) plus the top-2 probe for boundary pairs;
-    * it is asserted against the all-pairs scan in `SimilaritySpec`.
-    * The md5-seeded Lloyd build is replayed bit-for-bit by the DuckDB
-    * oracle (same machinery as `sim_topk_ivf`), so this stays
+    * semantic-dedup pipelines actually run. Why two-level rather than
+    * one flat k = n/64 model: a flat corpus-scaled k makes the Lloyd
+    * build's centroid collect, the driver-held model, and the
+    * assignment broadcast all O(n) and the assignment itself
+    * Θ(n²/64) — the model becomes the 100 TB bottleneck even though
+    * the CANDIDATES are linear. The hierarchy keeps driver state at
+    * O(√k) and assignment work at O(n·√k), with the corpus-scaled
+    * sub-centroid table living as a cached DataFrame joined
+    * shuffle-hash. Recall comes from the learned cells following the
+    * data distribution (vs LSH's data-oblivious planes) plus the
+    * [[CoarseProbe]]×[[NearProbe]] probing for boundary pairs; it is
+    * asserted against the all-pairs scan in `SimilaritySpec`. The
+    * md5-seeded two-level Lloyd build is replayed bit-for-bit by the
+    * DuckDB oracle (same discipline as `sim_topk_ivf`), so this stays
     * hash-checked, not rows-only. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     verifiedNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
@@ -657,24 +681,133 @@ object Similarity {
       buildNearDupPairs(s, dir)
     }
 
-  /** Top-[[NearProbe]] cell assignment per vector under the
-    * corpus-scaled Lloyd model: (vec_id, c1, c2). Scoring is skinny —
-    * (vec_id, cell, cos) triples through the vec_id-partitioned rank,
-    * never the 512-byte vector arrays — and the groupBy reuses the
-    * rank window's hash partitioning (no second exchange). */
+  /** Two-level near-dup routing model. DRIVER state is the coarse
+    * level only: [[nearDupCoarseK]] = ⌈√k⌉ centroid rows (√-bounded
+    * in corpus size — spec-asserted in `SimilaritySpec`). The
+    * corpus-scaled level — k1·k2 ≥ k = n/[[NearTargetOcc]]
+    * sub-centroids — lives in `subCents`, a cached DataFrame that is
+    * only ever joined SHUFFLE-HASH on its coarse key: never collected,
+    * never broadcast. This replaces the r8 flat model whose k = n/64
+    * made the per-round centroid collect, the driver-held Seq, AND the
+    * assignment broadcast all O(n), with Θ(n²/64) assignment dots on
+    * top (the crossJoin against all k centroids); the two-level build
+    * does n·k1 coarse dots plus n·k2 sub dots per round — O(n·√k). */
+  private[graft] case class NearDupModel(k: Int, k1: Int, k2: Int,
+      coarse: Seq[(Int, Seq[Double], Double)], subCents: DataFrame)
+
+  private val nearDupMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), NearDupModel]
+
+  /** Build (or reuse — S5 memo) the two-level model.
+    *
+    * Coarse level: the existing deterministic Lloyd ([[kmeansModelK]],
+    * k1 cells, bounded collect). Sub level: within each coarse cell,
+    * [[NearKmIters]] Lloyd rounds over k2 sub-cells expressed as ONE
+    * declarative plan — the init is `md5(vec_id ∥ ":sub") mod k2`,
+    * each round recomputes (coarse, sub) decimal elementwise-mean
+    * centroids with a map-side-combined aggregation and reassigns by
+    * an EQUI-join on the coarse key (shuffle-hash; each vector scores
+    * only its own coarse cell's k2 sub-centroids, carrying v/nrm
+    * through the argmax struct so no round re-joins the corpus). No
+    * driver sync anywhere in the sub build: the rounds materialize
+    * lazily in one job when `subCents` first caches. Every arithmetic
+    * step (md5 init, DECIMAL means, index-order dot folds, cosine-desc
+    * sub-asc argmax) is replayed bit-for-bit by the DuckDB oracle. */
+  private[graft] def nearDupModel(s: SparkSession, dir: String): NearDupModel =
+    nearDupMemo.getOrElseUpdate((s, dir), {
+      val vs = vectors(s, dir)
+      // the count is one action over the cached vector frame; k/k1/k2
+      // derive from it deterministically, replayed by the oracle from
+      // COUNT(*)
+      val k = nearDupK(vs.count())
+      val k1 = nearDupCoarseK(k)
+      val k2 = nearDupSubK(k, k1)
+      val (coarseAssign, coarseCents) = kmeansModelK(s, dir, k1, NearKmIters)
+      // corpus-keyed coarse map: shuffle-hash, never broadcast
+      val withCoarse = vs.join(
+        coarseAssign.withColumnRenamed("cell", "coarse").hint("shuffle_hash"),
+        Seq("vec_id"))
+      var cur = withCoarse.withColumn("sub",
+        pmod(md5Hash60(concat(col("vec_id").cast("string"), lit(":sub"))),
+          lit(k2)).cast("int"))
+      var scn: DataFrame = null
+      for (i <- 0 until NearKmIters) {
+        scn = subCentroids(cur)
+        // the probes use the final CENTROIDS; the trailing assignment
+        // they would induce is never consumed — skip it
+        if (i < NearKmIters - 1) cur = assignSubByJoin(scn, cur)
+      }
+      val cached = scn.cache()
+      graft.SessionMemo.registerCleanup(s, s"neardup_model:$dir") { () =>
+        nearDupMemo.remove((s, dir)).foreach { m =>
+          try m.subCents.unpersist() catch { case _: Throwable => () }
+        }
+      }
+      NearDupModel(k, k1, k2, coarseCents, cached)
+    })
+
+  /** (coarse, sub) decimal elementwise-mean centroids of the current
+    * sub assignment — the distributed twin of [[buildKmeans]]'s
+    * centroid step: one map-side-combined aggregation, then the
+    * per-cell mean vector reassembled with a deterministic
+    * pos-ordered sort (`list(cx ORDER BY pos)` on the oracle side). */
+  private def subCentroids(cur: DataFrame): DataFrame =
+    cur.select(col("coarse"), col("sub"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("coarse", "sub", "pos")
+      .agg(graft.functions.Num.davg(col("x")).as("cx"))
+      .groupBy("coarse", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+
+  /** Sub-cell reassignment: vectors equi-join their OWN coarse cell's
+    * sub-centroids (shuffle-hash — the centroid table is corpus-scaled
+    * overall but each vector sees only k2 rows), argmax as a
+    * partial-aggregatable `max(struct(cos, −sub, v, nrm))` — max
+    * cosine, then smallest sub id; v/nrm ride inside the struct (sub
+    * ids are distinct per group, so they never decide the max) so the
+    * next round needs no join back to the corpus. */
+  private def assignSubByJoin(scn: DataFrame, cur: DataFrame): DataFrame =
+    cur.select("vec_id", "v", "nrm", "coarse")
+      .join(scn.hint("shuffle_hash"), Seq("coarse"))
+      .select(col("vec_id"), col("coarse"),
+        struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"),
+          (-col("sub")).as("negs"), col("v").as("v"), col("nrm").as("nrm"))
+          .as("sc"))
+      .groupBy("vec_id", "coarse").agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("coarse"), (-col("m.negs")).cast("int").as("sub"))
+
+  /** Top-[[NearProbe]] cell assignment per vector under the two-level
+    * model: rank the √k coarse centroids (broadcast — the one bounded
+    * model-sized table), keep the top [[CoarseProbe]]; then rank the
+    * probed coarse cells' sub-centroids (shuffle-hash equi-join on the
+    * coarse key) and keep the top [[NearProbe]] by (cosine DESC,
+    * cell ASC), cell = coarse·k2 + sub. Scoring is skinny — (vec_id,
+    * cell, cos) triples through the vec_id-partitioned rank — and the
+    * final pivot groupBy reuses the rank window's hash partitioning
+    * (no second exchange). Returns (vec_id, c1..c[[NearProbe]]). */
   private[graft] def nearDupAssignments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val m = nearDupModel(s, dir)
     val vs = vectors(s, dir)
-    // the count is one action over the cached vector frame; k derives
-    // from it deterministically, replayed by the oracle from COUNT(*)
-    val k = nearDupK(vs.count())
-    val (_, cents) = kmeansModelK(s, dir, k, NearKmIters)
-    val centDF = broadcast(cents.toDF("cell", "cv", "cnrm"))
+    val centDF = broadcast(m.coarse.toDF("coarse", "ccv", "ccnrm"))
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("coarse").asc)
+    val probes = vs.crossJoin(centDF)
+      .select(col("vec_id"), col("coarse"),
+        (dot(col("v"), col("ccv")) / (col("nrm") * col("ccnrm"))).as("ccos"))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= CoarseProbe)
+      .select("vec_id", "coarse")
     val w = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cell").asc)
-    vs.crossJoin(centDF)
-      .select(col("vec_id"), col("cell"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    vs.join(probes.hint("shuffle_hash"), Seq("vec_id"))
+      .join(m.subCents.hint("shuffle_hash"), Seq("coarse"))
+      .select(col("vec_id"),
+        (col("coarse").cast("long") * m.k2 + col("sub")).as("cell"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("scos"))
       .withColumn("ar", row_number().over(w))
       .filter(col("ar") <= NearProbe)
       .groupBy("vec_id")
@@ -695,17 +828,18 @@ object Similarity {
     }.reduce(_ || _)
 
   /** One pair-generating exchange, zero pair-stream exchanges: each
-    * vector carries its top-2 cells, explodes into two (cell, vector)
-    * rows, and the cell equi-join runs SHUFFLE-HASH (the bucket table
+    * vector carries its top-[[NearProbe]] cells, explodes into that
+    * many (cell, vector) rows, and the cell equi-join runs
+    * SHUFFLE-HASH (the bucket table
     * is the corpus itself — broadcast is a driver OOM at 100 TB, and
     * unhinted Catalyst would sort-merge the array-carrying side).
     * Cosine verifies INSIDE the join condition, cheap conjuncts first
     * (see Dedup.ppPairsInline), so only real near-dup rows survive
     * the join — the pair stream never leaves the mapper. Exactly-once
-    * emission without a pair `.distinct()`: a pair sharing two cells
-    * would surface twice, so it is kept only in the SMALLEST shared
-    * cell — pure map-side comparisons on the four cell ids riding the
-    * join rows. */
+    * emission without a pair `.distinct()`: a pair sharing several
+    * cells would surface once per shared cell, so it is kept only in
+    * the SMALLEST shared cell — pure map-side comparisons on the
+    * 2·[[NearProbe]] cell ids riding the join rows. */
   private[graft] def buildNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
     val asg = nearDupAssignments(s, dir)
@@ -1044,22 +1178,59 @@ object Similarity {
     (init +: kmeansIterCtes(iters)).mkString(",\n")
   }
 
-  /** [[kmeansOracleCtes]] with the CORPUS-DERIVED cell count of
-    * [[nearDupK]]: `params` computes k from `COUNT(*)` with the same
-    * integer arithmetic, the md5 init takes k modulo from it, and the
-    * k-agnostic iteration CTEs replay the identical Lloyd rounds. */
+  /** Two-level near-dup model oracle CTEs mirroring [[nearDupModel]]
+    * bit-for-bit. `params` derives (k, k1, k2) from `COUNT(*)` with
+    * the same integer arithmetic and the same correctly-rounded IEEE
+    * `ceil(sqrt(k))`; the coarse level reuses the k-agnostic
+    * [[kmeansIterCtes]] (init takes modulo k1); the sub level unrolls
+    * [[NearKmIters]] grouped-by-(coarse, sub) rounds whose
+    * reassignment ranks only the vector's OWN coarse cell's
+    * sub-centroids — exactly the Spark equi-join. Ends with the final
+    * coarse centroids `cn{last}`, the coarse map `ca`, and the final
+    * sub-centroids `scn{last}`. */
   private def nearDupKmeansCtes: String = {
     val init =
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |params AS (SELECT GREATEST($KCells,
-         |    CAST((COUNT(*) + ${NearTargetOcc - 1}) // $NearTargetOcc AS INTEGER)) AS k
-         |  FROM e),
+         |params AS (SELECT k, k1, CAST((k + k1 - 1) // k1 AS INTEGER) AS k2
+         |  FROM (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS INTEGER) AS k1
+         |    FROM (SELECT GREATEST($KCells,
+         |      CAST((COUNT(*) + ${NearTargetOcc - 1}) // $NearTargetOcc AS INTEGER)) AS k
+         |    FROM e))),
          |a0 AS (SELECT vec_id,
          |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |      % (SELECT k FROM params) AS INTEGER) AS cell
+         |      % (SELECT k1 FROM params) AS INTEGER) AS cell
          |  FROM n)""".stripMargin
-    (init +: kmeansIterCtes(NearKmIters)).mkString(",\n")
+    val ca =
+      s"""ca AS (SELECT vec_id, cell AS coarse FROM a$NearKmIters),
+         |s0 AS (SELECT vec_id,
+         |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || ':sub'),
+         |      1, 15)) AS BIGINT) % (SELECT k2 FROM params) AS INTEGER) AS sub
+         |  FROM n)""".stripMargin
+    // the final round's reassignment is never consumed (probes rank
+    // against the final CENTROIDS) — emit centroids for every round,
+    // assignments only where a later round reads them
+    val subRounds = (0 until NearKmIters).map { i =>
+      val reassign =
+        if (i == NearKmIters - 1) ""
+        else s""",
+           |s${i + 1} AS (SELECT vec_id, sub FROM (
+           |    SELECT n.vec_id, c.sub, row_number() OVER (PARTITION BY n.vec_id
+           |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+           |        c.sub ASC) AS rr
+           |    FROM n JOIN ca USING (vec_id)
+           |    JOIN scn$i c ON c.coarse = ca.coarse) WHERE rr = 1)""".stripMargin
+      s"""spx$i AS (SELECT ca.coarse, s.sub, unnest(range(0, len(n.v))) AS pos,
+         |    unnest(n.v) AS x
+         |  FROM n JOIN ca USING (vec_id) JOIN s$i s USING (vec_id)),
+         |scm$i AS (SELECT coarse, sub, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,8))) AS DOUBLE) / COUNT(x) AS cx
+         |  FROM spx$i GROUP BY 1, 2, 3),
+         |scn$i AS (SELECT coarse, sub, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM (SELECT coarse, sub, list(cx ORDER BY pos) AS cv
+         |        FROM scm$i GROUP BY 1, 2))""".stripMargin + reassign
+    }
+    ((init +: kmeansIterCtes(NearKmIters)) ++ (ca +: subRounds)).mkString(",\n")
   }
 
   /** Unrolled per-subspace Lloyd builds mirroring [[buildPq]]
@@ -1375,17 +1546,29 @@ object Similarity {
   )
 
   /** Shared oracle fragment replaying [[buildNearDupPairs]]: the
-    * derived-k Lloyd build, the top-[[NearProbe]] cell assignment,
-    * same-cell candidates (plain DISTINCT — the Spark side's
-    * smallest-shared-cell emission selects the same SET), and the
-    * exact cosine. Ends with `p` (vec_a, vec_b, cos). */
+    * two-level derived-k Lloyd build, the [[CoarseProbe]] coarse
+    * probes, the top-[[NearProbe]] cell assignment over the probed
+    * sub-centroids (cell = coarse·k2 + sub), same-cell candidates
+    * (plain DISTINCT — the Spark side's smallest-shared-cell emission
+    * selects the same SET), and the exact cosine. Ends with `p`
+    * (vec_a, vec_b, cos). */
   private def embeddingPairsCteSql: String =
     s"""$nearDupKmeansCtes,
-       |a2p AS (SELECT vec_id, cell FROM (
+       |cpr AS (SELECT vec_id, cell AS coarse FROM (
        |    SELECT n.vec_id, c.cell, row_number() OVER (PARTITION BY n.vec_id
        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
        |        c.cell ASC) AS rr
-       |    FROM n CROSS JOIN cn${NearKmIters - 1} c) WHERE rr <= $NearProbe),
+       |    FROM n CROSS JOIN cn${NearKmIters - 1} c) WHERE rr <= $CoarseProbe),
+       |a2p AS (SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id,
+       |      CAST(c.coarse * (SELECT k2 FROM params) + c.sub AS BIGINT) AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+       |          CAST(c.coarse * (SELECT k2 FROM params) + c.sub AS BIGINT) ASC)
+       |        AS rr
+       |    FROM n JOIN cpr USING (vec_id)
+       |    JOIN scn${NearKmIters - 1} c ON c.coarse = cpr.coarse)
+       |  WHERE rr <= $NearProbe),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM a2p a JOIN a2p b ON a.cell = b.cell
        |  WHERE a.vec_id < b.vec_id),

@@ -76,8 +76,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     // the band join's both sides are the (corpus-sized) hash table —
-    // a BroadcastExchange here is a driver OOM at 100 TB
-    val plan = executed(ext.Multimodal.imageDedup(spark, sf0001))
+    // a BroadcastExchange here is a driver OOM at 100 TB. Assert on
+    // the uncached builder (the declared query memoizes it — S5).
+    val plan = executed(ext.Multimodal.buildImagePairs(spark, sf0001))
     val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
     assert(bx.isEmpty, s"image band join broadcasts a corpus-derived side:\n$plan")
     val shj = collectWithSubqueries(plan) { case j: ShuffledHashJoinExec => j }

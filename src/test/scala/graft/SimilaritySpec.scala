@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpec {
       s"per-item candidate volume grew superlinearly: $c1/$n1 -> $c2/$n2")
   }
 
+  test("near-dup model driver state is sublinear (~sqrt) in corpus size") {
+    // The coarse centroid Seq is the ONLY driver-resident model state
+    // (the corpus-scaled sub-centroids live in a cached DataFrame,
+    // joined shuffle-hash). Its row count is ceil(sqrt(k)) with
+    // k = ceil(n/64): 100x corpus -> ~10x driver rows. The flat r8
+    // design held k = n/64 rows on the driver — 1.6M at n = 100·2^20;
+    // the two-level model holds ~1.3k.
+    def rows(n: Long): Int =
+      Similarity.nearDupCoarseK(Similarity.nearDupK(n))
+    val r1 = rows(1L << 20)
+    val r100 = rows(100L * (1L << 20))
+    info(s"driver centroid rows: n=2^20 -> $r1, n=100*2^20 -> $r100")
+    assert(r100.toDouble / r1 <= 11.0,
+      s"driver model rows grew faster than sqrt: $r1 -> $r100")
+    assert(r100 < 5000, s"driver rows not bounded at 100M vectors: $r100")
+    // the built model agrees with the derivation and keeps the
+    // corpus-scaled sub-centroid table OUT of the driver
+    val m = Similarity.nearDupModel(spark, sf0001)
+    assert(m.coarse.size <= m.k1, "coarse model exceeds k1 rows")
+    assert(m.k1.toLong * m.k1 >= m.k, "k1 must be at least sqrt(k)")
+    assert(m.k1.toLong * m.k2 >= m.k, "k1*k2 must cover the k target cells")
+    assert(m.subCents.storageLevel.useMemory,
+      "sub-centroids must stay a cached DataFrame, never a driver Seq")
+  }
+
   test("embedding clusters: pairs share a rep, non-paired vectors stay singleton") {
     val reps = Similarity.embeddingClusters(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -47,6 +47,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "events_value_quantiles" -> "quantile_cont (Spark: percentile)",
     "mm_features" -> "octet_length(CAST AS BLOB) + regexp_extract_all/len",
     "mm_image_dedup" -> "xor() function (Spark spells it ^) + brute-force pair replay",
+    "mm_image_clusters" -> "xor() function + recursive CTE reachability",
     "mm_frame_sample" -> "list_transform byte slicing",
     "mm_meta" -> "octet_length(CAST AS BLOB)",
     "mm_audio_meta" -> "octet_length(CAST AS BLOB)",
