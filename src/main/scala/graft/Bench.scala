@@ -104,14 +104,26 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
     val errJson = if (errs.isEmpty) """"errors":{},"""
       else errs.mkString(""""errors":{""", ",", "},")
+    // Both raw pass totals ride the (kept) TAIL of the line: when the
+    // min-of-2 "value" and a pass total disagree wildly, the artifact
+    // itself shows the host stall that a single-number bench would
+    // hide (the r8 driver run's +37% mystery was exactly this).
+    val p1t = pass1.map(_._2).sum
+    val p2t = pass2.map(_._2).sum
     val line =
-      s"""{"queries":$qs,$errJson"metric":"total","unit":"sec","value":${r3(total)},"sf":"$sfDir"}"""
-    // The full JSON always lands on disk too, so per-query times
-    // exist even when the captured line was truncated.
+      s"""{"queries":$qs,$errJson"metric":"total","unit":"sec","pass1":${r3(p1t)},"pass2":${r3(p2t)},"value":${r3(total)},"sf":"$sfDir"}"""
+    // The full JSON always lands on disk too — per-query times AND the
+    // per-query (pass1, pass2) raw pairs — so stalls are attributable
+    // to individual queries even when the captured line was truncated.
+    val byName1 = pass1.map(r => r._1 -> r._2).toMap
+    val passPairs = results.map { case (k, _, _) =>
+      "\"" + k + "\":[" + r3(byName1(k)) + "," + r3(byName2(k)._2) + "]"
+    }.mkString("{", ",", "}")
+    val full = line.dropRight(1) + s""","pass_pairs":$passPairs}"""
     val out = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()
   }

@@ -260,13 +260,14 @@ object Curation {
     * size (the output sort is the only exchange). Chunk content
     * travels as an md5 of the token slice, so the verify surface is
     * byte-exact without dumping text. */
-  def contextChunks(s: SparkSession, dir: String): DataFrame = {
-    val t = Text.tokens(col("text"))
+  /** Chunk structs over an arbitrary token-array column — shared by
+    * the raw-text chunker and the scrub→pack composition. */
+  private def chunkStructs(t: Column): Column = {
     val n = size(t)
     val nChunks = (lit(1) + floor(
       (greatest(n - ChunkSize, lit(0)) + lit(ChunkStride - 1)) /
         lit(ChunkStride))).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1), k => {
+    transform(sequence(lit(0), nChunks - 1), k => {
       val ct = slice(t, k * ChunkStride + 1, lit(ChunkSize))
       struct(
         k.cast("long").as("chunk_id"),
@@ -274,10 +275,31 @@ object Curation {
         size(ct).cast("long").as("chunk_tokens"),
         md5(concat_ws(" ", ct).cast("binary")).as("chunk_md5"))
     })
-    Tables.documents(s, dir)
-      .select(col("doc_id"), inline(chunks))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def contextChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), inline(chunkStructs(Text.tokens(col("text")))))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Span-scrub → pack composition — the actual Lee et al. 2022
+    * training-data flow run end-to-end as ONE pipeline: excise every
+    * duplicated ≥-gram span from the corpus
+    * ([[Dedup.scrubbedDocs]] — the survivor token stream of
+    * `dedup_span_scrub`), then chunk the SCRUBBED stream into
+    * training windows ([[contextChunks]] semantics over `stoks`
+    * instead of raw text). Composition is plan-level: the scrub's
+    * coverage window, the gram-frequency shuffle-hash join, and the
+    * map-only chunker fuse into one job — no intermediate
+    * materialization, no second corpus scan. A fully-duplicated doc
+    * scrubs to an empty stream and still emits its one empty chunk
+    * (md5 of ""), so the output covers every tokenizable doc. */
+  def scrubPack(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.scrubbedDocs(
+        Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), inline(chunkStructs(col("stoks"))))
+      .orderBy("doc_id", "chunk_id")
 
   private val WeightedK = 50 // weighted sample size
 
@@ -808,6 +830,7 @@ object Curation {
     "pack_token_shards"     -> (tokenShards _),
     "pack_context_chunks"   -> (contextChunks _),
     "pipeline_curation"     -> (pipeline _),
+    "pipeline_scrub_pack"   -> (scrubPack _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1034,6 +1057,44 @@ object Curation {
          |SELECT doc_id, n_tokens,
          |  CAST(floor(start / $ShardBudget.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the scrub fragment replays dedup_span_scrub's survivor stream
+    // (identical anchors, position-range coverage, position-ordered
+    // survivor list), the chunk fragment replays pack_context_chunks
+    // over it — the composed oracle IS the two queries' oracles
+    // composed
+    "pipeline_scrub_pack" -> {
+      val G = graft.ext.Dedup.SpanGram
+      s"""WITH d0 AS (SELECT doc_id, ${Text.tokSql} AS tv FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(0, greatest(len(tv) - ${G - 1}, 0))) AS p, tv
+         |  FROM d0),
+         |h AS (SELECT doc_id, p,
+         |    array_to_string(tv[p + 1 : p + $G], ' ') AS sh FROM g),
+         |f AS (SELECT sh FROM h GROUP BY sh HAVING count(*) >= 2),
+         |anch AS (SELECT doc_id, p FROM h JOIN f USING (sh)),
+         |pos AS (SELECT doc_id, unnest(range(0, len(tv))) AS q, tv FROM d0),
+         |cov AS (SELECT DISTINCT pos.doc_id, pos.q
+         |  FROM pos JOIN anch ON anch.doc_id = pos.doc_id
+         |    AND anch.p BETWEEN pos.q - ${G - 1} AND pos.q),
+         |sd AS (SELECT p.doc_id,
+         |    coalesce(list(p.tv[p.q + 1] ORDER BY p.q)
+         |      FILTER (WHERE c.q IS NULL), []) AS toks
+         |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.q = p.q
+         |  GROUP BY p.doc_id),
+         |n AS (SELECT doc_id, toks, len(toks) AS n,
+         |    1 + CAST(floor((greatest(len(toks) - $ChunkSize, 0)
+         |      + ${ChunkStride - 1}) / $ChunkStride) AS BIGINT) AS n_chunks
+         |  FROM sd),
+         |c AS (SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start,
+         |  greatest(least(CAST($ChunkSize AS BIGINT),
+         |    n - chunk_id * $ChunkStride), 0) AS chunk_tokens,
+         |  md5(coalesce(array_to_string(toks[chunk_id * $ChunkStride + 1 :
+         |    chunk_id * $ChunkStride + $ChunkSize], ' '), '')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
 
     // DuckDB list slicing toks[a : b] is inclusive-bounds, matching
     // Spark's slice(t, a, 64) = elements a .. a+63

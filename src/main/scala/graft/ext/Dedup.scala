@@ -391,7 +391,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val SpanGram = 8
+  private[ext] val SpanGram = 8
 
   /** Exact duplicated-substring SPANS (Lee et al. 2022,
     * arXiv:2107.06499: dedup training data by removing exact
@@ -471,9 +471,10 @@ object Dedup {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism))
 
-  /** [[spanScrub]] over an arbitrary (doc_id, text) frame —
-    * `DedupSpec` drives planted fixtures through this directly. */
-  private[graft] def spanScrubOf(docs: DataFrame): DataFrame = {
+  /** The scrub's shared coverage frame: every token position with its
+    * `covered` flag (inside some duplicated span). One window for the
+    * coverage union — see [[spanScrub]]'s doc for the shape. */
+  private def markedTokens(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val tk = Text.tokens(col("text"))
@@ -490,12 +491,30 @@ object Dedup {
     val dupSh = flagged.filter(col("sh").isNotNull)
       .groupBy("sh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("sh"), lit(1).as("anch"))
-    val marked = flagged
+    flagged
       .join(dupSh.hint("shuffle_hash"), Seq("sh"), "left")
       .withColumn("covered",
         max(coalesce(col("anch"), lit(0)))
           .over(wDoc.rowsBetween(-(SpanGram - 1), Window.currentRow)) === 1)
-    marked
+  }
+
+  /** Survivor token stream of the span scrub — (doc_id, stoks) with
+    * `stoks` = the doc's tokens OUTSIDE every duplicated span, in
+    * position order: the frame the scrub→pack composition feeds the
+    * context-window chunker (`pipeline_scrub_pack`). Docs that
+    * tokenize to nothing drop (they have no positions), exactly as in
+    * [[spanScrubOf]]. */
+  private[graft] def scrubbedDocs(docs: DataFrame): DataFrame =
+    markedTokens(docs)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(
+          when(!col("covered"), struct(col("pos"), col("tok"))))),
+        x => x.getField("tok")).as("stoks"))
+
+  /** [[spanScrub]] over an arbitrary (doc_id, text) frame —
+    * `DedupSpec` drives planted fixtures through this directly. */
+  private[graft] def spanScrubOf(docs: DataFrame): DataFrame = {
+    markedTokens(docs)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -369,6 +369,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The IVF index as a PHYSICAL layout: the celled corpus written
+    * once per (process, sf dir) as a parquet table PARTITIONED BY the
+    * cell id — the "at 100 TB the cell id becomes the table's
+    * partition key" claim ([[ivfTopK]]) made real on disk. The probe
+    * query's fact scan is then partition-PRUNED to the probed cells
+    * at runtime: the probe table broadcasts, Spark's dynamic partition
+    * pruning injects the probed-cell subquery into the scan's
+    * partition filters (plan-asserted in `PlanSpec`), and unprobed
+    * cell directories never become input splits — the I/O shape that
+    * makes IVF pay at scale (scan bytes ∝ probed fraction, not corpus
+    * size). Results are bit-identical to [[ivfTopK]] — same model,
+    * same probe ranking, same exact re-rank within probed cells — so
+    * the oracle replays the identical unrolled-Lloyd SQL. */
+  def ivfPrunedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assign, cents) = kmeansModel(s, dir)
+    val path = graft.sources.Ingest.ingestTmpPath("ivfcells", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists)
+      // one-time layout build: vector + norm per row, cell as the
+      // partition key (one directory per cell). At 100 TB this is the
+      // write-once index-build job; every later probe query reads
+      // only its cells.
+      vectors(s, dir).join(assign.hint("shuffle_hash"), Seq("vec_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(path)
+    val fact = s.read.parquet(path)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm"), col("cell"))
+    val centDF = cents.toDF("cell", "cv", "cnrm")
+    val q = vectors(s, dir).toDF("query_id", "qv", "qnrm")
+      .filter(col("query_id") < NQueries)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centDF))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select("query_id", "qv", "qnrm", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    fact.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), r4(col("cos")).as("cos"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private val PqM      = 4         // subspaces
   private val PqSubDim = Dim / PqM // dims per subspace (16)
   private val PqCodes  = 8         // centroids per sub-codebook
@@ -1123,6 +1173,7 @@ object Similarity {
     "sim_topk_ivf"        -> (ivfTopK _),
     "sim_topk_pq"         -> (pqTopK _),
     "sim_topk_ivfpq"      -> (ivfpqTopK _),
+    "sim_ivf_pruned_topk" -> (ivfPrunedTopK _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_semantic_keep" -> (semanticKeep _),
@@ -1499,28 +1550,13 @@ object Similarity {
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
-    "sim_topk_ivf" ->
-      s"""WITH ${kmeansOracleCtes(KCells, KmIters)},
-         |probes AS (SELECT query_id, cell FROM (
-         |    SELECT q.vec_id AS query_id, c.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
-         |        c.cell ASC) AS prank
-         |    FROM n q CROSS JOIN cn${KmIters - 1} c WHERE q.vec_id < $NQueries)
-         |  WHERE prank <= $NProbe),
-         |p AS (SELECT pr.query_id, m.vec_id AS neighbor_id,
-         |    list_dot_product(q.v, m.v) / (q.nrm * m.nrm) AS cos
-         |  FROM probes pr
-         |  JOIN a$KmIters am ON am.cell = pr.cell
-         |  JOIN n m ON m.vec_id = am.vec_id
-         |  JOIN n q ON q.vec_id = pr.query_id
-         |  WHERE m.vec_id != pr.query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM p)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
-         |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_ivf" -> ivfOracleSql,
+
+    // the persisted-layout probe is RESULT-identical to the in-memory
+    // IVF query (the partitioned table stores the same model's
+    // assignment); only the physical scan shape differs, which the
+    // oracle never sees
+    "sim_ivf_pruned_topk" -> ivfOracleSql,
 
     "dedup_embedding_pairs" ->
       s"""WITH $embeddingPairsCteSql
@@ -1544,6 +1580,32 @@ object Similarity {
          |SELECT cluster_rep, vec_id AS kept_doc, cluster_size, n_chars
          |FROM sel WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
   )
+
+  /** Unrolled-Lloyd IVF oracle, shared verbatim by `sim_topk_ivf` and
+    * `sim_ivf_pruned_topk` (the persisted layout changes the physical
+    * scan, never the result). */
+  private def ivfOracleSql: String =
+    s"""WITH ${kmeansOracleCtes(KCells, KmIters)},
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+       |        c.cell ASC) AS prank
+       |    FROM n q CROSS JOIN cn${KmIters - 1} c WHERE q.vec_id < $NQueries)
+       |  WHERE prank <= $NProbe),
+       |p AS (SELECT pr.query_id, m.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, m.v) / (q.nrm * m.nrm) AS cos
+       |  FROM probes pr
+       |  JOIN a$KmIters am ON am.cell = pr.cell
+       |  JOIN n m ON m.vec_id = am.vec_id
+       |  JOIN n q ON q.vec_id = pr.query_id
+       |  WHERE m.vec_id != pr.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   /** Shared oracle fragment replaying [[buildNearDupPairs]]: the
     * two-level derived-k Lloyd build, the [[CoarseProbe]] coarse

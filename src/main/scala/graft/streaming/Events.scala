@@ -296,6 +296,35 @@ object Events {
       .select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
   }
 
+  /** Streaming AS-OF — the watermarked stream-stream twin of the
+    * custom merge-scan operator's tolerance face
+    * (`events_asof_last_touch_1h`, [[graft.operators.AsOf]]). A
+    * stream cannot wait forever for "the latest prior row", but WITH
+    * a tolerance the backward as-of is exactly "latest in-window
+    * match": tolerance-bounded interval LEFT OUTER join (the range
+    * condition bounds both sides' state, as in
+    * [[purchaseConversionStream]]) chained into an event-time
+    * aggregation (Spark's multiple-stateful-operator support) whose
+    * `max(struct(view_ts, view_id))` reduces each purchase's
+    * in-window views to the LATEST — emitted, append mode, once the
+    * propagated watermark closes the purchase; purchases with no
+    * in-window view emit their null-view row when both watermarks
+    * pass. State: join buffer bounded by the 1 h window + watermark,
+    * aggregation one row per open purchase. Stream ≡ batch asserted
+    * in `EventsStreamSpec` against the declared oracled query. */
+  def asofLastTouchStream(s: SparkSession, dir: String): DataFrame = {
+    def raw() = streamEvents(s, dir)
+    val p = purchasesOf(raw()).withWatermark("purchase_ts", "2 hours")
+    val v = viewsOf(raw()).withWatermark("view_ts", "2 hours")
+    viewPurchasePairs(p, v, "left_outer")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+      .agg(max(struct(col("view_ts"), col("view_id"))).as("m"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("m.view_id").as("view_id"), col("m.view_ts").as("view_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("m.view_ts")))
+          .as("micros_since_view"))
+  }
+
   private val ApproxPcts = Seq(0.5, 0.95, 0.99)
   private val ApproxAcc = 1000
 

@@ -513,6 +513,41 @@ class CurationSpec extends SparkSpec {
       "every document lands in exactly one bucket")
   }
 
+  test("scrub->pack composes: chunks cover exactly the survivor token stream") {
+    // survivor counts from the scrub query are the ground truth the
+    // chunker must cover: per doc, 1 + ceil(max(n-64,0)/48) chunks,
+    // token coverage = n for n <= 64 docs, and a fully-scrubbed doc
+    // still emits one empty chunk (md5 of "")
+    val survivors = Dedup.spanScrubOf(Tables.documents(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    val got = Curation.scrubPack(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet == survivors.keySet,
+      "scrub->pack must emit chunks for every tokenizable doc")
+    got.foreach { case (d, rows) =>
+      val n = survivors(d)
+      val expect = 1 + math.ceil(math.max(n - 64, 0L) / 48.0).toLong
+      assert(rows.length.toLong == expect,
+        s"doc $d: ${rows.length} chunks for $n survivor tokens")
+      if (n <= 64) {
+        assert(rows.head.getLong(3) == n,
+          s"doc $d: single chunk must hold all $n survivors")
+        if (n == 0)
+          assert(rows.head.getString(4) ==
+            "d41d8cd98f00b204e9800998ecf8427e", // md5("")
+            s"doc $d: empty chunk checksum")
+      }
+    }
+    // the composition actually scrubbed something: at least one doc
+    // chunks differently than the raw-text chunker
+    val raw = Curation.contextChunks(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+    assert(got.exists { case (d, rows) =>
+      raw.get(d).exists(_.map(_.getString(4)).toSeq !=
+        rows.map(_.getString(4)).toSeq)
+    }, "no doc's chunks changed — the scrub step is a no-op on this fixture")
+  }
+
   test("KMV estimate lands inside its certification envelope on the corpus") {
     // the declared query's own certification runs oracle-side; this
     // pins the same property in-JVM so a regression fails fast

@@ -107,6 +107,51 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tolerance as-of == batch as-of (join + chained event-time argmax)") {
+    import org.apache.spark.sql.functions._
+    // batch truth: the declared custom-operator query (backward as-of,
+    // 1 h tolerance) — the stream must reproduce it row for row
+    val batch = graft.operators.AsOf.purchaseAttributionRecent(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(5)))).toSet
+    assert(batch.exists(_._2.isEmpty), "fixture has no out-of-window purchase")
+
+    // same sentinel staging as the outer-join test: both watermarks
+    // must advance past every real purchase so trailing rows flush
+    val tmp = java.nio.file.Files.createTempDirectory("asof_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw.write.parquet(s"$tmp/events.parquet")
+    val tsPlus10d = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(10L * 24L * 3600L * 1000000000L)
+      case _ => col("ts") + expr("interval 10 days")
+    }
+    def sentinel(id: Long, et: String) =
+      raw.orderBy(col("ts").desc).limit(1)
+        .select(lit(id).as("event_id"),
+          tsPlus10d.as("ts"),
+          lit(id).as("user_id"), lit(et).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+    sentinel(-1L, "purchase").union(sentinel(-2L, "view"))
+      .write.parquet(s"$tmp/events_sentinel.parquet")
+
+    val q = Events.asofLastTouchStream(spark, tmp)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_out")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(5)))).toSet
+      assert(streamed == batch,
+        s"stream ${streamed.size} rows != batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("micro-batch partial CMS sketches merge to the one-shot batch sketch exactly") {
     import org.apache.spark.sql.functions._
     // CMS is linear: counters add, so merged per-batch partials must be

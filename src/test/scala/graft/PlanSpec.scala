@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"image band join lost its shuffle-hash shape:\n$plan")
   }
 
+  test("IVF persisted layout: probe scan is partition-pruned to probed cells") {
+    // the celled parquet table partitions on the cell id; the probe
+    // join must inject a dynamic-pruning subquery into the fact scan
+    // so unprobed cell directories never become input splits
+    val df = ext.Similarity.ivfPrunedTopK(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"celled fact scan must carry a dynamic partition-pruning filter:\n$plan")
+    // and the layout changes only the scan: results are bit-identical
+    // to the in-memory IVF probe
+    val viaLayout = df.collect().map(_.toSeq)
+    val viaMemory = ext.Similarity.ivfTopK(spark, sf0001).collect().map(_.toSeq)
+    assert(viaLayout.sameElements(viaMemory),
+      "persisted-layout probe diverged from the in-memory IVF result")
+  }
+
   test("series source: month-range filter prunes splits at planning time") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     // the declared query's 2010-2014 predicate must plan exactly 1 of

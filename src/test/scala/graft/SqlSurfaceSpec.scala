@@ -69,6 +69,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_mmr_rerank" -> "list_dot_product",
     "sim_topk_bruteforce" -> "list_dot_product",
     "sim_topk_ivf" -> "list comprehension k-means unroll",
+    "sim_ivf_pruned_topk" -> "list comprehension k-means unroll",
     "sim_topk_lsh_ann" -> "list_dot_product",
     "text_cms_heavy_hitters" -> "unnest() lateral",
     "text_fingerprint" -> "hex-digit CAST to INT",
@@ -85,6 +86,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_top_terms_per_lang" -> "string_split_regex + unnest() lateral",
     "sample_source_mixture" -> "string_split_regex + hex-string CAST to BIGINT",
     "pack_context_chunks" -> "string_split_regex + list slicing",
+    "pipeline_scrub_pack" -> "string_split_regex + list slicing + aggregate FILTER",
     "payroll_gap_fill" -> "non-equality correlated scalar subqueries",
     "sim_topk_pq" -> "list comprehension k-means unroll + list_dot_product",
     "dedup_semantic_keep" -> "recursive CTE reachability + DOUBLE[] list cast",
