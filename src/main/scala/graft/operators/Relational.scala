@@ -1050,6 +1050,46 @@ object Relational {
       .orderBy("s_name")
   }
 
+  private val PsExclBrand = "Brand#13"
+  private val PsSizes = Seq(1, 4, 9, 14, 23, 36, 45, 49)
+
+  /** Distinct-supplier counts per part attribute group — the TPC-H
+    * Q16 shape, completing the classic sweep (every Q expressible on
+    * this schema is now covered; Q12 alone is not — it needs
+    * shipmode/commitdate/receiptdate columns the corpus lacks): a
+    * grouped COUNT(DISTINCT) whose counting set is first reduced by a
+    * NOT-IN anti-join. Q16 excludes complained-about suppliers via a
+    * comment LIKE; this schema has no comments, so the audit set is
+    * the deterministic `s_suppkey % 4 = 0` — integer arithmetic both
+    * engines replay. Part→supplier association comes from the
+    * observed lineitem (part, supplier) pairs (no partsupp table —
+    * the Q9/Q20 ledger device).
+    *
+    * Scale shape: the attribute filter prunes `part` dimension-side
+    * and BROADCASTS into the fact scan (pushing brand/type/size into
+    * the join, fact rows die at the mapper); the audit exclusion is a
+    * broadcast LEFT ANTI (dimension-derived, bounded); the
+    * distinct-agg shuffles (group keys + suppkey) ONCE with map-side
+    * partial dedup — Spark's native two-phase distinct aggregate, no
+    * Expand, no second fact scan. */
+  def partSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(s, dir)
+      .filter(col("p_brand") =!= PsExclBrand &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(PsSizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val audited = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 4 === 0).select("s_suppkey")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(audited),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc,
+        col("p_brand").asc, col("p_type").asc, col("p_size").asc)
+  }
+
   /** Exact powers of ten (longs, so the double conversion is exact —
     * 10^15 < 2^53) shared by the Spark and SQL leading-digit
     * cascades. */
@@ -1132,6 +1172,7 @@ object Relational {
     "rel_join_size_est" -> (joinSizeEst _),
     "rel_idle_rich_customers" -> (idleRichCustomers _),
     "rel_stock_concentration" -> (stockConcentration _),
+    "rel_part_supplier_counts" -> (partSupplierCounts _),
     "rel_market_basket" -> (marketBasket _),
     "rel_order_sessions" -> (orderSessions _),
     "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
@@ -1191,6 +1232,21 @@ object Relational {
         |WHERE rev * CAST(2 * n_parts AS DECIMAL(12,0))
         |  > CAST(total AS DECIMAL(30,8)) * CAST(3 AS DECIMAL(3,0))
         |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
+
+    // the flat Q16 form: NOT IN restated as the same deterministic
+    // audit predicate, grouped count(DISTINCT)
+    "rel_part_supplier_counts" ->
+      s"""SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand <> '$PsExclBrand'
+         |  AND p_type NOT LIKE 'PROMO%'
+         |  AND p_size IN (${PsSizes.mkString(", ")})
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
 
     // identical keyed-md5 sketches, integer inner product, integer
     // bound: both engines compute the same estimate and booleans

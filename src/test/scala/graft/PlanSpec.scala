@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"image band join lost its shuffle-hash shape:\n$plan")
   }
 
+  test("Q16 shape: broadcast prune + anti-join, one distinct aggregate, no Expand") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = executed(operators.Relational.partSupplierCounts(spark, sf0001))
+    val s = plan.toString
+    // count(DISTINCT) over one grouping set plans as the two-phase
+    // distinct aggregate — an Expand here would be a multi-set rewrite
+    // scanning the fact rows per grouping combination
+    assert(!s.contains("Expand"),
+      s"Q16 distinct aggregate degraded to an Expand plan:\n$s")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.joinType.sql == "LEFT ANTI"),
+      s"audit exclusion must be a broadcast LEFT ANTI:\n$s")
+    assert(bhj.exists(_.joinType.sql == "INNER"),
+      s"part attribute prune must broadcast into the fact scan:\n$s")
+  }
+
   test("IVF persisted layout: probe scan is partition-pruned to probed cells") {
     // the celled parquet table partitions on the cell id; the probe
     // join must inject a dynamic-pruning subquery into the fact scan
