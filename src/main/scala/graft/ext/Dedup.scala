@@ -645,6 +645,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val DeltaMod = 7L
+
+  /** Incremental dedup-index maintenance — the per-batch flow a
+    * production pipeline runs instead of corpus-wide re-pairing: the
+    * standing corpus keeps its banded MinHash index; an ARRIVING
+    * batch (here the deterministic `doc_id % 7 = 0` slice — the
+    * established IVM split device) computes signatures for its docs
+    * only and PROBES the full index with the same band equi-join,
+    * emitting exactly the near-dup pairs that touch the batch. Join
+    * work is ∝ |batch| × bucket occupancy — at 100 TB the index side
+    * is the persisted bucket table and each ingest batch pays
+    * O(|batch|), never O(|corpus|²) (the corpus-wide `dedup_*_pairs`
+    * queries are the bootstrap pass; this is every pass after).
+    *
+    * Exactly-once without a pair `.distinct()`: delta×base pairs can
+    * only emit from the delta orientation (base docs never probe);
+    * delta×delta pairs appear in both orientations and are gated to
+    * probe < index; the first-collision band filter (shared with
+    * [[minhashLsh]]) dedupes across bands. Probe side shuffle-joins
+    * the corpus-sized index SHUFFLE-HASH — never broadcast. Output is
+    * [[minhashLsh]] restricted to delta-touching pairs (spec-asserted
+    * row-for-row), plus a `pair_kind` readout (did the batch collide
+    * with the standing corpus or within itself). Oracle: the same
+    * pigeonhole brute-force, restricted. */
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val rowsPerBand = NumPerm / Bands
+    val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
+    val withKeys = docs.select(col("doc_id"), col("sig"),
+      array((0 until Bands).map(b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+        .as("bks"))
+    val banded = withKeys.select(col("doc_id"), col("sig"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
+    val probe = banded.filter(col("doc_id") % DeltaMod === 0)
+      .toDF("doc_p", "sig_p", "bks_p", "band", "bucket")
+    val index = banded.toDF("doc_i", "sig_i", "bks_i", "band", "bucket")
+      .hint("shuffle_hash")
+    val firstCollision = (0 until Bands - 1).map { bp =>
+      (probe("band") <= lit(bp)) ||
+        (element_at(col("bks_p"), bp + 1) =!= element_at(col("bks_i"), bp + 1))
+    }.reduce(_ && _)
+    val est = graft.functions.ArrayAgreeCount
+      .arrayAgreeCount(col("sig_p"), col("sig_i")) / lit(NumPerm)
+    val bothDelta = col("doc_i") % DeltaMod === 0
+    probe.join(index,
+        probe("band") === index("band") && probe("bucket") === index("bucket") &&
+          col("doc_p") =!= col("doc_i") &&
+          (!bothDelta || col("doc_p") < col("doc_i")) &&
+          firstCollision && est >= lit(0.9))
+      .select(least(col("doc_p"), col("doc_i")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_i")).as("doc_b"),
+        r4(est).as("est_jaccard"),
+        when(bothDelta, lit("delta_delta")).otherwise(lit("delta_base"))
+          .as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val MaxCcIters = 100
 
   /** Oracle-reproducible band-bucket keys for the cluster query:
@@ -1466,6 +1525,7 @@ object Dedup {
     "dedup_shingle_jaccard" -> (shingleJaccardPairs _),
     "dedup_winnow_pairs"  -> (winnowPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_incremental_lsh" -> (incrementalLsh _),
     "dedup_clusters"      -> (clusters _),
     "dedup_soft_weights"  -> (softWeights _),
     "dedup_simhash"       -> (simhash _),
@@ -1516,6 +1576,26 @@ object Dedup {
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the same pigeonhole brute-force, restricted to delta-touching
+    // pairs; pair_kind restates the same modulus test
+    "dedup_incremental_lsh" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |mh AS (SELECT doc_id, kk.k AS k,
+         |    min(CAST(concat('0x', substr(md5(kk.k || ':' || tok), 1, 15)) AS BIGINT)) AS mh
+         |  FROM dt, range(0, $NumPerm) kk(k) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_filter(range(0, $NumPerm), i -> a.sig[i+1] = b.sig[i+1]))
+         |      / ${NumPerm}.0 AS est_jaccard
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard,
+         |  CASE WHEN doc_a % $DeltaMod = 0 AND doc_b % $DeltaMod = 0
+         |       THEN 'delta_delta' ELSE 'delta_base' END AS pair_kind
+         |FROM pairs WHERE est_jaccard >= 0.9
+         |  AND (doc_a % $DeltaMod = 0 OR doc_b % $DeltaMod = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Connectivity via STAR edges (member ↔ bucket-min), not bucket
     // cliques: identical components, but the recursion's join fan-out

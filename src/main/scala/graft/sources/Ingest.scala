@@ -173,6 +173,116 @@ object Ingest {
       .drop("__rn", "deleted")
   }
 
+  /** Data-quality EXPECTATIONS — the constraint gate an ingest
+    * pipeline evaluates per batch before committing (Delta Live
+    * Tables / Great-Expectations shape): each rule reports its row
+    * population, violation count, and failure rate, so a commit
+    * policy can warn/drop/abort on thresholds. Two rule classes:
+    * row-local predicates (null / range / domain checks — ALL of a
+    * table's rules fold into ONE map-side-combined pass over its
+    * scan, a 1-row aggregate regardless of rule count) and
+    * referential checks (key resolves in the parent table — a
+    * LEFT ANTI count; the dimension side broadcasts, the fact-fact
+    * orphan check joins SHUFFLE-HASH). The mixed-severity fixture is
+    * deliberate: the domain rules pass clean while the `bulk_quantity`
+    * policy rule fails real rows, so the hash gate covers both the
+    * zero and non-zero paths. */
+  def expectations(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = graft.Tables.lineitem(s, dir)
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(!(col("l_quantity") > 0), 1L).otherwise(0L)).as("f_qty"),
+      sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("f_bulk"),
+      sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L))
+        .as("f_disc"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("f_ship"))
+    val ordN = graft.Tables.orders(s, dir).agg(count(lit(1)).as("n"))
+    val ordOrphans = graft.Tables.orders(s, dir)
+      .join(broadcast(graft.Tables.customer(s, dir).select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("f"))
+    val liOrphans = li.select("l_orderkey")
+      .join(graft.Tables.orders(s, dir).select("o_orderkey")
+          .hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("f"))
+    def rule(name: String, n: org.apache.spark.sql.Column,
+        f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(name).as("rule"), n.as("n_rows"), f.as("n_fail"),
+        round(f / n.cast("double"), 4).as("fail_rate"))
+    liAgg.crossJoin(broadcast(ordN.toDF("o_n")))
+      .crossJoin(broadcast(ordOrphans.toDF("o_f")))
+      .crossJoin(broadcast(liOrphans.toDF("l_f")))
+      .select(explode(array(
+        rule("l_discount_in_domain", col("n"), col("f_disc")),
+        rule("l_orderkey_resolves", col("n"), col("l_f")),
+        rule("l_quantity_positive", col("n"), col("f_qty")),
+        rule("l_shipdate_not_null", col("n"), col("f_ship")),
+        rule("lq_bulk_quantity_cap", col("n"), col("f_bulk")),
+        rule("o_custkey_resolves", col("o_n"), col("o_f")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
+        col("r.n_fail").as("n_fail"), col("r.fail_rate").as("fail_rate"))
+      .orderBy("rule")
+  }
+
+  /** Snapshot versioning + TIME TRAVEL — the lakehouse read axis next
+    * to [[mergeOnRead]]: every commit lands as an ordered DELTA
+    * directory carrying its commit id IN the files (v1 = the update
+    * batch, v2 = the tombstone batch — the same deterministic batches
+    * as [[mergeOnRead]]); reading AS OF version v resolves
+    * base ∪ {deltas ≤ v} with the LWW+tombstone window, so ANY
+    * historical state reconstructs without rewriting a single data
+    * file (Iceberg/Delta snapshot semantics: commits are additive,
+    * reads pick a prefix). The declared query reads all three
+    * versions and rolls each up tagged by version — the hash check
+    * proves v0 ignores every delta, v1 applies the updates but not
+    * the deletes, and v2 applies both. At 100 TB the version choice
+    * is a manifest-prefix walk at planning time; the data read is the
+    * same pruned MOR scan. */
+  def timeTravel(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val basePath = ingestTmpPath("tt_base", dir)
+    val v1Path = ingestTmpPath("tt_v1", dir)
+    val v2Path = ingestTmpPath("tt_v2", dir)
+    if (!new java.io.File(basePath, "_SUCCESS").exists) {
+      base.write.mode("overwrite").parquet(basePath)
+      base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("deleted", lit(false))
+        .withColumn("__v", lit(1))
+        .write.mode("overwrite").parquet(v1Path)
+      base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("deleted", lit(true))
+        .withColumn("__v", lit(2))
+        .write.mode("overwrite").parquet(v2Path)
+    }
+    def asOf(v: Int): DataFrame = {
+      val b = s.read.parquet(basePath)
+        .withColumn("deleted", lit(false)).withColumn("__v", lit(0))
+      val merged = Seq(1 -> v1Path, 2 -> v2Path)
+        .filter(_._1 <= v)
+        .map { case (_, p) => s.read.parquet(p) }
+        .foldLeft(b)(_.unionByName(_))
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(col("__v").desc, col("deleted").desc)
+      merged
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("deleted"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(25,8)")).cast("double"), 4)
+            .as("total_price"))
+        .withColumn("version", lit(v.toLong))
+    }
+    (0 to 2).map(asOf).reduce(_.unionByName(_))
+      .select(col("version"), col("o_orderstatus"), col("n_rows"),
+        col("total_price"))
+      .orderBy("version", "o_orderstatus")
+  }
+
   /** CDC between two keyed snapshots: classify every key as
     * INSERT (only in next), DELETE (only in prev), or UPDATE (in
     * both, any tracked column differs); unchanged keys produce no
@@ -765,6 +875,8 @@ object Ingest {
     "ingest_upsert_roundtrip" -> (upsertRoundtrip _),
       "ingest_delete_tombstones" -> (deleteTombstones _),
       "ingest_merge_on_read" -> (mergeOnRead _),
+      "ingest_time_travel" -> (timeTravel _),
+      "ingest_expectations" -> (expectations _),
       "ingest_snapshot_diff" -> (snapshotDiffQuery _),
       "ingest_schema_evolution" -> (schemaEvolution _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
@@ -843,6 +955,50 @@ object Ingest {
         |    AS total_price
         |FROM u WHERE rn = 1 AND NOT deleted
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each rule restated flat; NOT IN keys are non-null by schema so
+    // the anti-join and NOT-IN forms agree
+    "ingest_expectations" ->
+      """WITH la AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS f_qty,
+        |    CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS f_bulk,
+        |    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS f_disc,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_ship
+        |  FROM lineitem),
+        |oa AS (SELECT CAST(count(*) AS BIGINT) AS o_n FROM orders),
+        |orf AS (SELECT CAST(count(*) AS BIGINT) AS o_f FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |lrf AS (SELECT CAST(count(*) AS BIGINT) AS l_f FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |r AS (SELECT 'l_discount_in_domain' AS rule, n AS n_rows, f_disc AS n_fail
+        |    FROM la
+        |  UNION ALL SELECT 'l_orderkey_resolves', n, l_f FROM la, lrf
+        |  UNION ALL SELECT 'l_quantity_positive', n, f_qty FROM la
+        |  UNION ALL SELECT 'l_shipdate_not_null', n, f_ship FROM la
+        |  UNION ALL SELECT 'lq_bulk_quantity_cap', n, f_bulk FROM la
+        |  UNION ALL SELECT 'o_custkey_resolves', o_n, o_f FROM oa, orf)
+        |SELECT rule, n_rows, n_fail,
+        |  round(n_fail / CAST(n_rows AS DOUBLE), 4) AS fail_rate
+        |FROM r ORDER BY rule""".stripMargin,
+
+    // each version restated directly: v0 = base, v1 = base with the
+    // %10 updates applied, v2 = v1 minus the %7 tombstoned keys —
+    // exactly what the prefix-of-commits LWW window resolves
+    "ingest_time_travel" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v0 AS (SELECT o_orderstatus, o_totalprice FROM b),
+        |v1 AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus, o_totalprice FROM b),
+        |v2 AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus, o_totalprice
+        |  FROM b WHERE o_orderkey % 7 <> 0),
+        |u AS (SELECT CAST(0 AS BIGINT) AS version, * FROM v0
+        |  UNION ALL SELECT 1, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2)
+        |SELECT version, o_orderstatus, count(*) AS n_rows,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+        |    AS total_price
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ingest_delete_tombstones" ->
       """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,

@@ -24,6 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
   }
 
+  test("incremental LSH == full LSH restricted to delta-touching pairs") {
+    // the whole point of the incremental face: probing the standing
+    // index with only the batch must lose nothing and invent nothing
+    // relative to the corpus-wide pass
+    val full = Dedup.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter(t => t._1 % 7 == 0 || t._2 % 7 == 0)
+    val got = Dedup.incrementalLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(expected.nonEmpty, "fixture has no delta-touching pairs")
+    assert(got.toSeq == expected.toSeq,
+      s"incremental ${got.length} pairs != restricted full ${expected.length}")
+    // kinds restate the modulus test
+    Dedup.incrementalLsh(spark, sf0001).collect().foreach { r =>
+      val (a, b, kind) = (r.getLong(0), r.getLong(1), r.getString(3))
+      assert((a % 7 == 0 && b % 7 == 0) == (kind == "delta_delta"), s"$r")
+    }
+  }
+
   test("winnowing candidates cover the shingle-Jaccard near-dups") {
     val exact = Dedup.shingleJaccardPairs(spark, sf0001)
       .select("doc_a", "doc_b").collect()

@@ -369,6 +369,35 @@ class IngestSpec extends SparkSpec {
     assert(!stale.exists, "stale dead-pid directory must be swept")
   }
 
+  test("time travel: each version reconstructs its exact historical state") {
+    // independent recompute from the raw orders table with the same
+    // modulus batches: v0 = base, v1 = +updates, v2 = +deletes
+    val base = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        // mirror the query's cast("decimal(25,8)") on the double price
+        BigDecimal(r.getDouble(2)).setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+    def rollup(rows: Seq[(Long, String, BigDecimal)]) =
+      rows.groupBy(_._2).map { case (st, rs) =>
+        (st, rs.size.toLong,
+          (rs.map(_._3).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)).toDouble)
+      }.toSet
+    val v0 = base.toSeq
+    val v1 = v0.map { case (k, st, p) => (k, if (k % 10 == 0) "R" else st, p) }
+    val v2 = v1.filter(_._1 % 7 != 0)
+    val expect = Seq(0 -> v0, 1 -> v1, 2 -> v2).flatMap { case (v, rows) =>
+      rollup(rows).map { case (st, n, tp) => (v.toLong, st, n, tp) }
+    }.toSet
+    val got = Ingest.timeTravel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect,
+      s"only-spark=${got.diff(expect)} only-jvm=${expect.diff(got)}")
+    // time travel is non-destructive: v2's read never rewrote v0's
+    // state, so the v0 rollup still equals the raw base
+    assert(got.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)) == rollup(v0))
+  }
+
   test("drill join prunes fact partitions at runtime (DPP)") {
     val df = Ingest.partitionPrunedDrill(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
