@@ -704,6 +704,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Blocking-quality report — the dedup machinery measuring ITSELF
+    * (Christen's record-linkage metrics): for the banded MinHash
+    * index, the reduction ratio (how much of the n(n−1)/2 all-pairs
+    * space the blocking avoided) and pairs completeness (what share
+    * of TRUE near-dup pairs the blocking still covers). Candidates
+    * come from the oracle-replayable md5 band buckets
+    * ([[minhashBuckets]]); true pairs verify candidates at est ≥ 0.9.
+    * Completeness is emitted as literal 1.0 — the pigeonhole theorem
+    * (est ≥ 0.9 of 32 ⇒ ≤ 3 mismatches ⇒ some 8-row band agrees)
+    * guarantees it — and the ORACLE recomputes both counts from the
+    * brute-force truth: if banding ever missed a true pair, the
+    * oracle's true_pairs would exceed the banded count AND its
+    * measured completeness would dip below 1.0, failing the hash gate
+    * twice. Same certification device as the GK-quantile and KMV
+    * queries. All counts are distributed aggregates; only 1-row
+    * frames cross-join. */
+  def blockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
+    val bk = minhashBuckets(sigs)
+    val a = bk.toDF("doc_a", "bucket")
+    val b = bk.toDF("doc_b", "bucket").hint("shuffle_hash")
+    val cand = a.join(b, a("bucket") === b("bucket") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.toDF("doc_a", "sig_a")
+    val sb = sigs.toDF("doc_b", "sig_b").hint("shuffle_hash")
+    val est = graft.functions.ArrayAgreeCount
+      .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm)
+    val truePairs = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(est >= lit(0.9))
+    val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
+    val candN = cand.agg(count(lit(1)).as("candidate_pairs"))
+    val trueN = truePairs.agg(count(lit(1)).as("true_pairs"))
+    // n(n−1) is even, so the shift IS exact integer halving (a `/ 2`
+    // would route through double division); exact to n ~ 3·10⁹ docs
+    val totalPairs = shiftright(col("n_docs") * (col("n_docs") - 1), 1)
+    nDocs.crossJoin(broadcast(candN)).crossJoin(broadcast(trueN))
+      .select(col("n_docs"),
+        totalPairs.as("total_pairs"),
+        col("candidate_pairs"), col("true_pairs"),
+        round(lit(1.0) - col("candidate_pairs") / totalPairs.cast("double"), 4)
+          .as("reduction_ratio"),
+        round(lit(1.0), 4).as("pairs_completeness"))
+  }
+
   private val MaxCcIters = 100
 
   /** Oracle-reproducible band-bucket keys for the cluster query:
@@ -1530,6 +1577,7 @@ object Dedup {
     "dedup_soft_weights"  -> (softWeights _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_blocking_quality" -> (blockingQuality _),
   )
 
   /** All dedup queries are oracle-checked. The sketch ops hash with
@@ -1576,6 +1624,34 @@ object Dedup {
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle recomputes BOTH sides of the certification from the
+    // brute-force truth: candidates from the replayed md5 band
+    // buckets, true pairs from the all-pairs est scan, completeness
+    // as the measured covered/true ratio — a banding miss would both
+    // shrink Spark's banded true count and dip the oracle's measured
+    // completeness below the claimed 1.0
+    "dedup_blocking_quality" ->
+      s"""WITH $edgesCteSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |tps AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(0, $NumPerm), i -> a.sig[i+1] = b.sig[i+1]))
+         |    / ${NumPerm}.0 >= 0.9),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sigs),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM cand),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM tps),
+         |cv AS (SELECT CAST(count(*) AS BIGINT) AS covered
+         |  FROM tps JOIN cand USING (doc_a, doc_b))
+         |SELECT n_docs,
+         |  (n_docs * (n_docs - 1)) // 2 AS total_pairs,
+         |  candidate_pairs, true_pairs,
+         |  round(1.0 - candidate_pairs
+         |    / CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE), 4) AS reduction_ratio,
+         |  round(coalesce(covered / CAST(NULLIF(true_pairs, 0) AS DOUBLE), 1.0), 4)
+         |    AS pairs_completeness
+         |FROM nn, cn, tn, cv""".stripMargin,
 
     // the same pigeonhole brute-force, restricted to delta-touching
     // pairs; pair_kind restates the same modulus test

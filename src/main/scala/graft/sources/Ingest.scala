@@ -765,6 +765,47 @@ object Ingest {
       .orderBy("event_type", "day")
   }
 
+  private val ForgetMod = 13L
+
+  /** Retraction IVM — the DELETE side of the materialized-aggregate
+    * family ([[incrementalAgg]] absorbs inserts; this absorbs a
+    * deletion batch — the GDPR "forget these users" sweep hitting a
+    * standing rollup): the per-(type, day) view subtracts the deleted
+    * rows' partials by unioning NEGATED partial states (count and
+    * exact-decimal sum negate — sums/counts form a GROUP, not just a
+    * monoid, which is exactly why they support retraction and min/max
+    * do not), and groups whose count reaches zero are DROPPED (an
+    * emptied group must disappear from the view, not linger as a
+    * zero row — the classic retraction bug). Work ∝ |deleted rows|;
+    * the standing view's base facts are never rescanned. Decimal
+    * addition is associative and negation exact, so the maintained
+    * view is bit-identical to the recompute over survivors — which is
+    * what the oracle states. */
+  def retractionAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    retractionAggOf(graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("value")))
+
+  /** [[retractionAgg]] over an arbitrary (user_id, event_type, day,
+    * value) frame — `IngestSpec` drives an emptied-group fixture
+    * through this directly. */
+  private[graft] def retractionAggOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Num._
+    val standing = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("pn"), dsumExact(col("value")).as("psv"))
+    val retract = ev.filter(col("user_id") % ForgetMod === 0)
+      .groupBy("event_type", "day")
+      .agg((-count(lit(1))).as("pn"), (-dsumExact(col("value"))).as("psv"))
+    standing.unionByName(retract)
+      .groupBy("event_type", "day")
+      .agg(sum(col("pn")).as("n_events"), sum(col("psv")).as("sv"))
+      .filter(col("n_events") > 0)
+      .select(col("event_type"), col("day"), col("n_events"),
+        r4(col("sv").cast("double")).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** Delta split for the incremental-JOIN refresh: late-arriving
     * orders (by date cutoff) and late-arriving customers (every 10th
     * key models a dimension correction batch). */
@@ -877,6 +918,7 @@ object Ingest {
       "ingest_merge_on_read" -> (mergeOnRead _),
       "ingest_time_travel" -> (timeTravel _),
       "ingest_expectations" -> (expectations _),
+      "ingest_retraction_agg" -> (retractionAgg _),
       "ingest_snapshot_diff" -> (snapshotDiffQuery _),
       "ingest_schema_evolution" -> (schemaEvolution _),
       "ingest_partition_pruned_drill" -> (partitionPrunedDrill _),
@@ -955,6 +997,16 @@ object Ingest {
         |    AS total_price
         |FROM u WHERE rn = 1 AND NOT deleted
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // retraction ≡ recompute over survivors — the group property of
+    // sum/count makes the subtraction exact
+    "ingest_retraction_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM events WHERE user_id % 13 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // each rule restated flat; NOT IN keys are non-null by schema so
     // the anti-join and NOT-IN forms agree

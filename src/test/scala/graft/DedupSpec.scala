@@ -24,6 +24,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
   }
 
+  test("blocking quality: arithmetic consistent, completeness certified, true = declared pairs") {
+    val r = Dedup.blockingQuality(spark, sf0001).head()
+    val (n, total, cand, tp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(total == n * (n - 1) / 2, s"total pairs arithmetic: $r")
+    assert(cand <= total && tp <= cand && tp > 0, s"count ordering: $r")
+    // pigeonhole certification: every est>=0.9 pair shares a clean band
+    assert(r.getDouble(5) == 1.0, s"claimed completeness must be 1.0: $r")
+    // the banded true count IS the declared pair query's output size
+    assert(tp == Dedup.minhashLsh(spark, sf0001).count(),
+      "banded true pairs diverge from dedup_minhash_lsh")
+    val rr = BigDecimal(1.0 - cand.toDouble / total)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == rr, s"reduction ratio: $r vs $rr")
+  }
+
   test("incremental LSH == full LSH restricted to delta-touching pairs") {
     // the whole point of the incremental face: probing the standing
     // index with only the batch must lose nothing and invent nothing

@@ -369,6 +369,27 @@ class IngestSpec extends SparkSpec {
     assert(!stale.exists, "stale dead-pid directory must be swept")
   }
 
+  test("retraction IVM drops emptied groups, keeps exact survivor sums") {
+    import spark.implicits._
+    // (click, 2024-01-01) is composed ONLY of forgotten-user rows
+    // (user_id % 13 == 0) — after retraction the group must VANISH,
+    // not linger as a zero row (the classic retraction bug)
+    val ev = Seq(
+      (13L, "click", "2024-01-01", 1.5),
+      (26L, "click", "2024-01-01", 2.5),
+      (2L,  "click", "2024-01-02", 3.0),
+      (13L, "view",  "2024-01-02", 4.0),
+      (5L,  "view",  "2024-01-02", 6.25)
+    ).toDF("user_id", "event_type", "day", "value")
+      .withColumn("day", to_date(col("day")))
+    val got = Ingest.retractionAggOf(ev).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("click", "2024-01-02", 1L, 3.0),
+      ("view", "2024-01-02", 1L, 6.25)), s"got $got")
+  }
+
   test("time travel: each version reconstructs its exact historical state") {
     // independent recompute from the raw orders table with the same
     // modulus batches: v0 = base, v1 = +updates, v2 = +deletes

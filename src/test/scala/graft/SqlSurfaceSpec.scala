@@ -25,6 +25,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_embedding_pairs" -> "list_transform/list_dot_product",
     "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
     "dedup_incremental_lsh" -> "list aggregation + list_filter signature agreement",
+    "dedup_blocking_quality" -> "list aggregation + list_slice band buckets",
     "graph_pagerank" -> "minhash CTE (string_split_regex + hex-string casts)",
     "dedup_jaccard_pairs" -> "unnest() lateral",
     "dedup_containment_top" -> "unnest() lateral",
