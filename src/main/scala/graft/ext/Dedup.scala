@@ -670,19 +670,46 @@ object Dedup {
     * with the standing corpus or within itself). Oracle: the same
     * pigeonhole brute-force, restricted. */
   def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    val rowsPerBand = NumPerm / Bands
     val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    val withKeys = docs.select(col("doc_id"), col("sig"),
-      array((0 until Bands).map(b =>
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-        .as("bks"))
-    val banded = withKeys.select(col("doc_id"), col("sig"), col("bks"),
-      posexplode(col("bks")).as(Seq("band", "bucket")))
-    val probe = banded.filter(col("doc_id") % DeltaMod === 0)
+    probePairs(docs.filter(col("doc_id") % DeltaMod === 0),
+        docs.withColumn("in_probe", col("doc_id") % DeltaMod === 0))
+      .withColumn("pair_kind",
+        when(col("doc_a") % DeltaMod === 0 && col("doc_b") % DeltaMod === 0,
+          lit("delta_delta")).otherwise(lit("delta_base")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Banded rows of a signature frame (the [[minhashLsh]] band keys,
+    * shared with the probe faces): (doc_id, sig, bks, band, bucket),
+    * plus any extra columns `sigs` carries. */
+  private def bandedRows(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = NumPerm / Bands
+    val extra = sigs.columns.filterNot(Set("doc_id", "sig")).map(col).toSeq
+    sigs.select(Seq(col("doc_id"), col("sig"),
+        array((0 until Bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+          .as("bks")) ++ extra: _*)
+      .select(Seq(col("doc_id"), col("sig"), col("bks")) ++ extra :+
+        posexplode(col("bks")).as(Seq("band", "bucket")): _*)
+  }
+
+  /** The index-probe primitive both incremental faces share: the
+    * probe batch's banded rows equi-join the standing index's banded
+    * rows (the index must CONTAIN the probe batch for within-batch
+    * pairs to surface; its `in_probe` flag marks those rows so a
+    * probe×probe pair emits from ONE orientation only). Index side
+    * SHUFFLE-HASH — at 100 TB it is the persisted corpus-so-far
+    * bucket table. Output: (doc_a, doc_b, est_jaccard) at est ≥ 0.9,
+    * exactly-once via the orientation gate + the shared
+    * first-collision band filter. */
+  private[graft] def probePairs(probeSigs: DataFrame,
+      indexSigs: DataFrame): DataFrame = {
+    val probe = bandedRows(probeSigs.select("doc_id", "sig"))
       .toDF("doc_p", "sig_p", "bks_p", "band", "bucket")
-    val index = banded.toDF("doc_i", "sig_i", "bks_i", "band", "bucket")
+    val index = bandedRows(indexSigs)
+      .toDF("doc_i", "sig_i", "bks_i", "in_probe", "band", "bucket")
       .hint("shuffle_hash")
     val firstCollision = (0 until Bands - 1).map { bp =>
       (probe("band") <= lit(bp)) ||
@@ -690,19 +717,22 @@ object Dedup {
     }.reduce(_ && _)
     val est = graft.functions.ArrayAgreeCount
       .arrayAgreeCount(col("sig_p"), col("sig_i")) / lit(NumPerm)
-    val bothDelta = col("doc_i") % DeltaMod === 0
     probe.join(index,
         probe("band") === index("band") && probe("bucket") === index("bucket") &&
           col("doc_p") =!= col("doc_i") &&
-          (!bothDelta || col("doc_p") < col("doc_i")) &&
+          (!col("in_probe") || col("doc_p") < col("doc_i")) &&
           firstCollision && est >= lit(0.9))
       .select(least(col("doc_p"), col("doc_i")).as("doc_a"),
         greatest(col("doc_p"), col("doc_i")).as("doc_b"),
-        r4(est).as("est_jaccard"),
-        when(bothDelta, lit("delta_delta")).otherwise(lit("delta_base"))
-          .as("pair_kind"))
-      .orderBy("doc_a", "doc_b")
+        r4(est).as("est_jaccard"))
   }
+
+  /** Signatures of an arbitrary (doc_id, text) frame — the per-batch
+    * build the streaming continuous-dedup face runs (the (session,
+    * dir) form stays memoized for the corpus-wide queries). */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    signatures(docs.select(col("doc_id"),
+      explode(array_distinct(Text.tokens(col("text")))).as("tok")))
 
   /** Blocking-quality report — the dedup machinery measuring ITSELF
     * (Christen's record-linkage metrics): for the banded MinHash

@@ -59,6 +59,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming continuous dedup: per-batch index probes union to the batch query") {
+    import org.apache.spark.sql.functions._
+    // the production flow: the corpus-so-far keeps a signature index;
+    // each arriving micro-batch signs itself, probes the index (which
+    // includes the batch, flagged, for within-batch pairs), emits its
+    // pairs, and APPENDS itself to the index. The union over batches
+    // must equal the one-shot incremental query on the same delta set
+    // — no pair lost at a batch boundary, none double-emitted.
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    // stage the delta as TWO files so the stream runs two micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("cont_dedup").toString
+    delta.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/d0")
+    delta.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$tmp/d1")
+    var index = ext.Dedup.signaturesOf(base).cache()
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    var nBatches = 0
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/d*/*.parquet")
+      .writeStream.outputMode("append").foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bs = ext.Dedup.signaturesOf(b).cache()
+          val idx = index.withColumn("in_probe", lit(false))
+            .unionByName(bs.withColumn("in_probe", lit(true)))
+          got ++= ext.Dedup.probePairs(bs, idx).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          index = index.unionByName(bs).cache()
+          nBatches += 1
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches >= 2, s"stream must run >= 2 micro-batches, ran $nBatches")
+    val expect = ext.Dedup.incrementalLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expect.nonEmpty)
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got.toSet -- expect).take(3)}")
+  }
+
   test("winnowing candidates cover the shingle-Jaccard near-dups") {
     val exact = Dedup.shingleJaccardPairs(spark, sf0001)
       .select("doc_a", "doc_b").collect()

@@ -273,7 +273,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // unbounded at 100 TB)
       "dedup_span_scrub"      -> ext.Dedup.spanScrubOf(
         Tables.documents(spark, sf0001)),
-      "text_bpe_encode"       -> ext.Text.bpeEncode(spark, sf0001))
+      "text_bpe_encode"       -> ext.Text.bpeEncode(spark, sf0001),
+      // r9: the incremental probe's index side is the corpus-so-far —
+      // the one table the incremental design exists to never broadcast
+      "dedup_incremental_lsh" -> ext.Dedup.incrementalLsh(spark, sf0001))
     corpusOnly.foreach { case (name, df) =>
       val plan = executed(df)
       val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
