@@ -734,6 +734,44 @@ object Dedup {
     signatures(docs.select(col("doc_id"),
       explode(array_distinct(Text.tokens(col("text")))).as("tok")))
 
+  /** CROSS-MODAL entity resolution — one cluster map over the union
+    * of every modality's near-dup evidence: text (MinHash band
+    * buckets — the `dedup_clusters` graph), embeddings (the verified
+    * cosine pairs of `dedup_embedding_pairs`), and images (the
+    * verified Hamming pairs of `mm_image_dedup`), all on the aligned
+    * id space. Two items are one ENTITY iff a chain of evidence in
+    * ANY modality connects them — the form a multimodal training-data
+    * pipeline actually dedups on (a recaptioned image, a re-encoded
+    * page, and a paraphrase are the same sample even when no single
+    * modality links all three). Each evidence set arrives as
+    * (doc_id, bucket) rows with a modality-prefixed bucket key; the
+    * shared large-star/small-star CC machinery resolves the union in
+    * O(log d) rounds; every memoized family build (signatures,
+    * verified pair tables) is REUSED, not recomputed. Output one row
+    * per document: (doc_id, cluster_rep, cluster_size). */
+  def crossModalClusters(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "crossmodal_clusters") {
+      val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+        signatures(distinctTokens(s, dir))
+      }
+      val textBk = minhashBuckets(sigs)
+        .select(col("doc_id"), concat(lit("t:"), col("bucket")).as("bucket"))
+      val ep = Similarity.embeddingNearDups(s, dir).select("vec_a", "vec_b")
+      val eKey = concat_ws(",", lit("e"),
+        col("vec_a").cast("string"), col("vec_b").cast("string"))
+      val embBk = ep.select(col("vec_a").as("doc_id"), eKey.as("bucket"))
+        .union(ep.select(col("vec_b").as("doc_id"), eKey.as("bucket")))
+      val ip = Multimodal.imageDedup(s, dir).select("id_a", "id_b")
+      val iKey = concat_ws(",", lit("i"),
+        col("id_a").cast("string"), col("id_b").cast("string"))
+      val imgBk = ip.select(col("id_a").as("doc_id"), iKey.as("bucket"))
+        .union(ip.select(col("id_b").as("doc_id"), iKey.as("bucket")))
+      val self = graft.Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket"))
+      clustersFromBuckets(textBk.union(embBk).union(imgBk).union(self))
+        .orderBy("doc_id")
+    }
+
   /** Blocking-quality report — the dedup machinery measuring ITSELF
     * (Christen's record-linkage metrics): for the banded MinHash
     * index, the reduction ratio (how much of the n(n−1)/2 all-pairs
@@ -754,25 +792,44 @@ object Dedup {
     val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    val bk = minhashBuckets(sigs)
-    val a = bk.toDF("doc_a", "bucket")
-    val b = bk.toDF("doc_b", "bucket").hint("shuffle_hash")
-    val cand = a.join(b, a("bucket") === b("bucket") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.toDF("doc_a", "sig_a")
-    val sb = sigs.toDF("doc_b", "sig_b").hint("shuffle_hash")
+    // One band join, zero pair-stream exchanges (the minhashLsh
+    // discipline — the first cut of this query `.distinct()`ed the
+    // candidate pair stream and became the bench's most expensive
+    // query at 10× data): each signature carries its 4 md5 band keys
+    // (md5, not xxhash, because the CANDIDATE COUNT depends on the
+    // bucket function and the oracle must compute the identical
+    // buckets), pairs emit exactly once via the first-collision
+    // filter, and both counts fold map-side inside the joined stage.
+    val rowsPerBand = NumPerm / Bands
+    def bandKey(b: Int) = md5(concat_ws(",",
+      lit(b).cast("string") +:
+        (0 until rowsPerBand).map(j =>
+          element_at(col("sig"), b * rowsPerBand + j + 1).cast("string")): _*)
+      .cast("binary"))
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        array((0 until Bands).map(bandKey): _*).as("bks"))
+      .select(col("doc_id"), col("sig"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val a = banded.toDF("doc_a", "sig_a", "bks_a", "band", "bucket")
+    val b = banded.toDF("doc_b", "sig_b", "bks_b", "band", "bucket")
+      .hint("shuffle_hash")
+    val firstCollision = (0 until Bands - 1).map { bp =>
+      (a("band") <= lit(bp)) ||
+        (element_at(col("bks_a"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+    }.reduce(_ && _)
     val est = graft.functions.ArrayAgreeCount
       .arrayAgreeCount(col("sig_a"), col("sig_b")) / lit(NumPerm)
-    val truePairs = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .filter(est >= lit(0.9))
+    val counts = a.join(b,
+        a("band") === b("band") && a("bucket") === b("bucket") &&
+          col("doc_a") < col("doc_b") && firstCollision)
+      .agg(count(lit(1)).as("candidate_pairs"),
+        sum(when(est >= lit(0.9), 1L).otherwise(0L)).as("true_pairs"))
     val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
-    val candN = cand.agg(count(lit(1)).as("candidate_pairs"))
-    val trueN = truePairs.agg(count(lit(1)).as("true_pairs"))
     // n(n−1) is even, so the shift IS exact integer halving (a `/ 2`
     // would route through double division); exact to n ~ 3·10⁹ docs
     val totalPairs = shiftright(col("n_docs") * (col("n_docs") - 1), 1)
-    nDocs.crossJoin(broadcast(candN)).crossJoin(broadcast(trueN))
+    nDocs.crossJoin(broadcast(counts))
       .select(col("n_docs"),
         totalPairs.as("total_pairs"),
         col("candidate_pairs"), col("true_pairs"),
@@ -1608,6 +1665,7 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_blocking_quality" -> (blockingQuality _),
+    "dedup_crossmodal_clusters" -> (crossModalClusters _),
   )
 
   /** All dedup queries are oracle-checked. The sketch ops hash with
@@ -1654,6 +1712,31 @@ object Dedup {
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // three evidence sets, one reachability closure: text star edges
+    // (the clusters oracle's device), the replayed two-level embedding
+    // verify, the brute-force image Hamming pairs — CTE names are
+    // disjoint across the composed fragments by construction
+    "dedup_crossmodal_clusters" ->
+      s"""WITH RECURSIVE $edgesCteSql,
+         |${Similarity.embeddingVerifiedPairsCteSql},
+         |${Multimodal.imageVerifiedPairsCteSql},
+         |alledges AS (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL SELECT vec_a AS src, vec_b AS dst FROM vpe
+         |  UNION ALL SELECT vec_b, vec_a FROM vpe
+         |  UNION ALL SELECT id_a, id_b FROM vpi
+         |  UNION ALL SELECT id_b, id_a FROM vpi),
+         |u AS (SELECT doc_id FROM documents),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM u
+         |  UNION
+         |  SELECT e.dst AS doc_id, reach.r
+         |  FROM reach JOIN alledges e ON e.src = reach.doc_id),
+         |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.doc_id""".stripMargin,
 
     // the oracle recomputes BOTH sides of the certification from the
     // brute-force truth: candidates from the replayed md5 band

@@ -675,6 +675,21 @@ object Multimodal {
   private def duckDHashHalf(from: Int, until: Int): String =
     (from until until).map(duckBit).mkString(" + ")
 
+  /** Oracle fragment for cross-module composition: brute-force dHash
+    * pairs at Hamming ≤ 3, ending with `vpi (id_a, id_b)` — the
+    * verified image near-dup edge set. Consumed by the cross-modal
+    * cluster oracle in [[Dedup]]. */
+  private[ext] def imageVerifiedPairsCteSql: String =
+    s"""hb AS (SELECT doc_id,
+       |    hex(encode(text)) || repeat('00', 74) AS hx FROM documents),
+       |h AS (SELECT doc_id AS media_id,
+       |    CAST(${duckDHashHalf(0, 32)} AS BIGINT) AS lo,
+       |    CAST(${duckDHashHalf(32, 64)} AS BIGINT) AS hi
+       |  FROM hb),
+       |vpi AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM h a JOIN h b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features"     -> (features _),
     "mm_meta"         -> (meta _),

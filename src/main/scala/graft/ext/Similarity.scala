@@ -1653,6 +1653,14 @@ object Similarity {
        |  JOIN n na ON na.vec_id = vec_a
        |  JOIN n nb ON nb.vec_id = vec_b)""".stripMargin
 
+  /** Oracle fragment for cross-module composition: the two-level
+    * build + probe + exact verify, ending with `vpe (vec_a, vec_b)` —
+    * the verified embedding near-dup edge set. Consumed by the
+    * cross-modal cluster oracle in [[Dedup]]. */
+  private[ext] def embeddingVerifiedPairsCteSql: String =
+    s"""$embeddingPairsCteSql,
+       |vpe AS (SELECT vec_a, vec_b FROM p WHERE cos >= $NearDupCos)""".stripMargin
+
   /** Shared oracle fragment: celled candidates → verified near-dup
     * pairs → recursive-CTE connected components, ending with `rep`
     * (vec_id, cluster_rep) and `cs` (cluster_rep, cluster_size) —

@@ -24,6 +24,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
   }
 
+  test("cross-modal clusters cover every doc and coarsen each modality's map") {
+    val xm = graft.ext.Dedup.crossModalClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(xm.size.toLong == Tables.documents(spark, sf0001).count(),
+      "cross-modal map must cover every document")
+    // coarsening: any same-cluster relation in a single modality must
+    // survive into the cross-modal map
+    Dedup.clusters(spark, sf0001).collect()
+      .groupBy(_.getLong(1)).values.foreach { ms =>
+        assert(ms.map(m => xm(m.getLong(0))).toSet.size == 1,
+          "a text cluster split across cross-modal clusters")
+      }
+    graft.ext.Similarity.embeddingNearDups(spark, sf0001).collect().foreach { r =>
+      assert(xm(r.getLong(0)) == xm(r.getLong(1)),
+        s"embedding pair (${r.getLong(0)},${r.getLong(1)}) split")
+    }
+    graft.ext.Multimodal.imageDedup(spark, sf0001).collect().foreach { r =>
+      assert(xm(r.getLong(0)) == xm(r.getLong(1)),
+        s"image pair (${r.getLong(0)},${r.getLong(1)}) split")
+    }
+  }
+
   test("blocking quality: arithmetic consistent, completeness certified, true = declared pairs") {
     val r = Dedup.blockingQuality(spark, sf0001).head()
     val (n, total, cand, tp) =

@@ -56,6 +56,26 @@ class SimilaritySpec extends SparkSpec {
       s"per-item candidate volume grew superlinearly: $c1/$n1 -> $c2/$n2")
   }
 
+  test("near-dup recall holds at BENCH scale, not just on the tiny fixture") {
+    // the sf0.001 fixture recalls 1.0 trivially (8 target cells); the
+    // honest number is at sf0.1 where k leaves its floor — the r9
+    // parameter sweep measured 0.81 here (flat r8 model: 0.72), and
+    // this floor pins the knob choices (SubKmIters/CoarseProbe/
+    // NearProbe) against silent recall decay
+    val dir = "/root/testdata/sf0.1"
+    val exact = Similarity.embeddingNearDupsAllPairs(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.embeddingNearDups(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact), "bucketed produced a non-exact pair")
+    assert(exact.nonEmpty)
+    val recall = exact.count(bucketed.contains).toDouble / exact.size
+    info(f"bench-scale near-dup recall: $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.75, f"bench-scale recall $recall%.3f below 0.75")
+  }
+
   test("near-dup model driver state is sublinear (~sqrt) in corpus size") {
     // The coarse centroid Seq is the ONLY driver-resident model state
     // (the corpus-scaled sub-centroids live in a cached DataFrame,

@@ -26,6 +26,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
     "dedup_incremental_lsh" -> "list aggregation + list_filter signature agreement",
     "dedup_blocking_quality" -> "list aggregation + list_slice band buckets",
+    "dedup_crossmodal_clusters" -> "recursive CTE + list ops + xor() across all three evidence fragments",
     "graph_pagerank" -> "minhash CTE (string_split_regex + hex-string casts)",
     "dedup_jaccard_pairs" -> "unnest() lateral",
     "dedup_containment_top" -> "unnest() lateral",
