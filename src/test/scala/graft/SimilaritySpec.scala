@@ -153,6 +153,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
   }
 
+  test("SessionMemo.clear evicts the two-level near-dup model") {
+    val m = Similarity.nearDupModel(spark, sf0001)
+    assert(m.subCents.storageLevel.useMemory,
+      "sub-centroid frame should be cached")
+    SessionMemo.clear(spark)
+    assert(m.subCents.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "clear must unpersist the sub-centroid frame")
+    // the query rebuilds transparently after eviction
+    assert(Similarity.embeddingNearDups(spark, sf0001).count() >= 0)
+    assert(Similarity.nearDupModel(spark, sf0001).subCents.storageLevel.useMemory)
+  }
+
   test("SessionMemo.clear evicts the memoized IVF k-means model") {
     val (assign, _) = Similarity.kmeansModel(spark, sf0001)
     assert(Similarity.kmeansMemoized(spark, sf0001))
