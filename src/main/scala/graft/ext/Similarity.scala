@@ -1028,9 +1028,22 @@ object Similarity {
     * aggregate are trivially small at any corpus size: the COST lives
     * in the two retrieval pipelines, which carry their own scale
     * shapes. The oracle replays both pipelines in one CTE chain. */
-  def evalAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
-    val approx = lshAnn(s, dir)
+  def evalAnnRecall(s: SparkSession, dir: String): DataFrame =
+    evalRecallOf(bruteForceTopK(s, dir), lshAnn(s, dir))
+
+  /** The IVF index's recall@k SLA readout — [[evalAnnRecall]]'s twin
+    * for the OTHER production index ([[ivfTopK]]): a vector store
+    * running IVF monitors exactly this number for silent recall decay
+    * under data drift (cell means drift away from the corpus the
+    * probes were tuned on). Composes two declared pipelines; the eval
+    * set is bounded by construction. */
+  def evalIvfRecall(s: SparkSession, dir: String): DataFrame =
+    evalRecallOf(bruteForceTopK(s, dir), ivfTopK(s, dir))
+
+  /** recall@k of `approx` against the `exact` baseline, per query. */
+  private def evalRecallOf(exactDf: DataFrame, approxDf: DataFrame): DataFrame = {
+    val exact = exactDf.select("query_id", "neighbor_id")
+    val approx = approxDf
       .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
     exact.join(approx,
         col("query_id") === col("aq") && col("neighbor_id") === col("an"),
@@ -1180,6 +1193,7 @@ object Similarity {
     "sim_mmr_rerank"      -> (mmrRerank _),
     "sim_random_projection" -> (randomProjection _),
     "sim_eval_recall"     -> (evalAnnRecall _),
+    "sim_eval_recall_ivf" -> (evalIvfRecall _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_hard_negatives"  -> (hardNegatives _),
     "sim_topk_lsh_ann"    -> (lshAnn _),
@@ -1564,6 +1578,42 @@ object Similarity {
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_ivf" -> ivfOracleSql,
+
+    // the IVF pipeline replayed (unrolled Lloyd + probe + in-cell
+    // rank) next to the brute-force truth; recall is an exact integer
+    // ratio — the sim_eval_recall pattern on the other index
+    "sim_eval_recall_ivf" ->
+      s"""WITH ${kmeansOracleCtes(KCells, KmIters)},
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+         |        c.cell ASC) AS prank
+         |    FROM n q CROSS JOIN cn${KmIters - 1} c WHERE q.vec_id < $NQueries)
+         |  WHERE prank <= $NProbe),
+         |ivp AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT pr.query_id, m.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY pr.query_id
+         |        ORDER BY list_dot_product(q.v, m.v) / (q.nrm * m.nrm) DESC,
+         |          m.vec_id ASC) AS rank
+         |    FROM probes pr
+         |    JOIN a$KmIters am ON am.cell = pr.cell
+         |    JOIN n m ON m.vec_id = am.vec_id
+         |    JOIN n q ON q.vec_id = pr.query_id
+         |    WHERE m.vec_id != pr.query_id) WHERE rank <= $K),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM n q JOIN n c ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE rank <= $K)
+         |SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ivp.neighbor_id) AS BIGINT) AS n_hit,
+         |  round(count(ivp.neighbor_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM bf LEFT JOIN ivp ON ivp.query_id = bf.query_id
+         |  AND ivp.neighbor_id = bf.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the persisted-layout probe is RESULT-identical to the in-memory
     // IVF query (the partitioned table stores the same model's

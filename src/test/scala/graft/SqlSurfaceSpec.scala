@@ -118,6 +118,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_duplicate_spans" -> "string_split_regex + list slicing",
     "dedup_span_scrub" -> "string_split_regex + list slicing + aggregate FILTER",
     "sim_eval_recall" -> "list_dot_product",
+    "sim_eval_recall_ivf" -> "list comprehension k-means unroll + list_dot_product",
     "text_bpe_train" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
     "text_bpe_encode" -> "MATERIALIZED CTE hints + string_split_regex + unnest(range())",
   )
