@@ -826,6 +826,15 @@ object Dedup {
       .agg(count(lit(1)).as("candidate_pairs"),
         sum(when(est >= lit(0.9), 1L).otherwise(0L)).as("true_pairs"))
     val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
+    // The literal-1.0 pairs_completeness below rests on a pigeonhole:
+    // est ≥ 0.9 means ≤ NumPerm − ⌈0.9·NumPerm⌉ disagreeing rows, and
+    // while that count is < Bands some band must agree fully, so every
+    // true pair IS a candidate. A future (NumPerm, Bands) retune that
+    // breaks the premise must fail HERE at first use, not silently
+    // keep reporting 1.0 until the oracle gate is re-run.
+    require(NumPerm - math.ceil(0.9 * NumPerm).toInt < Bands,
+      s"pairs_completeness=1.0 needs NumPerm-ceil(.9*NumPerm) < Bands; " +
+        s"got NumPerm=$NumPerm Bands=$Bands")
     // n(n−1) is even, so the shift IS exact integer halving (a `/ 2`
     // would route through double division); exact to n ~ 3·10⁹ docs
     val totalPairs = shiftright(col("n_docs") * (col("n_docs") - 1), 1)

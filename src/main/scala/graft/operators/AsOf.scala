@@ -19,11 +19,18 @@ object AsOf {
     * `tolerance` (pandas `merge_asof` semantics): when set, a match
     * additionally requires `left.ts − right.ts <= tolerance`, in the
     * ts column's internal unit (µs for timestamps, days for dates,
-    * the raw value for integral columns). */
+    * the raw value for integral columns).
+    *
+    * `tieBreak`: a right-side column pinning which row wins when
+    * several share the matched (key, ts) — the MAX tieBreak value,
+    * matching the streaming twin's `max(struct(ts, id))` reduction.
+    * Without it, ties resolve arbitrarily (callers must keep
+    * (key, ts) unique per side). */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      tieBreak: Option[String] = None): DataFrame = {
     val lp = GraftShims.logicalPlan(left)
     val rp = GraftShims.logicalPlan(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -34,7 +41,8 @@ object AsOf {
     GraftShims.dataFrame(left.sparkSession,
       AsOfJoinPlan(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTs), attr(rp, rightTs), tolerance))
+        attr(lp, leftTs), attr(rp, rightTs), tolerance,
+        tieBreak.map(attr(rp, _))))
   }
 
   /** FORWARD as-of: each left row joined to the EARLIEST same-key
@@ -48,16 +56,20 @@ object AsOf {
   def joinForward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      tieBreak: Option[String] = None): DataFrame = {
     // negate in the column's internal unit: µs for timestamps, the
-    // raw value for integral ts columns (mirrors `join`'s contract)
+    // raw value for integral ts columns (mirrors `join`'s contract).
+    // tieBreak stays un-negated: among equal-ts candidates the MAX
+    // tie value wins in either direction.
     def neg(df: DataFrame, ts: String) = df.schema(ts).dataType match {
       case org.apache.spark.sql.types.TimestampType => -unix_micros(col(ts))
       case _ => -col(ts)
     }
     val l = left.withColumn("__neg_lts", neg(left, leftTs))
     val r = right.withColumn("__neg_rts", neg(right, rightTs))
-    join(l, r, leftKey, rightKey, "__neg_lts", "__neg_rts", tolerance)
+    join(l, r, leftKey, rightKey, "__neg_lts", "__neg_rts", tolerance,
+        tieBreak)
       .drop("__neg_lts", "__neg_rts")
   }
 
@@ -76,7 +88,8 @@ object AsOf {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
     joinForward(views, purchases, "user_id", "p_user", "view_ts",
-        "purchase_ts", Some(ConversionToleranceMicros))
+        "purchase_ts", Some(ConversionToleranceMicros),
+        tieBreak = Some("purchase_id"))
       .select(col("view_id"), col("user_id"), col("view_ts"),
         col("purchase_id"), col("purchase_ts"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
@@ -98,7 +111,8 @@ object AsOf {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-    join(purchases, views, "user_id", "v_user", "purchase_ts", "view_ts")
+    join(purchases, views, "user_id", "v_user", "purchase_ts", "view_ts",
+        tieBreak = Some("view_id"))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("view_id"), col("view_ts"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
@@ -126,7 +140,7 @@ object AsOf {
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
     join(purchases, views, "user_id", "v_user", "purchase_ts", "view_ts",
-        Some(AttributionToleranceMicros))
+        Some(AttributionToleranceMicros), tieBreak = Some("view_id"))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("view_id"), col("view_ts"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))

@@ -812,14 +812,17 @@ object Relational {
     * threshold comparison multiplies through
     * (`2·n_parts·rev > 3·total`) so it stays exact DECIMAL/integer on
     * both engines — no fraction literal in float. Precision is sized
-    * so NEITHER engine loses scale mid-multiply: `2·n_parts` pre-casts
-    * to DECIMAL(12,0) (exact to 5·10¹¹ parts — beyond any real
-    * catalog) so `rev(25,8) × (12,0)` lands exactly on Spark's 38-digit
-    * cap with scale 8 intact, and `total` pre-casts to DECIMAL(30,8)
-    * before `× 3` for the same reason; an unchecked
-    * `rev * 2 * n_parts` would silently drop to scale 6 under Spark's
-    * precision-loss rule while DuckDB kept full scale — a part within
-    * 1e-6 of the threshold would classify differently across engines.
+    * so NEITHER engine loses scale mid-multiply: `rev` (which Spark's
+    * sum already widened to DECIMAL(35,8)) pre-casts BACK to
+    * DECIMAL(25,8) — per-part revenue fits with 9 digits to spare —
+    * and `2·n_parts` pre-casts to DECIMAL(12,0) (exact to 5·10¹¹
+    * parts — beyond any real catalog), so `(25,8) × (12,0)` lands
+    * exactly on Spark's 38-digit cap with scale 8 intact; `total`
+    * pre-casts to DECIMAL(30,8) before `× 3` for the same reason.
+    * Without the rev re-narrow, `sum`'s (35,8) × (12,0) = (48,8)
+    * trips Spark's precision-loss rule down to scale 6 while DuckDB
+    * keeps scale 8 — a part within 1e-6 of the threshold would
+    * classify differently across engines.
     * Output ranks by the rounded value with a key tie-break. */
   def stockConcentration(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
@@ -828,7 +831,8 @@ object Relational {
         .as("rev"))
     val total = rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(total))
-      .filter(col("rev") * (col("n_parts") * 2).cast("decimal(12,0)") >
+      .filter(col("rev").cast("decimal(25,8)") *
+          (col("n_parts") * 2).cast("decimal(12,0)") >
         col("total").cast("decimal(30,8)") * lit(java.math.BigDecimal.valueOf(3)))
       .select(col("l_partkey"), r4(col("rev").cast("double")).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey").asc)
@@ -1229,7 +1233,7 @@ object Relational {
         |t AS (SELECT SUM(rev) AS total, count(*) AS n_parts FROM r)
         |SELECT l_partkey, round(CAST(rev AS DOUBLE), 4) AS part_value
         |FROM r CROSS JOIN t
-        |WHERE rev * CAST(2 * n_parts AS DECIMAL(12,0))
+        |WHERE CAST(rev AS DECIMAL(25,8)) * CAST(2 * n_parts AS DECIMAL(12,0))
         |  > CAST(total AS DECIMAL(30,8)) * CAST(3 AS DECIMAL(3,0))
         |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
 

@@ -27,16 +27,22 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * beyond a single remembered right row, no row-count blowup.
   *
   * Null keys/timestamps never match (DuckDB ASOF semantics). Ties:
-  * when several right rows share the matched (key, ts) the sort's tie
-  * order decides which one is remembered — callers needing a
-  * deterministic pick must make (key, ts) unique per side (true for
-  * the events corpus: no duplicate (user_id, ts) pairs).
+  * when several right rows share the matched (key, ts), `rightTie`
+  * (when given) pins the pick — it joins the right child's required
+  * sort order as a THIRD ascending key, and since the merge scan
+  * remembers the LAST row not after the cursor, the MAX tie value
+  * wins. This makes the batch face agree by construction with the
+  * streaming twin's `max(struct(ts, id))` reduction
+  * ([[graft.streaming.Events.asofLastTouchStream]]). Without a tie
+  * column the sort's arbitrary tie order decides — callers must then
+  * make (key, ts) unique per side.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    rightTie: Option[Expression] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -48,8 +54,8 @@ case class AsOfJoinPlan(
   * (registered via `GraftExtensions.injectPlannerStrategy`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, tie) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +64,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    rightTie: Option[Expression] = None) extends BinaryExecNode {
 
   /** Numeric view of a ts internal value for the tolerance check
     * (TimestampType evaluates to Long micros, DateType to Int days,
@@ -79,7 +86,11 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)) ::
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) :: Nil
+      (Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+        // tie column third in the sort: among equal (key, ts) rows the
+        // merge scan remembers the LAST, so ascending order makes the
+        // MAX tie value the deterministic winner
+        rightTie.map(SortOrder(_, Ascending)).toSeq) :: Nil
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))

@@ -311,7 +311,11 @@ object Events {
     * in-window view emit their null-view row when both watermarks
     * pass. State: join buffer bounded by the 1 h window + watermark,
     * aggregation one row per open purchase. Stream ≡ batch asserted
-    * in `EventsStreamSpec` against the declared oracled query. */
+    * in `EventsStreamSpec` against the declared oracled query — and
+    * holds by CONSTRUCTION even under duplicate (user, ts) views:
+    * the batch operator pins the same max-id tie-break
+    * (`AsOf.join(tieBreak = "view_id")`) that `max(struct(view_ts,
+    * view_id))` computes here. */
   def asofLastTouchStream(s: SparkSession, dir: String): DataFrame = {
     def raw() = streamEvents(s, dir)
     val p = purchasesOf(raw()).withWatermark("purchase_ts", "2 hours")

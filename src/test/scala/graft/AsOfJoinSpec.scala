@@ -26,6 +26,26 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 99L, null)))  // key with no right rows at all
   }
 
+  test("tieBreak pins the winner among equal-(key, ts) right rows") {
+    // two quotes share (key=1, ts=10); the pinned pick is the MAX
+    // tie value — the same reduction the streaming twin's
+    // max(struct(ts, id)) computes, so batch ≡ stream by construction
+    val quotes = Seq((1L, 10L, 7L, "lo"), (1L, 10L, 9L, "hi"),
+        (1L, 20L, 1L, "later"))
+      .toDF("qk", "qts", "qid", "quote")
+    val trades = Seq((1L, 12L), (1L, 25L)).toDF("tk", "tts")
+    val got = AsOf.join(trades, quotes, "tk", "qk", "tts", "qts",
+        tieBreak = Some("qid"))
+      .select("tts", "qid", "quote").orderBy("tts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((12L, 9L, "hi"), (25L, 1L, "later")))
+    // forward face: equal-ts candidates at-or-after also pick max id
+    val fwd = AsOf.joinForward(Seq((1L, 5L)).toDF("tk", "tts"), quotes,
+        "tk", "qk", "tts", "qts", tieBreak = Some("qid"))
+      .select("qid", "quote").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fwd.toSeq == Seq((9L, "hi")))
+  }
+
   test("tolerance bounds the match window (merge_asof semantics)") {
     val quotes = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("qk", "qts", "quote")
     val trades = Seq((1L, 12L), (1L, 50L), (1L, 103L)).toDF("tk", "tts")
