@@ -136,19 +136,64 @@ object Similarity {
       .select(col("vec_id"), col("ts.t"), col("ts.sig"))
   }
 
-  private val SigBits = 6  // bits per table → 64 buckets
+  /** Target expected vectors per LSH bucket per table — the knob
+    * that makes per-query candidate volume O(1) in corpus size:
+    * bits-per-table DERIVE from the corpus count (below) so bucket
+    * occupancy stays ≈ [[SigTargetOcc]]/2‥[[SigTargetOcc]] at any n,
+    * instead of a static width whose occupancy — and with it every
+    * query's re-rank cost — grows linearly with the corpus (the r9
+    * headroom pair's worst grower, 3.6× at 10× data). Same
+    * population-scaling discipline as [[nearDupK]] and the image
+    * dedup bands. */
+  private val SigTargetOcc = 32
+  /** Floor on bits-per-table: tiny corpora keep ≥ 16 buckets rather
+    * than collapsing toward a cross join. */
+  private val SigBitsMin = 4
+  /** Planes generated per table on the oracle side (j < derived bits
+    * filters them) — 2^24 buckets ≈ 500M-vector corpora at target
+    * occupancy; beyond that, raise it. */
+  private val SigBitsMax = 24
+
+  /** Corpus-derived bits per table: the smallest b with
+    * 2^b ≥ ⌈n / [[SigTargetOcc]]⌉, floored at [[SigBitsMin]]. Pure
+    * integer arithmetic (ceil-div + bit length) so the DuckDB oracle
+    * derives the identical width from `COUNT(*)` via
+    * `length(bin(m−1))`. */
+  private[graft] def sigBitsFor(n: Long): Int = {
+    val m = (n + SigTargetOcc - 1) / SigTargetOcc
+    if (m <= 1L) SigBitsMin
+    else math.min(SigBitsMax, math.max(SigBitsMin,
+      64 - java.lang.Long.numberOfLeadingZeros(m - 1)))
+  }
+
+  /** (session, dir)-memoized corpus count — one action over the
+    * cached vector frame, shared by every width/cell derivation. */
+  private val corpusCountMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    corpusCountMemo.getOrElseUpdate((s, dir), {
+      graft.SessionMemo.registerCleanup(s, s"sim_corpus_count:$dir") { () =>
+        corpusCountMemo.remove((s, dir)); ()
+      }
+      vectors(s, dir).count()
+    })
+
   private val Tables_ = 8  // independent hash tables (union of candidates)
 
   /** Approximate kNN: multi-table random-hyperplane LSH → per-table
     * bucket equi-join → exact cosine re-rank over the union of
     * candidates. The all-pairs cross join becomes `Tables_` shuffles
-    * on 6-bit keys; more tables buy recall, bits-per-table buys
-    * selectivity. Recall vs [[bruteForceTopK]] is asserted in the
-    * test suite, and the md5-seeded planes make the whole query
-    * reproducible by the DuckDB oracle. */
+    * on [[sigBitsFor]]-bit keys; more tables buy recall,
+    * bits-per-table buy selectivity — and the width is
+    * population-scaled, so bucket occupancy (hence per-query
+    * candidate volume and re-rank cost) stays CONSTANT at any corpus
+    * size instead of growing linearly with it. Recall vs
+    * [[bruteForceTopK]] is asserted in the test suite, and the
+    * md5-seeded planes plus the integer width derivation make the
+    * whole query reproducible by the DuckDB oracle. */
   def lshAnn(s: SparkSession, dir: String): DataFrame = {
     val vs = vectors(s, dir)
-    val bk = buckets(vs, Tables_, SigBits)
+    val bk = buckets(vs, Tables_, sigBitsFor(corpusCount(s, dir)))
     val q = bk.toDF("query_id", "t", "sig").filter(col("query_id") < NQueries)
     val c = bk.toDF("neighbor_id", "t", "sig")
     val cand = c.join(broadcast(q), Seq("t", "sig"))
@@ -1210,19 +1255,28 @@ object Similarity {
     "dedup_semantic_keep" -> (semanticKeep _),
   )
 
-  /** Shared oracle CTE prefix: vectors + norms, and the md5-seeded
-    * hyperplane signatures for (`tables` × `bits`) planes — exactly
-    * the arithmetic [[lshSig]] runs (same fold order, same sign
-    * test), so LSH bucket assignments match Spark's bit-for-bit. */
-  private def lshOracleCtes(tables: Int, bits: Int): String =
+  /** Shared oracle CTE prefix: vectors + norms, the corpus-derived
+    * bits-per-table ([[sigBitsFor]] restated as `COUNT(*)` ceil-div +
+    * `length(bin(m−1))` — exact integer bit-length on both engines),
+    * and the md5-seeded hyperplane signatures for
+    * (`tables` × derived bits) planes — exactly the arithmetic
+    * [[lshSig]] runs (same fold order, same sign test), so LSH bucket
+    * assignments match Spark's bit-for-bit at ANY corpus size. */
+  private def lshOracleCtes(tables: Int): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |sp AS (SELECT CASE WHEN m <= 1 THEN $SigBitsMin
+       |    ELSE LEAST($SigBitsMax, GREATEST($SigBitsMin,
+       |      length(bin(m - 1)))) END AS bits
+       |  FROM (SELECT (COUNT(*) + ${SigTargetOcc - 1}) // $SigTargetOcc AS m
+       |    FROM e)),
        |planes AS (SELECT tt.t AS t, jj.j AS j,
        |    list_transform(range(0, $Dim), k ->
        |      CASE WHEN substr(md5(tt.t || '_' || jj.j || '_' || k), 1, 1)
        |             BETWEEN '0' AND '7'
        |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pv
-       |  FROM range(0, $tables) tt(t), range(0, $bits) jj(j)),
+       |  FROM range(0, $tables) tt(t), range(0, $SigBitsMax) jj(j)
+       |  WHERE jj.j < (SELECT bits FROM sp)),
        |sigs AS (SELECT n.vec_id, p.t,
        |    CAST(SUM(CASE WHEN list_dot_product(n.v, p.pv) > 0
        |                  THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) AS BIGINT) AS sig
@@ -1507,7 +1561,7 @@ object Similarity {
     // both pipelines replayed in one CTE chain; recall is an exact
     // integer ratio
     "sim_eval_recall" ->
-      s"""WITH ${lshOracleCtes(Tables_, SigBits)},
+      s"""WITH ${lshOracleCtes(Tables_)},
          |bf AS (SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.vec_id
@@ -1565,7 +1619,7 @@ object Similarity {
          |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_lsh_ann" ->
-      s"""WITH ${lshOracleCtes(Tables_, SigBits)},
+      s"""WITH ${lshOracleCtes(Tables_)},
          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
          |  WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id),

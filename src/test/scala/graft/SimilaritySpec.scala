@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH signature width is population-scaled: occupancy bounded at any n") {
+    // bits = smallest b with 2^b >= ceil(n/occ): expected bucket
+    // occupancy n/2^bits sits in (occ/2, occ] for every corpus size
+    // above the floor — per-query candidate volume is O(1) in n, the
+    // property that killed the r9 headroom growth
+    for (n <- Seq(500L, 2000L, 20000L, 1000000L, 100000000L)) {
+      val b = Similarity.sigBitsFor(n)
+      val occ = n.toDouble / (1L << b)
+      assert(occ <= 32.0 + 1e-9, s"n=$n bits=$b occupancy $occ > target")
+      if (b > 4 && b < 24) // between floor and cap the bound is two-sided
+        assert(occ > 16.0 - 1e-9, s"n=$n bits=$b occupancy $occ < target/2")
+    }
+    // floor and exact boundaries
+    assert(Similarity.sigBitsFor(1L) == 4)
+    assert(Similarity.sigBitsFor(32L * 16) == 4)      // m=16 -> 4 bits
+    assert(Similarity.sigBitsFor(32L * 16 + 1) == 5)  // m=17 -> 5 bits
+    assert(Similarity.sigBitsFor(Long.MaxValue / 2) == 24) // capped
+  }
+
   test("bucketed near-dup pairs recall the all-pairs scan") {
     val exact = Similarity.embeddingNearDupsAllPairs(spark, sf0001)
       .select("vec_a", "vec_b").collect()
