@@ -817,11 +817,11 @@ object Text {
     "text_vocab_coverage" -> (vocabCoverage _),
   )
 
-  private[graft] val BpeRounds = 6
+  private[graft] val BpeMerges = 6
 
   /** Byte-pair-encoding vocabulary TRAINING (Sennrich et al. 2016) —
     * the tokenizer-learning step of a pretraining pipeline: learn the
-    * first [[BpeRounds]] merges over the corpus's word-frequency
+    * first [[BpeMerges]] merges over the corpus's word-frequency
     * table. Each round counts every adjacent symbol pair (weighted by
     * word frequency), merges the most frequent pair corpus-wide
     * (ties: lexicographic on the pair), and rewrites the symbol
@@ -846,9 +846,9 @@ object Text {
     * not convergence — deterministic cost, the bounded-build norm.
     * Output: the learned merge table (rank, pair, merged symbol,
     * corpus pair count) — integer/string arithmetic only, replayed
-    * bit-for-bit by the oracle's [[BpeRounds]] unrolled CTE rounds. */
+    * bit-for-bit by the oracle's [[BpeMerges]] unrolled CTE rounds. */
   /** (session, dir)-memoized trainer core: the merge table AND the
-    * final (word, cnt, syms) forms after all [[BpeRounds]] merges —
+    * final (word, cnt, syms) forms after all [[BpeMerges]] merges —
     * [[bpeTrain]] reports the former, [[bpeEncode]] tokenizes with
     * the latter; the [[graft.ext.Similarity]] kmeansMemo pattern
     * (train once, query many). */
@@ -856,63 +856,148 @@ object Text {
     .empty[(SparkSession, String),
       (Seq[(Long, String, String, String, Long)], DataFrame)]
 
+  /** Ranked pairs collected per round for batch selection — bounds
+    * driver rows per round; NOT a correctness knob (selection falls
+    * back to stricter, ultimately single-merge, batches whenever the
+    * bound bites). */
+  private[graft] val BpeTopM = 64
+
+  /** Pick the longest prefix of this round's ranked pair list that
+    * batched application provably consumes in the SAME order as
+    * canonical one-merge-per-round greedy. Selection walks the
+    * (count desc, pair asc) ranking and stops at the first pair that
+    * could interact with an earlier pick:
+    *
+    *  - shares a symbol with a selected pair (its count changes, and
+    *    merged neighbors spawn new pairs);
+    *  - is a self-pair `(a,a)` (odd runs leave `(aa,a)` residues
+    *    whose count is bounded by the SELECTED pair, not the tail);
+    *  - its concatenation equals an already-existing merged symbol
+    *    (the merge would bump counts of pairs built on that symbol);
+    *  - one of its symbols equals an earlier pick's concatenation
+    *    (the earlier merge mints new occurrences of it).
+    *
+    * Every stopped-at or unexamined pair then has count ≤ `stopN`,
+    * and every NEW pair a batch merge can create is bounded by some
+    * such pair's old count (a created `(x, ab)` occurrence implies an
+    * old `(x, a)` occurrence, which conflicts with the pick and so
+    * ranks in the tail) — hence also ≤ `stopN`. Truncating the
+    * selection to counts STRICTLY above `stopN` therefore guarantees
+    * each pick still wins its canonical round: counts of picks are
+    * untouched by earlier picks (disjoint), everything else sits at
+    * ≤ `stopN` < pick, and equal-count unselected survivors lose the
+    * (sym, nxt) tie-break exactly as they did in the ranking. When
+    * strictness empties the batch, one canonical merge (the head) is
+    * always safe. */
+  private[graft] def selectBpeBatch(
+      ranked: Seq[(String, String, Long)], budget: Int,
+      mergedSoFar: Set[String]): Seq[(String, String, Long)] = {
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    val concats = scala.collection.mutable.Set.empty[String]
+    var stopN = -1L
+    var stopped = false
+    for (p @ (a, b, n) <- ranked if !stopped) {
+      if (sel.size >= budget || a == b || used(a) || used(b) ||
+          mergedSoFar(a + b) || concats(a) || concats(b)) {
+        stopped = true; stopN = n
+      } else { sel += p; used += a; used += b; concats += (a + b) }
+    }
+    // ranking truncated at BpeTopM without a stopper: unseen pairs
+    // are bounded by the last examined count
+    if (!stopped && ranked.size >= BpeTopM) stopN = ranked.last._3
+    val strict = sel.takeWhile(_._3 > stopN)
+    if (strict.isEmpty) ranked.take(1).toSeq else strict.toSeq
+  }
+
   private def trainBpe(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, String, Long)], DataFrame) =
     bpeMemo.getOrElseUpdate((s, dir), {
-      import org.apache.spark.sql.expressions.Window
       val words = fannedDocs(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      var forms = words.select(col("word"), col("cnt"),
-        regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("syms"))
-        .localCheckpoint() // truncate lineage per round: plans stay flat
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, String, Long)]
-      val wPos = Window.partitionBy("word").orderBy("pos")
-      for (r <- 1 to BpeRounds) {
-        val symRows = forms
-          .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
-          .withColumn("nxt", lead(col("sym"), 1).over(wPos))
-        val best = symRows.filter(col("nxt").isNotNull)
-          .groupBy("sym", "nxt").agg(sum("cnt").as("n"))
-          .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
-          .limit(1).collect()
-        require(best.nonEmpty, s"BPE round $r: no adjacent pairs in corpus")
-        val (ba, bb, bn) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r.toLong, ba, bb, ba + bb, bn))
-        // Canonical greedy application, join-free: every flag below is
-        // a window over the ONE (word, pos) sort symRows already has.
-        // Candidate runs share `pos − candidate_rank` (rid); the run
-        // start is the min candidate pos of the (word, rid) group; a
-        // candidate applies at even offset from its run start; the
-        // successor of an applied position drops.
-        val cnd = col("sym") === lit(ba) && col("nxt") === lit(bb)
-        val crk = sum(when(cnd, 1).otherwise(0))
-          .over(wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        val wRun = Window.partitionBy("word", "rid")
-        forms = symRows
-          .withColumn("cand", cnd)
-          .withColumn("rid", when(cnd, col("pos") - crk))
-          .withColumn("p0", min(when(col("cand"), col("pos"))).over(wRun))
-          .withColumn("m",
-            col("cand") && pmod(col("pos") - col("p0"), lit(2)) === 0)
-          .withColumn("dropped", coalesce(lag(col("m"), 1).over(wPos), lit(false)))
-          .filter(!col("dropped"))
-          .select(col("word"), col("cnt"), col("pos"),
-            when(col("m"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("out"))
-          .groupBy("word", "cnt")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("out")))),
-            x => x.getField("out")).as("syms"))
-          .localCheckpoint()
-      }
+      val (merges, forms, _) = trainBpeOn(words, BpeMerges)
       graft.SessionMemo.registerCleanup(s, s"bpe:$dir") { () =>
         bpeMemo.remove((s, dir)); ()
       }
-      (merges.toSeq, forms)
+      (merges, forms)
     })
+
+  /** Trainer core over a `(word, cnt)` frequency table: learn
+    * `nMerges` BPE merges, BATCHING provably-independent merges per
+    * driver round ([[selectBpeBatch]]) so wall-clock rounds ≪ merges
+    * at a real vocabulary size — one merge per serial Spark job is
+    * the latency killer of a 32k-merge production train; the merge
+    * TABLE stays bit-identical to canonical one-per-round greedy
+    * (which is what the DuckDB oracle unrolls and the hash gate
+    * certifies). Returns (merge table, final forms, driver rounds
+    * run). */
+  private[graft] def trainBpeOn(words: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    var forms = words.select(col("word"), col("cnt"),
+      regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("syms"))
+      .localCheckpoint() // truncate lineage per round: plans stay flat
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var rounds = 0
+    val wPos = Window.partitionBy("word").orderBy("pos")
+    while (merges.size < nMerges) {
+      rounds += 1
+      val symRows = forms
+        .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+      // per-round driver sync: ≤ BpeTopM (pair, count) rows — the
+      // Lloyd-centroid pattern, one batch of merges per sync
+      val ranked = symRows.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
+        .limit(BpeTopM).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      require(ranked.nonEmpty,
+        s"BPE: no adjacent pairs left after ${merges.size} merges")
+      val batch = selectBpeBatch(ranked, nMerges - merges.size,
+        merges.map(_._4).toSet)
+      batch.foreach { case (a, b, n) =>
+        merges += ((merges.size + 1L, a, b, a + b, n))
+      }
+      // Canonical greedy application of the WHOLE batch in one pass,
+      // join-free: every flag below is a window over the ONE
+      // (word, pos) sort symRows already has. Candidate runs share
+      // `pos − candidate_rank` (rid); the run start is the min
+      // candidate pos of the (word, rid) group; a candidate applies
+      // at even offset from its run start; the successor of an
+      // applied position drops. Batch merges never interleave inside
+      // a run: adjacent candidate positions necessarily belong to the
+      // SAME pair (pos and pos+1 both candidates forces pos+1's first
+      // symbol to equal pos's second — a symbol clash the batch
+      // selection excluded), so the parity arithmetic is per-pair
+      // automatically.
+      val cnd = batch.map { case (a, b, _) =>
+        col("sym") === lit(a) && col("nxt") === lit(b)
+      }.reduce(_ || _)
+      val crk = sum(when(cnd, 1).otherwise(0))
+        .over(wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val wRun = Window.partitionBy("word", "rid")
+      forms = symRows
+        .withColumn("cand", cnd)
+        .withColumn("rid", when(cnd, col("pos") - crk))
+        .withColumn("p0", min(when(col("cand"), col("pos"))).over(wRun))
+        .withColumn("m",
+          col("cand") && pmod(col("pos") - col("p0"), lit(2)) === 0)
+        .withColumn("dropped", coalesce(lag(col("m"), 1).over(wPos), lit(false)))
+        .filter(!col("dropped"))
+        .select(col("word"), col("cnt"), col("pos"),
+          when(col("m"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("out"))
+        .groupBy("word", "cnt")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("out")))),
+          x => x.getField("out")).as("syms"))
+        .localCheckpoint()
+    }
+    (merges.toSeq, forms, rounds)
+  }
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -992,7 +1077,7 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** [[BpeRounds]] unrolled BPE rounds mirroring [[bpeTrain]]
+  /** [[BpeMerges]] unrolled BPE rounds mirroring [[bpeTrain]]
     * bit-for-bit: per round r, `sr{r}` explodes the symbol arrays
     * (1-based j; parity logic is base-invariant), `b{r}` is the
     * (count desc, pair asc) argmax, `ap{r}` applies the canonical
@@ -1005,8 +1090,8 @@ object Text {
          |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t
          |  WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY 1),
          |f0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS syms FROM w)""".stripMargin
-    val rounds = (0 until BpeRounds).map(bpeRoundCte)
-    val out = (0 until BpeRounds).map { r =>
+    val rounds = (0 until BpeMerges).map(bpeRoundCte)
+    val out = (0 until BpeMerges).map { r =>
       s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
          |  a || b AS merged, n AS pair_count FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -1042,7 +1127,7 @@ object Text {
        |    WHERE a2.j IS NULL) GROUP BY 1, 2)""".stripMargin
 
   /** Encode oracle: the trainer's identical unrolled rounds, read out
-    * through the FINAL forms table `f{BpeRounds}` joined to
+    * through the FINAL forms table `f{BpeMerges}` joined to
     * per-(source, word) counts — mirror of [[bpeEncode]]. */
   private def bpeEncodeOracle: String = {
     val init =
@@ -1050,7 +1135,7 @@ object Text {
          |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t
          |  WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY 1),
          |f0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS syms FROM w)""".stripMargin
-    val rounds = (0 until BpeRounds).map(bpeRoundCte)
+    val rounds = (0 until BpeMerges).map(bpeRoundCte)
     val ws =
       s"""ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT source, unnest($tokSql) AS word FROM documents)
@@ -1061,7 +1146,7 @@ object Text {
          |  CAST(SUM(ws.cnt * len(f.syms)) AS BIGINT) AS n_symbols,
          |  round(CAST(SUM(ws.cnt * len(f.syms)) AS DOUBLE) /
          |    SUM(ws.cnt * length(ws.word)), 4) AS compression
-         |FROM ws JOIN f$BpeRounds f USING (word)
+         |FROM ws JOIN f$BpeMerges f USING (word)
          |GROUP BY source ORDER BY source""".stripMargin
   }
 

@@ -311,9 +311,9 @@ class TextSpec extends SparkSpec {
       .select("text").collect().flatMap(_.getString(0).trim.split("\\s+"))
       .filter(_.matches("^[a-z]+$"))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val want = referenceBpe(words, graft.ext.Text.BpeRounds)
+    val want = referenceBpe(words, graft.ext.Text.BpeMerges)
     val got = graft.ext.Text.bpeTrain(spark, sf0001).collect()
-    assert(got.length == graft.ext.Text.BpeRounds)
+    assert(got.length == graft.ext.Text.BpeMerges)
     got.zip(want).foreach { case (r, (a, b, n)) =>
       assert(r.getString(1) == a && r.getString(2) == b &&
         r.getString(3) == a + b && r.getLong(4) == n,
@@ -333,7 +333,7 @@ class TextSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     // re-derive final symbol counts per word by applying the learned
     // merges with the same greedy scan as referenceBpe
-    val merges = referenceBpe(allWords, graft.ext.Text.BpeRounds)
+    val merges = referenceBpe(allWords, graft.ext.Text.BpeMerges)
       .map { case (a, b, _) => (a, b) }
     def encode(word: String): Int = {
       var syms = word.toVector.map(_.toString)
@@ -361,6 +361,57 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("batched BPE rounds: rounds << merges on a wide vocabulary, ≡ canonical") {
+    // the production corpus shape: many frequent short units with
+    // strictly decreasing, symbol-disjoint top pairs (think the
+    // per-language function words of a 32k-vocab train) over a
+    // long-tail glue of composite words — one driver round consumes
+    // the whole disjoint stretch where canonical greedy pays one
+    // serial job per merge
+    import spark.implicits._
+    val units = "ab cd ef gh ij kl mn op".split(" ")
+    val vocab: Map[String, Long] =
+      units.zipWithIndex.map { case (w, i) => w -> (400L - 10L * i) }.toMap ++
+        Map("abcdefgh" -> 6L, "ijklmnop" -> 5L)
+    val nMerges = 12
+    val want = referenceBpe(vocab, nMerges)
+    val wordsDf = vocab.toSeq.toDF("word", "cnt")
+    val (got, _, rounds) = graft.ext.Text.trainBpeOn(wordsDf, nMerges)
+    assert(got.length == nMerges)
+    got.zip(want).foreach { case ((rank, a, b, m, n), (wa, wb, wn)) =>
+      assert(a == wa && b == wb && m == wa + wb && n == wn,
+        s"rank $rank: got ($a,$b,$n) want ($wa,$wb,$wn)")
+    }
+    info(s"$nMerges merges in $rounds driver rounds")
+    assert(rounds <= nMerges / 2,
+      s"batching ineffective: $rounds rounds for $nMerges merges")
+  }
+
+  test("batched BPE ≡ canonical greedy on adversarial random vocabularies") {
+    // random small vocabularies over a 4-letter alphabet maximize
+    // symbol collisions, self-pairs, ties, and merged-symbol reuse —
+    // every stop rule in selectBpeBatch gets exercised; equality with
+    // the one-merge-at-a-time reference must hold regardless
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val vocab: Map[String, Long] = (1 to 12).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        w -> (1L + rnd.nextInt(20))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val nMerges = 8
+      val want = referenceBpe(vocab, nMerges)
+      val (got, _, _) =
+        graft.ext.Text.trainBpeOn(vocab.toSeq.toDF("word", "cnt"), nMerges)
+      got.zip(want).foreach { case ((rank, a, b, _, n), (wa, wb, wn)) =>
+        assert(a == wa && b == wb && n == wn,
+          s"trial $trial rank $rank: got ($a,$b,$n) want ($wa,$wb,$wn) " +
+            s"vocab=$vocab")
+      }
+    }
+  }
+
   test("BPE greedy application: overlapping runs merge 1st, 3rd, ...") {
     // corpus engineered so merge 1 is (a,a): "aaaa" must become
     // (aa)(aa) — run positions 0,1,2 with 0 and 2 applied — and
@@ -377,7 +428,7 @@ class TextSpec extends SparkSpec {
       .write.parquet(s"$tmp/documents.parquet")
     val words = Map("aaaa" -> 3L, "aaa" -> 2L, "xy" -> 4L, "aa" -> 1L,
       "ba" -> 1L, "abcdefgh" -> 2L)
-    val want = referenceBpe(words, graft.ext.Text.BpeRounds)
+    val want = referenceBpe(words, graft.ext.Text.BpeMerges)
     // sanity on the fixture itself: merge 1 is (a,a) with overlap
     // counting (3 words "aaaa" x 3 pairs + 2 x "aaa" x 2 pairs + "aa")
     assert(want.head == ("a", "a", 14L), s"fixture drifted: ${want.head}")
