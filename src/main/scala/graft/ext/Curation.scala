@@ -518,6 +518,28 @@ object Curation {
       .select(col("doc_id"), col("cluster_rep"), col("split"))
       .orderBy("doc_id")
 
+  /** [[leakFreeSplit]] upgraded to the CROSS-MODAL entity map: the
+    * split keys on [[Dedup.crossModalClusters]]' representative —
+    * text MinHash components ∪ verified embedding near-dups ∪
+    * verified image duplicates, closed transitively — so a multimodal
+    * corpus cannot leak a validation doc whose near-duplicate TEXT
+    * sits in train, NOR one whose duplicate lives only in the image
+    * or embedding modality (a text-only cluster split misses exactly
+    * those: a re-encoded image with rewritten alt text, a paraphrase
+    * with an identical embedding). Same rep-keyed md5 coordinate and
+    * permille gate; the entity map is the session-memoized family
+    * build shared with the cluster query, and the split itself stays
+    * map-only arithmetic — no new shuffle at any scale. */
+  def crossModalSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossModalClusters(s, dir)
+      .withColumn("h",
+        pmod(graft.functions.Md5Hash60.md5Hash60(concat(lit("split:"),
+          col("cluster_rep").cast("string"))), lit(1000)))
+      .withColumn("split",
+        when(col("h") < ValPermille, lit("val")).otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy("doc_id")
+
   /** 3σ envelope for Spark's HLL++ at its default rsd = 0.05. */
   private val ProfileRsdBound = 0.15
 
@@ -819,6 +841,7 @@ object Curation {
     "pipeline_profile"       -> (profileColumns _),
     "pipeline_profile_sketch" -> (profileColumnsSketch _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
+    "pipeline_crossmodal_split" -> (crossModalSplit _),
     "sample_source_mixture"  -> (sourceMixture _),
     "sample_temperature_mixture" -> (temperatureMixture _),
     "pack_length_buckets"    -> (lengthBuckets _),
@@ -942,6 +965,16 @@ object Curation {
     // is the identical md5-60 hash of the rep, mod 1000
     "pipeline_leakfree_split" ->
       s"""WITH RECURSIVE ${Dedup.clustersCteSql}
+         |SELECT r.doc_id, r.cluster_rep,
+         |  CASE WHEN CAST(concat('0x', substr(md5('split:' || r.cluster_rep), 1, 15))
+         |      AS BIGINT) % 1000 < $ValPermille
+         |    THEN 'val' ELSE 'train' END AS split
+         |FROM rep r ORDER BY r.doc_id""".stripMargin,
+
+    // the cross-modal reachability chain (text ∪ embedding ∪ image
+    // edges) ending in rep, then the identical md5-60 permille gate
+    "pipeline_crossmodal_split" ->
+      s"""WITH RECURSIVE ${Dedup.crossModalRepCteSql}
          |SELECT r.doc_id, r.cluster_rep,
          |  CASE WHEN CAST(concat('0x', substr(md5('split:' || r.cluster_rep), 1, 15))
          |      AS BIGINT) % 1000 < $ValPermille

@@ -1651,6 +1651,30 @@ object Dedup {
        |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
        |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)""".stripMargin
 
+  /** Oracle CTE chain ending in `rep (doc_id, cluster_rep)` for the
+    * CROSS-MODAL entity map ([[crossModalClusters]]): text MinHash
+    * star edges ∪ verified embedding near-dup pairs ∪ verified image
+    * pairs, closed by recursive reachability. Shared by the
+    * `dedup_crossmodal_clusters` oracle and the
+    * `pipeline_crossmodal_split` oracle in [[Curation]]. */
+  private[ext] val crossModalRepCteSql: String =
+    s"""$edgesCteSql,
+       |${Similarity.embeddingVerifiedPairsCteSql},
+       |${Multimodal.imageVerifiedPairsCteSql},
+       |alledges AS (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT vec_a AS src, vec_b AS dst FROM vpe
+       |  UNION ALL SELECT vec_b, vec_a FROM vpe
+       |  UNION ALL SELECT id_a, id_b FROM vpi
+       |  UNION ALL SELECT id_b, id_a FROM vpi),
+       |u AS (SELECT doc_id FROM documents),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM u
+       |  UNION
+       |  SELECT e.dst AS doc_id, reach.r
+       |  FROM reach JOIN alledges e ON e.src = reach.doc_id),
+       |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_editdistance_pairs" -> (editDistancePairs _),
@@ -1727,22 +1751,7 @@ object Dedup {
     // verify, the brute-force image Hamming pairs — CTE names are
     // disjoint across the composed fragments by construction
     "dedup_crossmodal_clusters" ->
-      s"""WITH RECURSIVE $edgesCteSql,
-         |${Similarity.embeddingVerifiedPairsCteSql},
-         |${Multimodal.imageVerifiedPairsCteSql},
-         |alledges AS (
-         |  SELECT src, dst FROM edges
-         |  UNION ALL SELECT vec_a AS src, vec_b AS dst FROM vpe
-         |  UNION ALL SELECT vec_b, vec_a FROM vpe
-         |  UNION ALL SELECT id_a, id_b FROM vpi
-         |  UNION ALL SELECT id_b, id_a FROM vpi),
-         |u AS (SELECT doc_id FROM documents),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS r FROM u
-         |  UNION
-         |  SELECT e.dst AS doc_id, reach.r
-         |  FROM reach JOIN alledges e ON e.src = reach.doc_id),
-         |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE $crossModalRepCteSql,
          |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
          |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
          |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.doc_id""".stripMargin,

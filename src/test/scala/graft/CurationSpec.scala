@@ -266,6 +266,26 @@ class CurationSpec extends SparkSpec {
       s"chunking must not hash-shuffle:\n$plan")
   }
 
+  test("cross-modal split: image/embedding duplicates never straddle the split") {
+    val split = Curation.crossModalSplit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the pairs the TEXT-ONLY split cannot see: verified embedding
+    // near-dups and image duplicates must still land same-side here
+    val embPairs = ext.Similarity.embeddingNearDups(spark, sf0001)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val imgPairs = ext.Multimodal.imageDedup(spark, sf0001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(embPairs.nonEmpty && imgPairs.nonEmpty, "fixture lost its dup pairs")
+    (embPairs ++ imgPairs).foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"cross-modal pair ($a, $b) straddles the split: " +
+          s"${split(a)} vs ${split(b)}")
+    }
+    // and the split is non-degenerate
+    val vals = split.values.count(_ == "val")
+    assert(vals > 0 && vals < split.size, s"degenerate split: $vals/${split.size}")
+  }
+
   test("leak-free split: cluster members never straddle, coordinate is the rep hash") {
     val out = Curation.leakFreeSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
