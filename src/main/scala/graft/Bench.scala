@@ -45,7 +45,9 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          SessionMemo.attributing(name) {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }
           None
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -63,8 +65,10 @@ object Bench {
     // one-time costs pass 1 did — min-of-2 compares two HONEST runs
     // rather than a cold run against a memo-warm echo.
     val pass1 = runPass()
+    val attr1 = SessionMemo.drainAttribution()
     SessionMemo.clear(spark)
     val pass2 = runPass()
+    val attr2 = SessionMemo.drainAttribution()
     val byName2 = pass2.map(r => r._1 -> r).toMap
     val results = pass1.map { case (name, t1, e1) =>
       val (_, t2, e2) = byName2(name)
@@ -119,7 +123,21 @@ object Bench {
     val passPairs = results.map { case (k, _, _) =>
       "\"" + k + "\":[" + r3(byName1(k)) + "," + r3(byName2(k)._2) + "]"
     }.mkString("{", ",", "}")
-    val full = line.dropRight(1) + s""","pass_pairs":$passPairs}"""
+    // Memo-build attribution: which memoized family each query BUILT
+    // (paying the one-time cost) vs merely reused, per pass — the
+    // accounting that explains why e.g. the first crossmodal query in
+    // a pass carries ~90% family-build time. Keys sorted, events
+    // deduped per (query, key).
+    def attrJson(attr: Seq[(String, String, Boolean)]): String =
+      attr.distinct.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, evs) =>
+        def arr(built: Boolean) = evs.collect {
+          case (_, key, b) if b == built => "\"" + key + "\""
+        }.distinct.sorted.mkString("[", ",", "]")
+        "\"" + q + "\":{\"built\":" + arr(true) +
+          ",\"reused\":" + arr(false) + "}"
+      }.mkString("{", ",", "}")
+    val full = line.dropRight(1) +
+      s""","pass_pairs":$passPairs,"memo_pass1":${attrJson(attr1)},"memo_pass2":${attrJson(attr2)}}"""
     val out = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

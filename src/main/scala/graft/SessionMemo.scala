@@ -21,13 +21,51 @@ object SessionMemo {
     .empty[(SparkSession, String), () => Unit]
 
   def cached(s: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir, name), build.cache())
+      (build: => DataFrame): DataFrame = {
+    val key = (s, dir, name)
+    val hit = memo.contains(key)
+    val df = memo.getOrElseUpdate(key, build.cache())
+    note(name, built = !hit)
+    df
+  }
 
   /** Register (or replace) a named teardown action run by [[clear]].
-    * Idempotent per (session, name): re-registering overwrites. */
+    * Idempotent per (session, name): re-registering overwrites.
+    * Every model/layout builder calls this exactly once when it
+    * BUILDS (inside its memo's getOrElseUpdate / guard branch), so
+    * registration doubles as the build event for attribution. */
   def registerCleanup(s: SparkSession, name: String)(f: () => Unit): Unit = {
+    note(name, built = true)
     cleanups.put((s, name), f); ()
+  }
+
+  // ── Build attribution ──────────────────────────────────────────
+  // Which consumer (bench query) built vs reused which memoized
+  // family — the accounting that explains why ONE query in a bench
+  // pass carries its whole family's one-time cost. Zero overhead
+  // unless a consumer label is set (Bench sets it; Verify and
+  // library use don't).
+
+  private val attributionLog = new java.util.concurrent
+    .ConcurrentLinkedQueue[(String, String, Boolean)]
+  @volatile private var currentConsumer: String = null
+
+  /** Run `f` with memo events attributed to `consumer`. */
+  def attributing[T](consumer: String)(f: => T): T = {
+    currentConsumer = consumer
+    try f finally currentConsumer = null
+  }
+
+  private def note(key: String, built: Boolean): Unit = {
+    val c = currentConsumer
+    if (c != null) { attributionLog.add((c, key, built)); () }
+  }
+
+  /** Drain recorded (consumer, memo key, built?) events. */
+  def drainAttribution(): Seq[(String, String, Boolean)] = {
+    val b = Seq.newBuilder[(String, String, Boolean)]
+    while (!attributionLog.isEmpty) b += attributionLog.poll()
+    b.result()
   }
 
   /** Unpersist and forget every entry belonging to `s`, then run (and
