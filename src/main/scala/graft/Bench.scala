@@ -15,6 +15,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional name-prefix filter (comma-separated), e.g.
+    // SPARK_GRAFT_ONLY=dedup_,sim_,graph_ — the scale-headroom legs
+    // at 100× bench scale run the worst-growing families only; the
+    // driver never sets this.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def included(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val spark = Sessions.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -42,7 +50,8 @@ object Bench {
     }
 
     def runPass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(q => included(q._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try {
           SessionMemo.attributing(name) {
