@@ -196,6 +196,34 @@ object Dedup {
   private val ContainT = 0.9
   private val ContainSalts = 16
 
+  /** Target per-partition BUILD bytes for the containment join's
+    * shuffled-hash relation. Both join sides carry full ordinal
+    * arrays (verification runs inside the joined stage), so build
+    * bytes grow with Σn² over the corpus — and a shuffled-hash build
+    * must fit ITS partition in memory, with every core building one
+    * concurrently. A fixed partition count therefore turns corpus
+    * growth directly into per-task heap growth (8 GiB × 32 cores
+    * OOMed at 100× bench scale); deriving the partition count from
+    * the measured array volume keeps each build ≈ this many bytes at
+    * ANY corpus size — the same population-scaling discipline as the
+    * LSH widths and k-means cell counts, applied to partitioning. On
+    * a real cluster this is exactly "shuffle partitions scale with
+    * the data", chosen deterministically instead of left to AQE
+    * (whose 64 MB advisory target under-counts the 2-3× in-memory
+    * expansion of a hash relation over serialized bytes). */
+  private val ContainBuildTarget = 32L << 20
+
+  /** Partition count for the containment join: enough that the probe
+    * side's ≈ `8·Σn² + 48·Σn` build bytes land ≈ [[ContainBuildTarget]]
+    * per partition, floored at the session's parallelism (bench scale
+    * keeps its original 32-partition plan bit-for-bit). */
+  private[graft] def containPartitions(sumN: Long, sumN2: Long,
+      parallelism: Int): Int = {
+    val buildBytes = 8L * sumN2 + 48L * sumN
+    math.max(parallelism,
+      ((buildBytes + ContainBuildTarget - 1) / ContainBuildTarget).toInt)
+  }
+
   /** Asymmetric set-containment, MINIMAL-CONTAINER form: for each doc
     * x whose distinct-token set is ≥ [[ContainT]]-contained in some
     * STRICTLY LARGER doc's set, the best container (highest
@@ -285,10 +313,24 @@ object Dedup {
     // whole query. There is nothing to dedup now: a pair verifying
     // through several witness ords yields IDENTICAL verified rows,
     // and the closing argmax is duplicate-insensitive by definition.
+    // Population-scaled partitioning (see [[containPartitions]]):
+    // explicit repartition on the join keys — both sides land on the
+    // same HashPartitioning, so the join adds no further exchange,
+    // and the explicit count is exempt from AQE coalescing (whose
+    // serialized-bytes target under-sizes in-memory hash builds).
+    val sz = sorted.agg(
+      sum(col("n").cast("long")).as("sn"),
+      sum(col("n").cast("long") * col("n").cast("long")).as("sn2")).head()
+    val nParts =
+      if (sz.isNullAt(0)) sorted.sparkSession.sparkContext.defaultParallelism
+      else containPartitions(sz.getLong(0), sz.getLong(1),
+        sorted.sparkSession.sparkContext.defaultParallelism)
     val pa = prefixes.toDF("doc_a", "ords_a", "na", "ia", "ord")
       .withColumn("salt", explode(lit((0 until ContainSalts).toArray)))
+      .repartition(nParts, col("ord"), col("salt"))
     val pb = full.toDF("doc_b", "ords_b", "nb", "jb", "ord")
       .withColumn("salt", pmod(hash(col("doc_b")), lit(ContainSalts)))
+      .repartition(nParts, col("ord"), col("salt"))
       .hint("shuffle_hash")
     // Positional filter (PPJoin's, in its asymmetric form): matching
     // at (ia, jb) caps the intersection at 1 + min(na−ia−1, nb−jb−1),
