@@ -138,11 +138,29 @@ object Dedup {
     * broadcast of a corpus-derived table (a forced broadcast is a
     * driver OOM at 100 TB, per-partition hash builds are not). */
   private def ppPairsInline(sorted: DataFrame, t: Double): DataFrame = {
+    // Population-scaled partitioning (see [[arrayJoinPartitions]]):
+    // the prefix explode replicates each doc's full ord array `plen`
+    // times, so the build side carries Σ plen·n array cells — at a
+    // fixed 32-partition count the per-partition hash build grew with
+    // the corpus and OOMed the shingle variant (the fattest arrays)
+    // at 100× bench scale. Both sides repartition to the derived
+    // count on the join key: same HashPartitioning, so the join adds
+    // no further exchange, and the explicit count is exempt from AQE
+    // coalescing. One tiny aggregate over the memoized sorted frame.
+    val sz = sorted.agg(
+      sum(col("plen").cast("long")).as("sp"),
+      sum(col("plen").cast("long") * col("n").cast("long")).as("spn")).head()
+    val nParts =
+      if (sz.isNullAt(0)) sorted.sparkSession.sparkContext.defaultParallelism
+      else arrayJoinPartitions(sz.getLong(0), sz.getLong(1),
+        sorted.sparkSession.sparkContext.defaultParallelism)
     val prefixes = sorted
       .select(col("doc_id"), col("ords"), col("n"),
         explode(slice(col("ords"), lit(1), col("plen"))).as("ord"))
     val pa = prefixes.toDF("doc_a", "ords_a", "na", "ord")
-    val pb = prefixes.toDF("doc_b", "ords_b", "nb", "ord").hint("shuffle_hash")
+      .repartition(nParts, col("ord"))
+    val pb = prefixes.toDF("doc_b", "ords_b", "nb", "ord")
+      .repartition(nParts, col("ord")).hint("shuffle_hash")
     // The FULL predicate — including the exact-verify threshold —
     // lives in the join condition, cheap conjuncts first. Authoring
     // it here is load-bearing: a threshold filter left above the join
@@ -196,32 +214,40 @@ object Dedup {
   private val ContainT = 0.9
   private val ContainSalts = 16
 
-  /** Target per-partition BUILD bytes for the containment join's
-    * shuffled-hash relation. Both join sides carry full ordinal
-    * arrays (verification runs inside the joined stage), so build
-    * bytes grow with Σn² over the corpus — and a shuffled-hash build
-    * must fit ITS partition in memory, with every core building one
+  /** Target per-partition BUILD bytes for the array-carrying
+    * shuffled-hash joins (the containment join and the PPJoin pair
+    * join). Their join sides carry full ordinal arrays (verification
+    * runs inside the joined stage), so build bytes grow with the
+    * total replicated array volume — and a shuffled-hash build must
+    * fit ITS partition in memory, with every core building one
     * concurrently. A fixed partition count therefore turns corpus
     * growth directly into per-task heap growth (8 GiB × 32 cores
-    * OOMed at 100× bench scale); deriving the partition count from
-    * the measured array volume keeps each build ≈ this many bytes at
-    * ANY corpus size — the same population-scaling discipline as the
-    * LSH widths and k-means cell counts, applied to partitioning. On
-    * a real cluster this is exactly "shuffle partitions scale with
-    * the data", chosen deterministically instead of left to AQE
-    * (whose 64 MB advisory target under-counts the 2-3× in-memory
-    * expansion of a hash relation over serialized bytes). */
-  private val ContainBuildTarget = 32L << 20
+    * OOMed at 100× bench scale — first the containment join, then
+    * the shingle PPJoin whose 3-shingle arrays are the fattest);
+    * deriving the partition count from the measured array volume
+    * keeps each build ≈ this many bytes at ANY corpus size — the
+    * same population-scaling discipline as the LSH widths and
+    * k-means cell counts, applied to partitioning. On a real cluster
+    * this is exactly "shuffle partitions scale with the data", chosen
+    * deterministically instead of left to AQE (whose 64 MB advisory
+    * target under-counts the 2-3× in-memory expansion of a hash
+    * relation over serialized bytes). */
+  private val ArrayBuildTarget = 32L << 20
 
-  /** Partition count for the containment join: enough that the probe
-    * side's ≈ `8·Σn² + 48·Σn` build bytes land ≈ [[ContainBuildTarget]]
-    * per partition, floored at the session's parallelism (bench scale
-    * keeps its original 32-partition plan bit-for-bit). */
-  private[graft] def containPartitions(sumN: Long, sumN2: Long,
+  /** Partition count for an array-carrying shuffled-hash join:
+    * enough that the build side's ≈ `8·cells + 48·rows` bytes (8 per
+    * long array element, ~48 fixed per row) land ≈
+    * [[ArrayBuildTarget]] per partition, floored at the session's
+    * parallelism (bench scale keeps its original 32-partition plan
+    * bit-for-bit). `rows` = build rows after any prefix replication;
+    * `cells` = total array elements over those rows (Σn² for the
+    * containment join's full-array explode, Σ plen·n for the PPJoin
+    * prefix explode). */
+  private[graft] def arrayJoinPartitions(rows: Long, cells: Long,
       parallelism: Int): Int = {
-    val buildBytes = 8L * sumN2 + 48L * sumN
+    val buildBytes = 8L * cells + 48L * rows
     math.max(parallelism,
-      ((buildBytes + ContainBuildTarget - 1) / ContainBuildTarget).toInt)
+      ((buildBytes + ArrayBuildTarget - 1) / ArrayBuildTarget).toInt)
   }
 
   /** Asymmetric set-containment, MINIMAL-CONTAINER form: for each doc
@@ -313,7 +339,7 @@ object Dedup {
     // whole query. There is nothing to dedup now: a pair verifying
     // through several witness ords yields IDENTICAL verified rows,
     // and the closing argmax is duplicate-insensitive by definition.
-    // Population-scaled partitioning (see [[containPartitions]]):
+    // Population-scaled partitioning (see [[arrayJoinPartitions]]):
     // explicit repartition on the join keys — both sides land on the
     // same HashPartitioning, so the join adds no further exchange,
     // and the explicit count is exempt from AQE coalescing (whose
@@ -323,7 +349,7 @@ object Dedup {
       sum(col("n").cast("long") * col("n").cast("long")).as("sn2")).head()
     val nParts =
       if (sz.isNullAt(0)) sorted.sparkSession.sparkContext.defaultParallelism
-      else containPartitions(sz.getLong(0), sz.getLong(1),
+      else arrayJoinPartitions(sz.getLong(0), sz.getLong(1),
         sorted.sparkSession.sparkContext.defaultParallelism)
     val pa = prefixes.toDF("doc_a", "ords_a", "na", "ia", "ord")
       .withColumn("salt", explode(lit((0 until ContainSalts).toArray)))

@@ -468,6 +468,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cosine threshold for the radius face. Chosen away from the data:
+    * the nearest observed cosine to 0.25 across both test scales is
+    * > 3e-5 off (float disagreement between engines is ~1e-15), so
+    * membership can never flip across engines. */
+  private val RangeTau = 0.25
+
+  /** IVF RADIUS search — the other query face a vector store serves
+    * next to top-k: ALL neighbors with cosine ≥ τ, not the k best.
+    * Retrieval dedup ("drop anything ≥ τ-similar to a held-out set")
+    * and RAG recall filters are radius queries, and top-k cannot
+    * express them (the right k varies per query and is unknown
+    * upfront).
+    *
+    * Same probe discipline as [[ivfTopK]]: rank cells by centroid
+    * cosine, probe the top-[[NProbe]], exact cosine only within
+    * probed cells — so per-query work stays ∝ the probed fraction
+    * while the RESULT SIZE is data-driven (each query returns however
+    * many true τ-neighbors its probed cells hold). No window at all:
+    * radius needs no ranking, so the plan is join → filter — cheaper
+    * than the top-k face, and the output order is the deterministic
+    * (query, neighbor) key, not a score rank. */
+  def ivfRangeSearch(s: SparkSession, dir: String): DataFrame =
+    ivfRangeSearchProbes(s, dir, NProbe)
+
+  /** [[ivfRangeSearch]] with an explicit probe count: with `nprobe` ≥
+    * number of cells the result is EXACTLY the brute-force τ-neighbor
+    * set (asserted in `SimilaritySpec`) — radius recall degrades
+    * smoothly as probes shrink, same contract as [[ivfTopKProbes]]. */
+  private[graft] def ivfRangeSearchProbes(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val vs = vectors(s, dir)
+    val (assign, cents) = kmeansModel(s, dir)
+    val centDF = cents.toDF("cell", "cv", "cnrm")
+    val q = vs.toDF("query_id", "qv", "qnrm")
+      .filter(col("query_id") < NQueries)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centDF))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "qv", "qnrm", "cell")
+    val members = vs.toDF("neighbor_id", "nv", "nnrm")
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+        .hint("shuffle_hash"), Seq("neighbor_id"))
+    members.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"), r4(col("cos")).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   private val PqM      = 4         // subspaces
   private val PqSubDim = Dim / PqM // dims per subspace (16)
   private val PqCodes  = 8         // centroids per sub-codebook
@@ -1250,6 +1304,7 @@ object Similarity {
     "sim_topk_pq"         -> (pqTopK _),
     "sim_topk_ivfpq"      -> (ivfpqTopK _),
     "sim_ivf_pruned_topk" -> (ivfPrunedTopK _),
+    "sim_range_search"    -> (ivfRangeSearch _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_semantic_keep" -> (semanticKeep _),
@@ -1678,6 +1733,28 @@ object Similarity {
     // assignment); only the physical scan shape differs, which the
     // oracle never sees
     "sim_ivf_pruned_topk" -> ivfOracleSql,
+
+    // the radius face shares the probe CTEs with the top-k oracle;
+    // only the tail differs (threshold filter, no rank window)
+    "sim_range_search" ->
+      s"""WITH ${kmeansOracleCtes(KCells, KmIters)},
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC,
+         |        c.cell ASC) AS prank
+         |    FROM n q CROSS JOIN cn${KmIters - 1} c WHERE q.vec_id < $NQueries)
+         |  WHERE prank <= $NProbe),
+         |p AS (SELECT pr.query_id, m.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, m.v) / (q.nrm * m.nrm) AS cos
+         |  FROM probes pr
+         |  JOIN a$KmIters am ON am.cell = pr.cell
+         |  JOIN n m ON m.vec_id = am.vec_id
+         |  JOIN n q ON q.vec_id = pr.query_id
+         |  WHERE m.vec_id != pr.query_id)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos
+         |FROM p WHERE cos >= $RangeTau
+         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""WITH $embeddingPairsCteSql

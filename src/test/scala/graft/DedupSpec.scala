@@ -295,21 +295,23 @@ class DedupSpec extends SparkSpec {
     assert(lp.values.toSet.size >= cc.values.toSet.size)
   }
 
-  test("containment join partitioning scales with array volume, floored at cores") {
-    // per-partition build bytes ≈ (8·Σn² + 48·Σn) / parts must stay
-    // ≈ the 32 MB target at any corpus size — the fixed-count plan
-    // OOMed 32 concurrent hash builds at 100× bench scale
+  test("array-join partitioning scales with array volume, floored at cores") {
+    // per-partition build bytes ≈ (8·cells + 48·rows) / parts must
+    // stay ≈ the 32 MB target at any corpus size — the fixed-count
+    // plan OOMed 32 concurrent hash builds at 100× bench scale
+    // (first the containment join's Σn² explode, then the shingle
+    // PPJoin's Σ plen·n prefix explode)
     val target = 32L << 20
-    // bench scale (sf0.1: Σn ≈ 116k, Σn² ≈ 3.6M) keeps the floor
-    assert(Dedup.containPartitions(116000L, 3600000L, 32) == 32)
-    for ((sn, sn2) <- Seq((11600000L, 360000000L),      // ~sf10
-                          (1160000000L, 36000000000L))) { // ~sf1000
-      val p = Dedup.containPartitions(sn, sn2, 32)
-      val perPart = (8.0 * sn2 + 48.0 * sn) / p
+    // bench scale (sf0.1: rows ≈ 116k, cells ≈ 3.6M) keeps the floor
+    assert(Dedup.arrayJoinPartitions(116000L, 3600000L, 32) == 32)
+    for ((rows, cells) <- Seq((11600000L, 360000000L),      // ~sf10
+                              (1160000000L, 36000000000L))) { // ~sf1000
+      val p = Dedup.arrayJoinPartitions(rows, cells, 32)
+      val perPart = (8.0 * cells + 48.0 * rows) / p
       assert(perPart <= target.toDouble,
-        s"sn=$sn: $perPart bytes/partition exceeds the build target")
-      assert(p <= 4 * ((8 * sn2 + 48 * sn) / target + 1).toInt,
-        s"sn=$sn: $p partitions is overscaled")
+        s"rows=$rows: $perPart bytes/partition exceeds the build target")
+      assert(p <= 4 * ((8 * cells + 48 * rows) / target + 1).toInt,
+        s"rows=$rows: $p partitions is overscaled")
     }
   }
 

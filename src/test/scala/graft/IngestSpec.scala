@@ -493,4 +493,65 @@ class IngestSpec extends SparkSpec {
     assert(inc.length == one.length && inc.sameElements(one),
       s"delta-maintained != one-shot:\n${inc.toSeq}\nvs\n${one.toSeq}")
   }
+
+  test("SCD2: intervals chain, one current row per key, version counts by cohort") {
+    val rows = Ingest.scd2Build(spark, sf0001).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("o_orderkey"))
+    byKey.foreach { case (k, vs) =>
+      val hist = vs.sortBy(r => r.getAs[Date]("valid_from").toLocalDate.toEpochDay)
+      // expected chain length by cohort
+      val expected = if (k % 100 == 0) 3 else if (k % 10 == 0) 2 else 1
+      assert(hist.length == expected, s"key $k: ${hist.length} versions")
+      // each valid_to equals the successor's valid_from; only the
+      // last row is open-ended and current
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Date]("valid_to") == b.getAs[Date]("valid_from"),
+            s"key $k: broken interval chain")
+        case _ => ()
+      }
+      assert(hist.init.forall(!_.getAs[Boolean]("is_current")))
+      assert(hist.last.getAs[Boolean]("is_current") &&
+        hist.last.getAs[Date]("valid_to") == null)
+      // a point-in-time lookup between change 1 and 2 sees version 1
+      if (expected == 3) {
+        val d = hist(1).getAs[Date]("valid_from")
+        val inForce = hist.filter { r =>
+          !r.getAs[Date]("valid_from").after(d) &&
+            (r.getAs[Date]("valid_to") == null ||
+              d.before(r.getAs[Date]("valid_to")))
+        }
+        assert(inForce.length == 1 && inForce.head.getAs[String]("o_orderstatus") == "R",
+          s"key $k: as-of lookup must resolve to exactly the R version")
+      }
+    }
+  }
+
+  test("SCD2 merge: batch-by-batch ≡ one-shot, replay is a no-op, late splice") {
+    def chg(vs: (Long, String, String)*) =
+      vs.map { case (k, d, st) => (k, Date.valueOf(d), BigDecimal(1), st) }
+        .toDF("o_orderkey", "valid_from", "o_totalprice", "o_orderstatus")
+    val empty = chg()
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .select("o_orderkey", "valid_from", "valid_to", "is_current",
+        "o_totalprice", "o_orderstatus")
+    val b1 = chg((1L, "2020-01-01", "O"), (2L, "2020-01-01", "O"))
+    val b2 = chg((1L, "2020-03-01", "F"))
+    // late batch: splices BETWEEN key 1's two existing versions
+    val b3 = chg((1L, "2020-02-01", "R"))
+    val oneShot = Ingest.scd2Merge(empty, b1.union(b2).union(b3), "o_orderkey")
+    val stepped = Seq(b1, b2, b3, b3 /* replay */)
+      .foldLeft(empty)((h, b) => Ingest.scd2Merge(h, b, "o_orderkey"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey", "valid_from").collect().toSeq
+    assert(canon(stepped) == canon(oneShot))
+    val k1 = canon(stepped).filter(_.getAs[Long]("o_orderkey") == 1L)
+    assert(k1.map(_.getAs[String]("o_orderstatus")) == Seq("O", "R", "F"),
+      "late change must splice into the middle of the chain")
+    assert(k1.map(_.getAs[Boolean]("is_current")) == Seq(false, false, true))
+    // untouched key 2 still a single current row
+    val k2 = canon(stepped).filter(_.getAs[Long]("o_orderkey") == 2L)
+    assert(k2.length == 1 && k2.head.getAs[Boolean]("is_current"))
+  }
 }

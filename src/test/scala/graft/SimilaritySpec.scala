@@ -421,4 +421,35 @@ class SimilaritySpec extends SparkSpec {
         s"dim $dim second moment $meanSq vs corpus ‖x‖² $meanNormSq")
     }
   }
+
+  test("range search: probed subset of brute-force τ-set; full probe ≡ exact") {
+    // brute-force τ-neighbor truth at test scale
+    val vs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "v",
+        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm")
+    val q = vs.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm")).filter(col("query_id") < 10)
+    val truth = q.crossJoin(vs.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nnrm")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        Similarity.dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .filter(col("cos") >= 0.25)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must have τ-neighbors")
+
+    // default probes: every returned pair is a true τ-neighbor
+    // (radius search never fabricates — misses are the only error)
+    val got = Similarity.ivfRangeSearch(spark, sf0001).collect()
+    got.foreach(r => assert(r.getDouble(2) >= 0.25 - 1e-9))
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet.subsetOf(truth), "probed radius result ⊆ brute-force τ-set")
+
+    // probing every cell recovers the exact τ-set
+    val full = Similarity.ivfRangeSearchProbes(spark, sf0001, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == truth, "full-probe radius search ≡ brute force")
+  }
 }

@@ -38,6 +38,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "text_pmi_bigrams" -> "unnest() zipped list_transform bigrams",
     "text_bigram_lm" -> "unnest() zipped list_transform bigrams",
     "pipeline_leakfree_split" -> "recursive CTE reachability + hex-string casts",
+    "pipeline_crossmodal_split" -> "recursive CTE reachability + list ops + hex-string casts",
     "dedup_shingle_jaccard" -> "string_split_regex",
     "dedup_shingle_novelty" -> "string_split_regex + list_transform shingles",
     "dedup_simhash" -> "unnest() lateral",
@@ -73,6 +74,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_topk_bruteforce" -> "list_dot_product",
     "sim_topk_ivf" -> "list comprehension k-means unroll",
     "sim_ivf_pruned_topk" -> "list comprehension k-means unroll",
+    "sim_range_search" -> "list comprehension k-means unroll",
     "sim_topk_lsh_ann" -> "list_dot_product",
     "text_cms_heavy_hitters" -> "unnest() lateral",
     "text_fingerprint" -> "hex-digit CAST to INT",
