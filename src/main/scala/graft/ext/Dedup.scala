@@ -829,11 +829,11 @@ object Dedup {
         col("vec_a").cast("string"), col("vec_b").cast("string"))
       val embBk = ep.select(col("vec_a").as("doc_id"), eKey.as("bucket"))
         .union(ep.select(col("vec_b").as("doc_id"), eKey.as("bucket")))
-      val ip = Multimodal.imageDedup(s, dir).select("id_a", "id_b")
-      val iKey = concat_ws(",", lit("i"),
-        col("id_a").cast("string"), col("id_b").cast("string"))
-      val imgBk = ip.select(col("id_a").as("doc_id"), iKey.as("bucket"))
-        .union(ip.select(col("id_b").as("doc_id"), iKey.as("bucket")))
+      // image evidence at the HASH level (r10): identical reachability
+      // to the id-level pair listing, but rows linear in corpus +
+      // hash pairs instead of quadratic in duplicate-group size —
+      // the pair expansion was 22M bucket rows at 100× bench scale
+      val imgBk = Multimodal.imageEvidenceBuckets(s, dir)
       val self = graft.Tables.documents(s, dir).select(col("doc_id"),
         concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket"))
       clustersFromBuckets(textBk.union(embBk).union(imgBk).union(self))
@@ -1126,8 +1126,7 @@ object Dedup {
   }
 
   private val SimBits = 60        // md5Hash60 — oracle-reproducible
-  private val SimBands = 6        // 10-bit bands → 1024 buckets each
-  private val SimBandBits = SimBits / SimBands
+  private val SimBands = 6        // minimal Manku plan: 6 blocks, 10-bit keys
   private val SimHammingT = 5     // ≤ SimBands − 1 ⇒ pigeonhole holds
 
   /** 60-bit SimHash per document: each distinct token votes ±1 on
@@ -1138,45 +1137,70 @@ object Dedup {
     * plan audit): band buckets go from corpus/256 to corpus/1024 and
     * the Hamming ball is far more selective at web scale — the sketch
     * still rides one BIGINT. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = distinctTokens(s, dir)
-      .withColumn("h", md5Hash60(col("tok")))
-    val votes = (0 until SimBits).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashSketch(s, dir).orderBy("doc_id")
+
+  /** The sketch build behind [[simhash]]/[[simhashPairs]], session-
+    * memoized so the declared sketch query and the pair query share
+    * one computation. */
+  private def simhashSketch(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "simhash_sketch") {
+      val toks = distinctTokens(s, dir)
+        .withColumn("h", md5Hash60(col("tok")))
+      val votes = (0 until SimBits).map { i =>
+        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+      }
+      val sketch = (0 until SimBits).map { i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      toks.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sketch.as("simhash"))
     }
-    val sketch = (0 until SimBits).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    toks.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sketch.as("simhash"))
-      .orderBy("doc_id")
-  }
+
+  /** Population-derived block count for the SimHash band plan: keep
+    * expected per-item per-table random collisions n/2^minKeyBits
+    * below ~1 as the corpus grows. The minimal 6-block plan (10-bit
+    * keys, 6 tables — the pre-r10 static banding) holds only to 2^10
+    * docs; each step trades more tables (C(B, B−5)) for wider keys.
+    * Past 2^30 the 60-bit SKETCH saturates (birthday), not the plan.
+    * Pinned integer thresholds — a deterministic function of the
+    * corpus count, the same population-scaling as the image bands,
+    * LSH signature widths, and k-means cell counts. */
+  private[graft] def simBandBlocks(n: Long): Int =
+    if (n <= (1L << 10)) SimBands     // 6 tables, 10-bit keys
+    else if (n <= (1L << 16)) 7       // 21 tables, ≥16-bit keys
+    else if (n <= (1L << 21)) 8       // 56 tables, ≥21-bit keys
+    else if (n <= (1L << 25)) 9       // 126 tables, ≥25-bit keys
+    else 10                           // 252 tables, 30-bit keys
 
   /** SimHash near-dup candidate pairs: Hamming distance ≤
-    * [[SimHammingT]] of [[SimBits]], found by banding the sketch into
-    * [[SimBands]] 10-bit bands (a pair within distance 5 must agree
-    * on ≥ 1 of 6 bands — pigeonhole), joining per band, then
-    * verifying with `bit_count(xor)`. */
+    * [[SimHammingT]] of [[SimBits]], found by the population-scaled
+    * Manku block-combination tables shared with the image dHash
+    * family ([[Multimodal.bandPlanFor]] at [[simBandBlocks]] blocks
+    * over the 60-bit sketch — any pair within distance 5 leaves some
+    * B−5 blocks untouched, so the table keying exactly those blocks
+    * matches: pigeonhole, exact recall at every plan), then verified
+    * with `bit_count(xor)`. The static 6×10-bit banding this replaces
+    * kept only 1024 buckets per band, so bucket occupancy — and the
+    * band join's candidate volume — grew quadratically with the
+    * corpus (12× wall at 10× data in the r10 sf10 headroom leg); the
+    * scaled plan keys stay ≳ log₂(n) bits wide, so candidates stay ≈
+    * true near-dups + O(n) noise at any scale. The plan affects
+    * CANDIDATES only — verify + distinct make the pair set
+    * plan-invariant (asserted in `DedupSpec`), which is why the
+    * brute-force DuckDB oracle never models the bands. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sk = simhash(s, dir)
-    val mask = (1L << SimBandBits) - 1
-    val bandStructs = (0 until SimBands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        shiftrightunsigned(col("simhash"), bnd * SimBandBits).bitwiseAND(lit(mask))
-          .as("bandkey"))
-    }
-    val banded = sk.select(col("doc_id"), col("simhash"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bandkey"))
-    val a = banded.toDF("doc_a", "sim_a", "band", "bandkey")
-    val b = banded.toDF("doc_b", "sim_b", "band", "bandkey").hint("shuffle_hash")
-    a.join(b, Seq("band", "bandkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= SimHammingT)
+    val sk = simhashSketch(s, dir)
+    // corpus count: one tiny action on the memoized sketch frame —
+    // the same oracle-replayable COUNT(*) device as the LSH widths
+    val n = sk.count()
+    val plan = Multimodal.bandPlanFor(simBandBlocks(n), SimHammingT, SimBits)
+    Multimodal.nearDupImagePairsPlanned(
+        sk.select(col("doc_id").as("media_id"), col("simhash").as("dhash")),
+        plan, SimHammingT, n)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 

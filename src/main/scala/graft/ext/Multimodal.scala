@@ -444,25 +444,28 @@ object Multimodal {
   }
 
   /** Band plan for [[nearDupImagePairs]] (Manku, Jain & Sarma 2007,
-    * the SimHash near-dup scheme generalized): split the 64-bit hash
-    * into `nBlocks` contiguous blocks; each table keys on a distinct
-    * combination of `nBlocks − maxHamming` blocks concatenated. With
-    * ≤ maxHamming differing bits, the differing bits touch ≤
-    * maxHamming blocks, so some `nBlocks − maxHamming` blocks are
-    * clean — the table selecting exactly those matches (pigeonhole,
-    * exact recall). More blocks → more tables (C(B, B−h)) but LONGER
-    * keys (64·(B−h)/B bits), which is what bounds per-table random
-    * collisions as the population grows. */
+    * the SimHash near-dup scheme generalized): split the
+    * `hashBits`-bit hash into `nBlocks` contiguous blocks; each table
+    * keys on a distinct combination of `nBlocks − maxHamming` blocks
+    * concatenated. With ≤ maxHamming differing bits, the differing
+    * bits touch ≤ maxHamming blocks, so some `nBlocks − maxHamming`
+    * blocks are clean — the table selecting exactly those matches
+    * (pigeonhole, exact recall). More blocks → more tables
+    * (C(B, B−h)) but LONGER keys (hashBits·(B−h)/B bits), which is
+    * what bounds per-table random collisions as the population
+    * grows. Shared by the 64-bit image dHash family and the 60-bit
+    * text SimHash family ([[graft.ext.Dedup.simhashPairs]]). */
   private[graft] case class BandPlan(blocks: IndexedSeq[(Int, Int)],
       tables: IndexedSeq[Seq[Int]]) {
     /** Narrowest table key width in bits. */
     def minKeyBits: Int = tables.map(_.map(blocks(_)._2).sum).min
   }
 
-  private[graft] def bandPlanFor(nBlocks: Int, maxHamming: Int): BandPlan = {
+  private[graft] def bandPlanFor(nBlocks: Int, maxHamming: Int,
+      hashBits: Int = 64): BandPlan = {
     require(nBlocks > maxHamming,
       s"$nBlocks-block pigeonhole cannot cover Hamming <= $maxHamming")
-    val base = 64 / nBlocks; val rem = 64 % nBlocks
+    val base = hashBits / nBlocks; val rem = hashBits % nBlocks
     val widths = IndexedSeq.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
     val shifts = widths.scanLeft(0)(_ + _).dropRight(1)
     val blocks = shifts.zip(widths)
@@ -495,10 +498,50 @@ object Multimodal {
   def nearDupImagePairs(hashes: DataFrame, population: Long,
       maxHamming: Int = 3): DataFrame =
     nearDupImagePairsPlanned(hashes,
-      bandPlanFor(imageBandBlocks(population), maxHamming), maxHamming)
+      bandPlanFor(imageBandBlocks(population), maxHamming), maxHamming,
+      population)
 
+  /** The generic banded Hamming pairing under a [[BandPlan]] —
+    * despite the name it is hash-agnostic (columns `media_id`,
+    * `dhash`; any ≤ 64-bit sketch): [[graft.ext.Dedup.simhashPairs]]
+    * drives it with the 60-bit text SimHash and its own
+    * population-derived plan.
+    *
+    * `population` (0 = unknown, floor at session parallelism) sizes
+    * the band join's partition count: the banded frame holds
+    * population × tables skinny rows, and a WIDE plan (56+ tables
+    * past 2^16 items) at a fixed 32-partition count turns that
+    * replication directly into per-task shuffled-hash build heap
+    * (OOMed at 100× bench scale the first time the SimHash family
+    * stepped to the 8-block plan). Same discipline as
+    * [[graft.ext.Dedup.arrayJoinPartitions]]: both sides repartition
+    * to the derived count on the join key — same HashPartitioning,
+    * no extra exchange, AQE-coalesce-exempt. */
   private[graft] def nearDupImagePairsPlanned(hashes: DataFrame,
-      plan: BandPlan, maxHamming: Int): DataFrame = {
+      plan: BandPlan, maxHamming: Int, population: Long = 0L): DataFrame = {
+    // One materialization of the (id, hash) frame before the fan-out:
+    // this plan reads it five times (exact ×2, reps, expansion ×2),
+    // and for the image family each raw scan re-runs the PNG
+    // encode→decode→dHash pipeline — ~ms per image, the dominant
+    // cost at 100× bench scale. The frame is two longs per item at
+    // ANY corpus size; localCheckpoint truncates the decode lineage
+    // the same way the CC rounds do.
+    val hs = hashes.localCheckpoint()
+    expandHashPairs(hs, hashPairsPlanned(hs, plan, maxHamming, population))
+  }
+
+  /** DISTINCT-SKETCH near pairs (0 < Hamming ≤ max) — the hash-level
+    * half of the pairing. IDENTICAL-SKETCH COMPRESSION: mass
+    * duplication concentrates in equal sketches (xor = 0), and
+    * banding them is pathological — every member of a g-sized group
+    * meets the whole group in EVERY table (C(B, B−h) · g² compares
+    * where the true answer is the g²/2 pair listing itself). So only
+    * DISTINCT sketch values enter the band join — bucket occupancy
+    * collapses from docs-per-key to distinct-hashes-per-key, which is
+    * what the population-scaled key widths actually bound — and
+    * equal-sketch pairs expand directly in [[expandHashPairs]]. */
+  private[graft] def hashPairsPlanned(hs: DataFrame,
+      plan: BandPlan, maxHamming: Int, population: Long = 0L): DataFrame = {
     // table key: the combo's blocks concatenated via shift/mask — for
     // the minimal 4-block plan this is exactly the historic single
     // 16-bit band value
@@ -508,21 +551,76 @@ object Multimodal {
         shiftleft(acc, wd) +
           shiftrightunsigned(h, sh).bitwiseAND(lit((1L << wd) - 1))
       }
-    val banded = hashes.select(col("media_id"), col("dhash"),
+    val reps = hs.select(col("dhash")).distinct()
+    val banded = reps.select(col("dhash"),
         explode(array(plan.tables.zipWithIndex.map { case (combo, t) =>
           struct(lit(t).as("band"), comboKey(col("dhash"), combo).as("key"))
         }: _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("id_a", "h_a", "band", "key")
-    val b = banded.toDF("id_b", "h_b", "band", "key")
-    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      .select(col("dhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // population-scaled partition count (see
+    // [[graft.ext.Dedup.arrayJoinPartitions]]): a WIDE plan's banded
+    // frame at a fixed 32-partition count turns table replication
+    // into per-task shuffled-hash build heap (OOMed at 100× bench
+    // scale when the SimHash family first stepped to 8 blocks)
+    val bandedRows = math.max(0L, population) * plan.tables.size
+    val nParts = graft.ext.Dedup.arrayJoinPartitions(bandedRows, bandedRows,
+      hs.sparkSession.sparkContext.defaultParallelism)
+    val a = banded.toDF("h_a", "band_a", "key_a")
+      .repartition(nParts, col("band_a"), col("key_a"))
+    val b = banded.toDF("h_b", "band_b", "key_b")
+      .repartition(nParts, col("band_b"), col("key_b"))
+    // Exactly-once emission WITHOUT a pair distinct: which tables a
+    // qualifying hash pair agrees on is a pure function of
+    // xor(h_a, h_b), so each pair keeps only its FIRST agreeing
+    // table's row (the blocking-quality family's first-collision
+    // device) — the Hamming cut and the gate run inside the joined
+    // stage and the hash-pair stream leaves it exactly-once, no
+    // distinct exchange. The FULL predicate is authored in the join
+    // condition, cheap conjuncts first (the ppJoin lesson: a filter
+    // left above the join is pushed into the condition AT THE FRONT,
+    // running the expensive test on every raw bucket pair). All
+    // literals: the dirty-block mask folds B conditionals, the
+    // first-agreeing cascade C(B, B−h) — codegen'd integer tests.
+    val xorC = col("h_a").bitwiseXOR(col("h_b"))
+    val dirty = plan.blocks.zipWithIndex.map { case ((sh, wd), bi) =>
+      when(shiftrightunsigned(xorC, sh).bitwiseAND(lit((1L << wd) - 1)) =!= 0,
+        lit(1 << bi)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val firstAgree = plan.tables.zipWithIndex.foldRight(lit(-1)) {
+      case ((combo, t), rest) =>
+        when(dirty.bitwiseAND(lit(combo.map(1 << _).sum)) === 0,
+          lit(t)).otherwise(rest)
+    }
+    a.join(b.hint("shuffle_hash"),
+        col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+          col("h_a") < col("h_b") &&
+          bit_count(xorC) <= maxHamming &&
+          col("band_a") === firstAgree)
+      .select(col("h_a"), col("h_b"), bit_count(xorC).as("hamming"))
+  }
+
+  /** Expand hash-level pairs to the full id-level pair listing:
+    * equal-sketch pairs off a self-join on the full hash (pure
+    * output generation, no bands), near pairs by joining each
+    * hash pair's member lists. Each unordered id pair descends from
+    * exactly one unordered hash pair, so exactly-once survives the
+    * expansion. UNORDERED: the pair stream is set-semantic (CC and
+    * the memo cache don't care), and the output is duplicate-group-
+    * quadratic — a global sort here would be paid again by the
+    * ordered declared queries, which sort for themselves. */
+  private[graft] def expandHashPairs(hs: DataFrame,
+      hashPairs: DataFrame): DataFrame = {
+    val ha = hs.toDF("id_a", "dhash")
+    val hb = hs.toDF("id_b", "dhash")
+    val exact = ha.join(hb.hint("shuffle_hash"), Seq("dhash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    val near = hashPairs
+      .join(hs.toDF("ia", "h_a").hint("shuffle_hash"), Seq("h_a"))
+      .join(hs.toDF("ib", "h_b").hint("shuffle_hash"), Seq("h_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    exact.unionByName(near)
   }
 
   case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Long,
@@ -618,35 +716,73 @@ object Multimodal {
       buildImagePairs(s, dir)
     }
 
-  private[graft] def buildImagePairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pngs = mediaTable(s, dir)
-      .mapPartitions(_.map(r =>
-        MediaRow(r.media_id, toGrayPng(r.content), r.source)))
-    // band plan scales with the hash population (here: the corpus —
-    // every payload renders to a decodable PNG)
-    val population = Tables.documents(s, dir).count()
-    nearDupImagePairs(imageHashes(pngs), population)
+  /** The (media_id, dhash) frame, session-memoized: the pair query,
+    * the cluster query, and the cross-modal entity map all read it,
+    * and each raw scan re-runs the render→decode→dHash pipeline. */
+  private[graft] def imageHashFrame(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "image_hashes") {
+      import s.implicits._
+      val pngs = mediaTable(s, dir)
+        .mapPartitions(_.map(r =>
+          MediaRow(r.media_id, toGrayPng(r.content), r.source)))
+      imageHashes(pngs)
+    }
+
+  /** DISTINCT-dHash near pairs (0 < Hamming ≤ 3), session-memoized:
+    * the hash-level evidence every image-dedup face derives from —
+    * linear in the distinct-hash count where the id-level pair
+    * listing is quadratic in duplicate-group size. */
+  private[graft] def imageHashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "image_hash_pairs") {
+      // band plan scales with the hash population (here: the corpus —
+      // every payload renders to a decodable PNG)
+      val population = Tables.documents(s, dir).count()
+      hashPairsPlanned(imageHashFrame(s, dir),
+        bandPlanFor(imageBandBlocks(population), 3), 3, population)
+    }
+
+  private[graft] def buildImagePairs(s: SparkSession, dir: String): DataFrame =
+    expandHashPairs(imageHashFrame(s, dir), imageHashPairs(s, dir))
+
+  /** HASH-LEVEL connectivity evidence for CC consumers ([[
+    * imageClusters]], the cross-modal entity map): docs sharing a
+    * dHash connect through the dhash bucket (one star contraction
+    * where the pair listing is a g²/2 clique), and verified near
+    * hash-pairs bridge their two member groups. Component structure
+    * is EXACTLY the id-level pair graph's — same reachability, rows
+    * linear in corpus + hash pairs instead of quadratic in
+    * duplicate-group size. */
+  private[graft] def imageEvidenceBuckets(s: SparkSession, dir: String): DataFrame = {
+    val hs = imageHashFrame(s, dir)
+    val hp = imageHashPairs(s, dir)
+    val pairKey = concat_ws(",", lit("hp"),
+      col("h_a").cast("string"), col("h_b").cast("string"))
+    val groupBk = hs.select(col("media_id").as("doc_id"),
+      concat(lit("dh:"), col("dhash").cast("string")).as("bucket"))
+    val nearBk = hp.join(hs.toDF("doc_id", "h_a").hint("shuffle_hash"), Seq("h_a"))
+      .select(col("doc_id"), pairKey.as("bucket"))
+      .union(hp.join(hs.toDF("doc_id", "h_b").hint("shuffle_hash"), Seq("h_b"))
+        .select(col("doc_id"), pairKey.as("bucket")))
+    groupBk.union(nearBk)
   }
 
   /** Perceptual image near-dup CLUSTERS — the linear-output form of
     * [[imageDedup]]: pair listing is quadratic in duplicate-group
     * size (a million-copy logo is ~5·10¹¹ pair rows); the cluster map
-    * is one row per media. Connected components over the VERIFIED
-    * Hamming-pair graph via the shared large-star/small-star
-    * machinery (`Dedup.clustersFromBuckets` — O(log d) rounds, every
-    * round shuffles only (long, long) edges), singletons re-entering
-    * via per-media self buckets. Recall is exactly [[imageDedup]]'s:
-    * the same verified edges, re-expressed as components. Output
-    * (media_id, cluster_rep, cluster_size) — the form a curation
-    * pipeline acts on (keep rep, drop the rest). */
+    * is one row per media. Connected components over the HASH-LEVEL
+    * evidence buckets ([[imageEvidenceBuckets]] — identical
+    * reachability to the verified pair graph, but the CC input is
+    * linear: the r10 pair-form CC shuffled 2 rows per pair, which at
+    * 100× bench scale meant 22M bucket rows for an 11M-pair corpus)
+    * via the shared large-star/small-star machinery
+    * (`Dedup.clustersFromBuckets` — O(log d) rounds), singletons
+    * re-entering via per-media self buckets. Recall is exactly
+    * [[imageDedup]]'s: the same verified evidence, re-expressed as
+    * components. Output (media_id, cluster_rep, cluster_size) — the
+    * form a curation pipeline acts on (keep rep, drop the rest). */
   def imageClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "image_clusters") {
-      val pairs = verifiedImagePairs(s, dir).select("id_a", "id_b")
-      val pairKey = concat_ws(",",
-        col("id_a").cast("string"), col("id_b").cast("string"))
-      val bk = pairs.select(col("id_a").as("doc_id"), pairKey.as("bucket"))
-        .union(pairs.select(col("id_b").as("doc_id"), pairKey.as("bucket")))
+      val bk = imageEvidenceBuckets(s, dir)
         .union(Tables.documents(s, dir).select(col("doc_id"),
           concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket")))
       Dedup.clustersFromBuckets(bk)

@@ -189,6 +189,49 @@ object Ingest {
         .select(untouched.columns.map(col): _*))
   }
 
+  /** Streaming SCD2 sink — [[scd2Merge]] behind the same crash-safe
+    * stage→swap snapshot machinery as [[upsertSink]]: the history
+    * table lives key-hash-partitioned (`__part`), each micro-batch
+    * rewrites only the partitions holding batch-touched keys
+    * (recover → merge touched partitions → stage to `.next` → swap),
+    * and a crash at any point leaves a recoverable snapshot. Batch
+    * columns: `key`, `valid_from` (the change version), payload; the
+    * snapshot adds `valid_to`/`is_current`. Spec-asserted: streaming
+    * the change log file-by-file converges to the one-shot
+    * [[scd2Build]]-shaped history. */
+  def scd2Sink(stream: DataFrame, path: String, key: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) => scd2MergeBatch(batch, path, key)
+    }
+
+  /** One micro-batch of the SCD2 sink: recover, merge touched
+    * partitions through [[scd2Merge]], stage, swap. */
+  private[graft] def scd2MergeBatch(batch: DataFrame, path: String,
+      key: String): Unit = {
+    recoverSnapshot(path)
+    val s = batch.sparkSession
+    val keyed = batch.withColumn("__part", defaultPartition(col(key)).cast("int"))
+    keyed.persist()
+    try {
+      val touched = keyed.select("__part").distinct().collect()
+        .map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
+      val vfType = keyed.schema(keyed.schema.fieldIndex("valid_from")).dataType
+      val hist =
+        if (SnapshotFs.hasChildren(path))
+          s.read.parquet(path)
+            .filter(col("__part").isin(touched: _*)) // partition-pruned scan
+        else keyed.limit(0)
+          .withColumn("valid_to", lit(null).cast(vfType))
+          .withColumn("is_current", lit(true))
+      scd2Merge(hist, keyed, key)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__part").parquet(path + ".next")
+      swapStaged(path)
+    } finally { keyed.unpersist(); () }
+  }
+
   /** Merge-on-read view — the other half of the lakehouse write/read
     * trade. [[upsertRoundtrip]]/[[deleteTombstones]] are COPY-ON-WRITE:
     * each batch pays the merge at write time and readers scan a clean

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.Dedup
+import org.apache.spark.sql.functions.col
 
 /** Sketch-based dedup vs the exact Jaccard oracle on sf0.001. */
 class DedupSpec extends SparkSpec {
@@ -488,6 +489,40 @@ class DedupSpec extends SparkSpec {
     val a = Dedup.simhash(spark, sf0001).collect().map(_.toSeq)
     val b = Dedup.simhash(spark, sf0001).collect().map(_.toSeq)
     assert(a.sameElements(b))
+  }
+
+  test("simhash banding is population-scaled; pair set plan-invariant") {
+    // block count steps with the corpus so the narrowest table key
+    // keeps expected per-table random collisions n/2^bits ≤ ~1 —
+    // the static 6×10-bit plan held only to 2^10 docs and its
+    // candidate volume grew quadratically past that (12× wall at 10×
+    // data in the sf10 headroom leg before this fix)
+    for ((n, b) <- Seq(500L -> 6, 5000L -> 7, 50000L -> 7,
+                       500000L -> 8, 5000000L -> 9, 100000000L -> 10)) {
+      assert(Dedup.simBandBlocks(n) == b, s"n=$n")
+      val plan = ext.Multimodal.bandPlanFor(b, 5, 60)
+      assert(n <= (1L << plan.minKeyBits) || b == 10,
+        s"n=$n: ${plan.minKeyBits}-bit keys under-sized")
+      assert(plan.blocks.map(_._2).sum == 60, "blocks must cover the sketch")
+    }
+    // exact recall at every plan: the pair SET is identical under the
+    // minimal 6-block plan and a wider 8-block plan (pigeonhole —
+    // the bands pick candidates, verify + distinct pick the answer)
+    val sk = Dedup.simhash(spark, sf0001)
+      .select(col("doc_id").as("media_id"), col("simhash").as("dhash"))
+    def pairs(blocks: Int) = ext.Multimodal.nearDupImagePairsPlanned(
+        sk, ext.Multimodal.bandPlanFor(blocks, 5, 60), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p6 = pairs(6)
+    assert(p6 == pairs(8), "pair set must be band-plan-invariant")
+    val declaredRows = Dedup.simhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(declaredRows.toSet == p6,
+      "declared query must equal the minimal plan's set")
+    // the first-agreeing-table gate makes emission exactly-once with
+    // NO pair distinct — duplicate rows here mean the gate leaks
+    assert(declaredRows.length == declaredRows.toSet.size,
+      "pair emission must be exactly-once without a distinct")
   }
 
   test("soft dedup: every cluster's weights sum to one document-equivalent") {

@@ -554,4 +554,33 @@ class IngestSpec extends SparkSpec {
     val k2 = canon(stepped).filter(_.getAs[Long]("o_orderkey") == 2L)
     assert(k2.length == 1 && k2.head.getAs[Boolean]("is_current"))
   }
+
+  test("streaming SCD2 sink converges to the one-shot history build") {
+    import graft.streaming.Events
+    val path = Files.createTempDirectory("graft_scd2_sink").toString + "/hist"
+    // each event is a version of its user's dimension row: valid_from
+    // = event_id (unique, so the chain order is deterministic)
+    val stream = spark.readStream.schema(Events.rawSchema(spark, sf0001))
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .parquet(s"$sf0001/events*.parquet")
+      .select(col("user_id"), col("event_id").as("valid_from"), col("value"))
+    val q = Ingest.scd2Sink(stream, path, "user_id").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(path)
+      .select("user_id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    val oneShot = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.isNullAt(2))).toSet
+    assert(got == oneShot,
+      s"streaming history (${got.size}) != one-shot build (${oneShot.size})")
+  }
 }
