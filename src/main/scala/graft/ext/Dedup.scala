@@ -1204,6 +1204,42 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup CLUSTERS — the linear-output face of
+    * [[simhashPairs]], completing the pair/cluster duality the
+    * MinHash, embedding, and image families already have (the pair
+    * listing is quadratic in duplicate-group size; the cluster map is
+    * one row per doc — the form a curation pipeline acts on).
+    * Connected components over HASH-LEVEL evidence buckets, exactly
+    * the image family's device: docs sharing a sketch connect through
+    * the sketch-value bucket (one star contraction where the pair
+    * graph is a g²/2 clique), verified near hash-pairs
+    * ([[Multimodal.hashPairsPlanned]] under the population-scaled
+    * plan) bridge their member groups, singletons re-enter via self
+    * buckets. Reachability — hence the cluster map — is identical to
+    * the pair graph's, which is what the brute-force oracle states. */
+  def simhashClusters(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "simhash_clusters") {
+      val sk = simhashSketch(s, dir)
+      val n = sk.count()
+      val plan = Multimodal.bandPlanFor(simBandBlocks(n), SimHammingT, SimBits)
+      val hp = Multimodal.hashPairsPlanned(
+        sk.select(col("simhash").as("dhash")), plan, SimHammingT, n)
+      val groupBk = sk.select(col("doc_id"),
+        concat(lit("sh:"), col("simhash").cast("string")).as("bucket"))
+      val pairKey = concat_ws(",", lit("shp"),
+        col("h_a").cast("string"), col("h_b").cast("string"))
+      val nearBk = hp
+        .join(sk.toDF("doc_id", "h_a").hint("shuffle_hash"), Seq("h_a"))
+        .select(col("doc_id"), pairKey.as("bucket"))
+        .union(hp
+          .join(sk.toDF("doc_id", "h_b").hint("shuffle_hash"), Seq("h_b"))
+          .select(col("doc_id"), pairKey.as("bucket")))
+      val self = sk.select(col("doc_id"),
+        concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket"))
+      clustersFromBuckets(groupBk.union(nearBk).union(self))
+        .orderBy("doc_id")
+    }
+
   private val EditMaxDist = 10  // absolute char-edit budget
   private val EditPrefix  = 12  // blocking: shared normalized prefix
   private val EditLenBand = 20  // blocking: length-band width (chars)
@@ -1789,6 +1825,7 @@ object Dedup {
     "dedup_soft_weights"  -> (softWeights _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_simhash_clusters" -> (simhashClusters _),
     "dedup_blocking_quality" -> (blockingQuality _),
     "dedup_crossmodal_clusters" -> (crossModalClusters _),
   )
@@ -1966,6 +2003,34 @@ object Dedup {
          |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingT
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same sketch CTEs as the pair oracle, closed under recursive
+    // reachability — the cluster map is a pure function of the pair
+    // graph, so the oracle never models buckets or band plans
+    "dedup_simhash_clusters" ->
+      s"""WITH RECURSIVE dt AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dt),
+         |v AS (SELECT doc_id, ii.i AS i,
+         |    CASE WHEN SUM(CASE WHEN ((h >> ii.i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) << ii.i ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM h, range(0, $SimBits) ii(i) GROUP BY doc_id, ii.i),
+         |sk AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM v GROUP BY 1),
+         |vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingT),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM sk
+         |  UNION
+         |  SELECT e.dst AS doc_id, reach.r
+         |  FROM reach JOIN edges e ON e.src = reach.doc_id),
+         |rep AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

@@ -525,6 +525,37 @@ class DedupSpec extends SparkSpec {
       "pair emission must be exactly-once without a distinct")
   }
 
+  test("simhash clusters: cover every doc, reachability equals the pair graph") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val cl = Dedup.simhashClusters(spark, sf0001).collect()
+    assert(cl.length == docs, "one cluster row per doc")
+    val rep = cl.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's endpoints share a cluster (evidence buckets must
+    // not lose pair-graph edges)
+    val pairs = Dedup.simhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
+    }
+    // and no overclustering: a JVM union-find over exactly the pair
+    // edges reproduces the component count
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    cl.foreach(r => find(r.getLong(0)))
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = cl.map(r => find(r.getLong(0))).distinct.length
+    assert(rep.values.toSet.size == expected,
+      "cluster count must equal the pair graph's component count")
+    // rep is the component minimum and sizes add up to the corpus
+    cl.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+    val sizes = cl.map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(sizes.map(_._2).sum == docs)
+  }
+
   test("soft dedup: every cluster's weights sum to one document-equivalent") {
     val rows = Dedup.softWeights(spark, sf0001).collect()
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()

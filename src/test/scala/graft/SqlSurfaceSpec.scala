@@ -43,6 +43,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_shingle_novelty" -> "string_split_regex + list_transform shingles",
     "dedup_simhash" -> "unnest() lateral",
     "dedup_simhash_pairs" -> "unnest() lateral",
+    "dedup_simhash_clusters" -> "unnest() lateral + recursive CTE reachability",
     "dedup_winnow_pairs" -> "string_split_regex",
     "events_asof_attribution" -> "epoch_us() timestamp arithmetic",
     "events_asof_next_purchase" -> "epoch_us() timestamp arithmetic",
