@@ -1021,10 +1021,40 @@ object Dedup {
     // star contraction: every bucket member points at the bucket min;
     // singleton-bucket docs drop out here and return via `universe`
     val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("v"))
-    var (edges, edgeIds) = checkpointTracked(
+    val (edges, edgeIds) = ccFixpoint(
       buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
         .select(col("doc_id").as("u"), col("v"))
         .where(col("u") =!= col("v")).distinct())
+    // star forest: edges = (member → component-min root); singletons
+    // re-enter as their own rep via the left join on the universe
+    val rep = universe
+      .join(edges.toDF("doc_id", "r").hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("r"), col("doc_id")).as("rep"))
+    val sizes = rep.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    val (out, outIds) = checkpointTracked(
+      rep.join(sizes.hint("shuffle_hash"), Seq("rep"))
+        .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
+        .orderBy("doc_id"))
+    // the result stands alone now — drop the loop's working set; the
+    // result's own blocks release on SessionMemo.clear
+    release(sess, bucketIds ++ edgeIds)
+    graft.SessionMemo.registerCleanup(sess,
+      s"cc_checkpoint:${ccInstance.incrementAndGet()}")(() => release(sess, outIds))
+    out
+  }
+
+  /** The large-star/small-star fixpoint itself (Kiveris et al.),
+    * shared by [[clustersFromBuckets]] and [[clustersFromHashGraph]]:
+    * takes an oriented exactly-once edge frame (u, v; v < u), returns
+    * the converged star forest (member u → component-min v) as an
+    * eagerly checkpointed frame plus its tracked RDD ids — the CALLER
+    * releases those once its derived result is materialized. Edge
+    * count never grows round-over-round; each round's frame is
+    * checkpointed and the prior round's blocks released immediately,
+    * so executor storage is O(1) in the round count. */
+  private def ccFixpoint(initialEdges: DataFrame): (DataFrame, Set[Int]) = {
+    val sess = initialEdges.sparkSession
+    var (edges, edgeIds) = checkpointTracked(initialEdges)
     var converged = isStarForest(edges)
     var iters = 0
     val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -1062,19 +1092,43 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $MaxCcIters rounds")
     lastCcStats = CcStats(iters, roundSecs.toSeq)
-    // star forest: edges = (member → component-min root); singletons
-    // re-enter as their own rep via the left join on the universe
-    val rep = universe
-      .join(edges.toDF("doc_id", "r").hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("r"), col("doc_id")).as("rep"))
-    val sizes = rep.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    (edges, edgeIds)
+  }
+
+  /** Connected components where the graph is ALREADY HASH-LEVEL:
+    * nodes are the distinct sketch values (identical-sketch docs share
+    * a node by construction — no bucket row per doc, no pair-key
+    * string per hash pair), edges the verified near hash-pairs
+    * (columns `h_a` < `h_b`). The doc-level bucket route materializes
+    * two doc rows plus one ~45-byte string bucket PER HASH PAIR — at
+    * 100× bench scale the SimHash family's 12.6M hash pairs became a
+    * ~33M-row string-keyed bucket frame whose contraction join OOMed
+    * a 32-partition shuffled-hash build. Here the fixpoint runs over
+    * (long, long) edges only — the graph family's proven sf10 shape —
+    * and the docs join the finished hash→root map once. Reachability,
+    * hence the cluster map, is identical to the doc-level pair
+    * graph's: same-sketch docs collapse into one node, verified pairs
+    * bridge nodes. `idHash`: 2 columns, (id, hash). Output (doc_id,
+    * cluster_rep = component-min id, cluster_size). */
+  private[graft] def clustersFromHashGraph(idHash: DataFrame,
+      hashPairs: DataFrame): DataFrame = {
+    val sess = idHash.sparkSession
+    val (hs, hsIds) = checkpointTracked(idHash.toDF("doc_id", "hash"))
+    val (forest, forestIds) = ccFixpoint(
+      hashPairs.select(col("h_b").as("u"), col("h_a").as("v")))
+    // hash → component-min hash; absent hashes are singleton nodes
+    val withRoot = hs
+      .join(forest.toDF("hash", "root").hint("shuffle_hash"), Seq("hash"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("hash")).as("root"))
+    // component-min DOC id is the rep the pair-graph oracle states —
+    // one aggregate + one join over the id space, all long keys
+    val reps = withRoot.groupBy("root").agg(
+      min("doc_id").as("cluster_rep"), count(lit(1)).as("cluster_size"))
     val (out, outIds) = checkpointTracked(
-      rep.join(sizes.hint("shuffle_hash"), Seq("rep"))
-        .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
+      withRoot.join(reps.hint("shuffle_hash"), Seq("root"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .orderBy("doc_id"))
-    // the result stands alone now — drop the loop's working set; the
-    // result's own blocks release on SessionMemo.clear
-    release(sess, bucketIds ++ edgeIds)
+    release(sess, hsIds ++ forestIds)
     graft.SessionMemo.registerCleanup(sess,
       s"cc_checkpoint:${ccInstance.incrementAndGet()}")(() => release(sess, outIds))
     out
@@ -1209,14 +1263,13 @@ object Dedup {
     * MinHash, embedding, and image families already have (the pair
     * listing is quadratic in duplicate-group size; the cluster map is
     * one row per doc — the form a curation pipeline acts on).
-    * Connected components over HASH-LEVEL evidence buckets, exactly
-    * the image family's device: docs sharing a sketch connect through
-    * the sketch-value bucket (one star contraction where the pair
-    * graph is a g²/2 clique), verified near hash-pairs
-    * ([[Multimodal.hashPairsPlanned]] under the population-scaled
-    * plan) bridge their member groups, singletons re-enter via self
-    * buckets. Reachability — hence the cluster map — is identical to
-    * the pair graph's, which is what the brute-force oracle states. */
+    * Connected components over the HASH-LEVEL graph
+    * ([[clustersFromHashGraph]]): distinct sketches are the nodes, the
+    * verified near hash-pairs ([[Multimodal.hashPairsPlanned]] under
+    * the population-scaled plan) the edges, and docs join the finished
+    * hash→root map. Reachability — hence the cluster map — is
+    * identical to the pair graph's, which is what the brute-force
+    * oracle states. */
   def simhashClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "simhash_clusters") {
       val sk = simhashSketch(s, dir)
@@ -1224,19 +1277,7 @@ object Dedup {
       val plan = Multimodal.bandPlanFor(simBandBlocks(n), SimHammingT, SimBits)
       val hp = Multimodal.hashPairsPlanned(
         sk.select(col("simhash").as("dhash")), plan, SimHammingT, n)
-      val groupBk = sk.select(col("doc_id"),
-        concat(lit("sh:"), col("simhash").cast("string")).as("bucket"))
-      val pairKey = concat_ws(",", lit("shp"),
-        col("h_a").cast("string"), col("h_b").cast("string"))
-      val nearBk = hp
-        .join(sk.toDF("doc_id", "h_a").hint("shuffle_hash"), Seq("h_a"))
-        .select(col("doc_id"), pairKey.as("bucket"))
-        .union(hp
-          .join(sk.toDF("doc_id", "h_b").hint("shuffle_hash"), Seq("h_b"))
-          .select(col("doc_id"), pairKey.as("bucket")))
-      val self = sk.select(col("doc_id"),
-        concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket"))
-      clustersFromBuckets(groupBk.union(nearBk).union(self))
+      clustersFromHashGraph(sk.select("doc_id", "simhash"), hp)
         .orderBy("doc_id")
     }
 

@@ -586,11 +586,17 @@ object Multimodal {
       when(shiftrightunsigned(xorC, sh).bitwiseAND(lit((1L << wd) - 1)) =!= 0,
         lit(1 << bi)).otherwise(lit(0))
     }.reduce(_ + _)
-    val firstAgree = plan.tables.zipWithIndex.foldRight(lit(-1)) {
-      case ((combo, t), rest) =>
-        when(dirty.bitwiseAND(lit(combo.map(1 << _).sum)) === 0,
-          lit(t)).otherwise(rest)
+    // first agreeing table as a PRECOMPUTED lookup over the dirty
+    // mask (≤ 2^B ≤ 1024 ints as one array literal): the when-cascade
+    // form emitted C(B, B−h) branches into the join's generated
+    // method — at the 8-block plan (56 combos) Janino blew the method
+    // size limit and the task died (codegen fallback doesn't cover
+    // executor-side compiles). element_at on a literal array is O(1)
+    // and a few bytecodes regardless of plan width.
+    val firstLut = Array.tabulate(1 << plan.blocks.size) { m =>
+      plan.tables.indexWhere(_.forall(bi => (m & (1 << bi)) == 0))
     }
+    val firstAgree = element_at(lit(firstLut), dirty + lit(1))
     a.join(b.hint("shuffle_hash"),
         col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
           col("h_a") < col("h_b") &&
@@ -770,22 +776,22 @@ object Multimodal {
     * [[imageDedup]]: pair listing is quadratic in duplicate-group
     * size (a million-copy logo is ~5·10¹¹ pair rows); the cluster map
     * is one row per media. Connected components over the HASH-LEVEL
-    * evidence buckets ([[imageEvidenceBuckets]] — identical
-    * reachability to the verified pair graph, but the CC input is
-    * linear: the r10 pair-form CC shuffled 2 rows per pair, which at
-    * 100× bench scale meant 22M bucket rows for an 11M-pair corpus)
-    * via the shared large-star/small-star machinery
-    * (`Dedup.clustersFromBuckets` — O(log d) rounds), singletons
-    * re-entering via per-media self buckets. Recall is exactly
+    * graph (`Dedup.clustersFromHashGraph`): distinct dHashes are the
+    * nodes (identical-hash media share one node — no bucket row per
+    * media, no string key per pair), the verified near hash-pairs
+    * ([[imageHashPairs]]) the edges, and media join the finished
+    * hash→root map once — identical reachability to the verified pair
+    * graph with (long, long) CC edges only. Every payload renders to
+    * a decodable PNG, so the hash frame covers the full corpus and
+    * singletons re-enter as their own node. Recall is exactly
     * [[imageDedup]]'s: the same verified evidence, re-expressed as
     * components. Output (media_id, cluster_rep, cluster_size) — the
     * form a curation pipeline acts on (keep rep, drop the rest). */
   def imageClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "image_clusters") {
-      val bk = imageEvidenceBuckets(s, dir)
-        .union(Tables.documents(s, dir).select(col("doc_id"),
-          concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket")))
-      Dedup.clustersFromBuckets(bk)
+      Dedup.clustersFromHashGraph(
+          imageHashFrame(s, dir).select(col("media_id"), col("dhash")),
+          imageHashPairs(s, dir))
         .withColumnRenamed("doc_id", "media_id")
         .orderBy("media_id")
     }
