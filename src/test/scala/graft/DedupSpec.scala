@@ -82,6 +82,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental cluster map == full recompute; untouched components pass through") {
+    // the IVM claim: folding the delta batch into the standing
+    // base-only map must yield the full-corpus clustering row-for-row
+    val full = Dedup.clusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val inc = Dedup.incrementalClusters(spark, sf0001).collect()
+    val got = inc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == full, s"maintained map diverges from full recompute " +
+      s"(first diff: ${got.zip(full).find(p => p._1 != p._2)})")
+    // the incrementality readout: every delta doc resolves, and the
+    // fixture must exercise BOTH paths (otherwise the bounded-work
+    // claim is untested)
+    val byPath = inc.groupBy(_.getString(3))
+    assert(byPath.contains("kept") && byPath.contains("resolved"),
+      s"fixture must exercise both paths: ${byPath.keySet}")
+    inc.filter(_.getLong(0) % 7 == 0).foreach(r =>
+      assert(r.getString(3) == "resolved", s"delta doc kept: $r"))
+    // kept rows are bit-identical to the standing base-only map's
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val baseMap = Dedup.clustersFromBuckets(
+        Dedup.minhashBuckets(
+          Dedup.signaturesOf(docs.filter(col("doc_id") % 7 =!= 0))))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    inc.filter(_.getString(3) == "kept").foreach { r =>
+      assert(baseMap.get(r.getLong(0)).contains((r.getLong(1), r.getLong(2))),
+        s"kept row changed vs the standing map: $r")
+    }
+  }
+
   test("streaming continuous dedup: per-batch index probes union to the batch query") {
     import org.apache.spark.sql.functions._
     // the production flow: the corpus-so-far keeps a signature index;
