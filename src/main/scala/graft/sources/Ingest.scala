@@ -404,6 +404,86 @@ object Ingest {
       .orderBy("version", "o_orderstatus")
   }
 
+  /** Snapshot RETENTION (VACUUM / expire-snapshots) — the maintenance
+    * pass that completes the lakehouse lifecycle next to
+    * [[compactSnapshot]] and [[timeTravel]]: commit history cannot
+    * grow forever, so versions older than the retention horizon FOLD
+    * into a checkpointed base (one LWW resolve of the expired prefix,
+    * written once) and their commit directories are DELETED — Delta's
+    * VACUUM / Iceberg's expire_snapshots. Reads at or after the
+    * horizon are unchanged (the fold is exactly the window those
+    * reads were running); versions before it stop being
+    * reconstructable — that is the storage the pass reclaims. The
+    * declared query builds its own commit history (the [[timeTravel]]
+    * batches on separate paths), vacuums at horizon v1 (base + the
+    * %10 update commit fold; the %7 tombstone commit stays live),
+    * reads v1 and v2 FROM THE VACUUMED STORE, and emits the surviving
+    * commit count measured from the filesystem — a failed deletion
+    * shifts it and fails the hash gate. Listings and deletes go
+    * through the Hadoop FileSystem API ([[SnapshotFs]]) —
+    * object-store-safe. */
+  def vacuum(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val basePath = ingestTmpPath("vac_base", dir)
+    val v1Path = ingestTmpPath("vac_v1", dir)
+    val v2Path = ingestTmpPath("vac_v2", dir)
+    val ckptPath = ingestTmpPath("vac_ckpt", dir)
+    if (!SnapshotFs.hasSuccess(ckptPath)) {
+      graft.SessionMemo.registerCleanup(s, s"vac_layout:$dir") { () =>
+        Seq(basePath, v1Path, v2Path, ckptPath).foreach(SnapshotFs.deleteTree)
+      }
+      val base = graft.Tables.orders(s, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("o_orderstatus"))
+      base.write.mode("overwrite").parquet(basePath)
+      base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("deleted", lit(false))
+        .withColumn("__v", lit(1))
+        .write.mode("overwrite").parquet(v1Path)
+      base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("deleted", lit(true))
+        .withColumn("__v", lit(2))
+        .write.mode("overwrite").parquet(v2Path)
+      // the vacuum itself: fold the expired prefix (base, v1) into
+      // ONE checkpointed base at the horizon — the same LWW window
+      // every read was already resolving, paid once at write time
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(col("__v").desc, col("deleted").desc)
+      s.read.parquet(basePath)
+        .withColumn("deleted", lit(false)).withColumn("__v", lit(0))
+        .unionByName(s.read.parquet(v1Path))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("deleted"))
+        .drop("__rn", "deleted", "__v")
+        .write.mode("overwrite").parquet(ckptPath)
+      // ... then reclaim the expired commits
+      SnapshotFs.deleteTree(basePath)
+      SnapshotFs.deleteTree(v1Path)
+    }
+    // measured from the store, not assumed: checkpoint + live v2
+    val remaining = Seq(basePath, v1Path, v2Path, ckptPath)
+      .count(SnapshotFs.hasSuccess).toLong
+    def asOf(v: Int): DataFrame = {
+      val ck = s.read.parquet(ckptPath)
+        .withColumn("deleted", lit(false)).withColumn("__v", lit(1))
+      val merged =
+        if (v >= 2) ck.unionByName(s.read.parquet(v2Path)) else ck
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(col("__v").desc, col("deleted").desc)
+      merged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("deleted"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(25,8)")).cast("double"), 4)
+            .as("total_price"))
+        .withColumn("version", lit(v.toLong))
+    }
+    (1 to 2).map(asOf).reduce(_.unionByName(_))
+      .select(col("version"), col("o_orderstatus"), col("n_rows"),
+        col("total_price"), lit(remaining).as("remaining_commits"))
+      .orderBy("version", "o_orderstatus")
+  }
+
   /** CDC between two keyed snapshots: classify every key as
     * INSERT (only in next), DELETE (only in prev), or UPDATE (in
     * both, any tracked column differs); unchanged keys produce no
@@ -1051,6 +1131,7 @@ object Ingest {
       "ingest_merge_on_read" -> (mergeOnRead _),
       "ingest_scd2" -> (scd2Build _),
       "ingest_time_travel" -> (timeTravel _),
+      "ingest_vacuum" -> (vacuum _),
       "ingest_expectations" -> (expectations _),
       "ingest_retraction_agg" -> (retractionAgg _),
       "ingest_snapshot_diff" -> (snapshotDiffQuery _),
@@ -1203,6 +1284,25 @@ object Ingest {
         |SELECT version, o_orderstatus, count(*) AS n_rows,
         |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE), 4)
         |    AS total_price
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the retained versions restate exactly as in ingest_time_travel
+    // (vacuum must not change any read at or after the horizon); the
+    // surviving-commit count is the physical claim — the engine
+    // measures it from the store, the oracle states the retention
+    // arithmetic (1 checkpoint + 1 live commit)
+    "ingest_vacuum" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus, o_totalprice FROM b),
+        |v2 AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus, o_totalprice
+        |  FROM b WHERE o_orderkey % 7 <> 0),
+        |u AS (SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2)
+        |SELECT version, o_orderstatus, count(*) AS n_rows,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+        |    AS total_price, CAST(2 AS BIGINT) AS remaining_commits
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ingest_delete_tombstones" ->

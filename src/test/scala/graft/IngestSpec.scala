@@ -419,6 +419,31 @@ class IngestSpec extends SparkSpec {
     assert(got.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)) == rollup(v0))
   }
 
+  test("vacuum: retained reads unchanged, expired commits physically gone") {
+    import graft.sources.SnapshotFs
+    val rows = Ingest.vacuum(spark, sf0001).collect()
+    // retained reads ≡ the unvacuumed store's v1/v2 (time travel over
+    // the same deterministic batches)
+    val tt = Ingest.timeTravel(spark, sf0001).collect()
+      .filter(_.getLong(0) >= 1)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val got = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == tt, "a vacuumed read at/after the horizon diverged")
+    // physically reclaimed: the expired base + v1 commits are gone,
+    // the checkpoint and the live v2 commit survive
+    assert(!SnapshotFs.hasSuccess(Ingest.ingestTmpPath("vac_base", sf0001)))
+    assert(!SnapshotFs.hasSuccess(Ingest.ingestTmpPath("vac_v1", sf0001)))
+    assert(SnapshotFs.hasSuccess(Ingest.ingestTmpPath("vac_ckpt", sf0001)))
+    assert(SnapshotFs.hasSuccess(Ingest.ingestTmpPath("vac_v2", sf0001)))
+    assert(rows.forall(_.getLong(4) == 2L), "surviving-commit count must be 2")
+    // idempotent: a second vacuum pass is a no-op on an already
+    // vacuumed store
+    assert(Ingest.vacuum(spark, sf0001).collect().toSeq == rows.toSeq)
+  }
+
   test("drill join prunes fact partitions at runtime (DPP)") {
     val df = Ingest.partitionPrunedDrill(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
