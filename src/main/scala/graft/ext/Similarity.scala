@@ -1007,6 +1007,21 @@ object Similarity {
     * the SMALLEST shared cell — pure map-side comparisons on the
     * 2·[[NearProbe]] cell ids riding the join rows. */
   private[graft] def buildNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (a, b, cos) = celledPairSides(s, dir)
+    a.join(b,
+        a("cell") === b("cell") && col("vec_a") < col("vec_b") &&
+          !coalesce(commonCellBelow(a, b), lit(false)) &&
+          cos >= lit(NearDupCos))
+      .withColumn("cos", cos)
+      .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
+  }
+
+  /** The two sides of the exactly-once celled pair join plus the
+    * exact-cosine column, shared by the thresholded near-dup face
+    * ([[buildNearDupPairs]]) and the top-k face ([[knnGraph]]) —
+    * identical candidate stream, different acceptance rule. */
+  private def celledPairSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val vs = vectors(s, dir)
     val asg = nearDupAssignments(s, dir)
     val cs = (1 to NearProbe).map(i => col(s"c$i"))
@@ -1018,13 +1033,47 @@ object Similarity {
       (1 to NearProbe).map(i => s"a$i") :+ "cell": _*)
     val b = bk.toDF(Seq("vec_b", "vb", "nb") ++
       (1 to NearProbe).map(i => s"b$i") :+ "cell": _*).hint("shuffle_hash")
-    val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    a.join(b,
+    (a, b, dot(col("va"), col("vb")) / (col("na") * col("nb")))
+  }
+
+  private val KnnK = 5
+
+  /** Approximate k-NN GRAPH construction — every corpus vector's
+    * top-[[KnnK]] neighbors among its two-level-cell mates, emitted as
+    * an edge list: the input structure graph-based curation actually
+    * consumes (NN-descent refinement, graph-connectivity semantic
+    * dedup, hubness diagnostics, HNSW-style index bootstraps all start
+    * from exactly this). The per-QUERY top-k faces (`sim_topk_*`)
+    * broadcast a bounded query set; a graph build cannot — every
+    * vector is a query — so it rides the near-dup family's machinery
+    * instead: the exactly-once celled candidate join
+    * ([[celledPairSides]] — per-vector candidates ~constant under the
+    * population-scaled two-level model, spec-bounded), both
+    * orientations of each unordered candidate pair, then a
+    * vec_id-partitioned top-k window. O(n · occupancy) candidate work
+    * and O(n · k) output at any corpus size — never the n² of a
+    * brute-force graph build; isolated vectors (no cell mates) emit no
+    * edges, exactly the sparsity a downstream CC/refinement pass
+    * expects. Oracle: the shared two-level replay's candidate set,
+    * symmetrized and ranked identically. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val (a, b, cos) = celledPairSides(s, dir)
+    val pairs = a.join(b,
         a("cell") === b("cell") && col("vec_a") < col("vec_b") &&
-          !coalesce(commonCellBelow(a, b), lit(false)) &&
-          cos >= lit(NearDupCos))
-      .withColumn("cos", cos)
-      .select(col("vec_a"), col("vec_b"), r4(col("cos")).as("cos"))
+          !coalesce(commonCellBelow(a, b), lit(false)))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+        col("cos"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("neighbor_id"), r4(col("cos")).as("cos"),
+        col("rank"))
+      .orderBy("vec_id", "rank")
   }
 
   /** Candidate volume probe for `SimilaritySpec`'s linearity bound:
@@ -1305,6 +1354,7 @@ object Similarity {
     "sim_topk_ivfpq"      -> (ivfpqTopK _),
     "sim_ivf_pruned_topk" -> (ivfPrunedTopK _),
     "sim_range_search"    -> (ivfRangeSearch _),
+    "sim_knn_graph"       -> (knnGraph _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_semantic_keep" -> (semanticKeep _),
@@ -1760,6 +1810,19 @@ object Similarity {
       s"""WITH $embeddingPairsCteSql
          |SELECT vec_a, vec_b, round(cos, 4) AS cos
          |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the same two-level candidate replay, un-thresholded: both
+    // orientations of each candidate pair, ranked per vector
+    "sim_knn_graph" ->
+      s"""WITH $embeddingPairsCteSql,
+         |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos FROM p
+         |  UNION ALL SELECT vec_b, vec_a, cos FROM p),
+         |rk AS (SELECT vec_id, neighbor_id, cos, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM sym)
+         |SELECT vec_id, neighbor_id, round(cos, 4) AS cos,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
 
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embeddingClustersCteSql

@@ -120,6 +120,42 @@ class SimilaritySpec extends SparkSpec {
       "sub-centroids must stay a cached DataFrame, never a driver Seq")
   }
 
+  test("knn graph: ranks are dense and cosine-ordered, recall beats 0.7 of exact top-k") {
+    val g = Similarity.knnGraph(spark, sf0001).collect()
+    assert(g.nonEmpty, "fixture produced an empty knn graph")
+    // per-vector: ranks run 1..m with non-increasing cosine
+    g.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length.toLong),
+        s"ranks not dense for vec ${sorted.head.getLong(0)}")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x.getDouble(2) >= y.getDouble(2),
+          s"cos not non-increasing for vec ${x.getLong(0)}")
+        case _ => ()
+      }
+    }
+    // recall vs the exact brute-force top-5 (JVM replay over the
+    // fixture-sized corpus)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).map { case (nid, _) => (id, nid) }
+    }.toSet
+    val got = g.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(f"knn-graph recall vs exact top-5: $recall%.3f")
+    assert(recall >= 0.7, f"knn graph recall $recall%.3f below 0.7")
+  }
+
   test("embedding clusters: pairs share a rep, non-paired vectors stay singleton") {
     val reps = Similarity.embeddingClusters(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
