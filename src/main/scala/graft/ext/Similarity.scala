@@ -1056,25 +1056,59 @@ object Similarity {
     * edges, exactly the sparsity a downstream CC/refinement pass
     * expects. Oracle: the shared two-level replay's candidate set,
     * symmetrized and ranked identically. */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val (a, b, cos) = celledPairSides(s, dir)
-    val pairs = a.join(b,
-        a("cell") === b("cell") && col("vec_a") < col("vec_b") &&
-          !coalesce(commonCellBelow(a, b), lit(false)))
-      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
-    val sym = pairs
-      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
-        col("cos"))
-      .unionByName(pairs.select(col("vec_b").as("vec_id"),
-        col("vec_a").as("neighbor_id"), col("cos")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    sym.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= KnnK)
-      .select(col("vec_id"), col("neighbor_id"), r4(col("cos")).as("cos"),
-        col("rank"))
-      .orderBy("vec_id", "rank")
-  }
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnEdges(s, dir).orderBy("vec_id", "rank")
+
+  /** The k-NN edge list, session-memoized (S5): the graph query and
+    * the mutual-kNN cluster query share one materialization of the
+    * candidate-generate-and-rank pipeline. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "knn_graph") {
+      val (a, b, cos) = celledPairSides(s, dir)
+      val pairs = a.join(b,
+          a("cell") === b("cell") && col("vec_a") < col("vec_b") &&
+            !coalesce(commonCellBelow(a, b), lit(false)))
+        .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      val sym = pairs
+        .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+          col("cos"))
+        .unionByName(pairs.select(col("vec_b").as("vec_id"),
+          col("vec_a").as("neighbor_id"), col("cos")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      sym.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= KnnK)
+        .select(col("vec_id"), col("neighbor_id"), r4(col("cos")).as("cos"),
+          col("rank"))
+    }
+
+  /** Mutual-kNN clustering — the density-based grouping the k-NN
+    * graph exists to feed: keep an edge only where BOTH endpoints
+    * rank each other in their top-[[KnnK]] (the classic mutual-kNN
+    * sparsifier — a hub vector near many clusters ranks them all, but
+    * they don't rank it back, so hubs stop gluing unrelated clusters
+    * the way raw kNN edges do), then connected components over the
+    * mutual edges. Rides the memoized edge list and the shared
+    * edge-level CC fixpoint (`Dedup.clustersFromHashGraph` with the
+    * identity id→node map — the graph is already at the id level);
+    * the mutuality check is one self-semi-join on the O(n·k) edge
+    * list. Output (vec_id, cluster_rep, cluster_size) for every
+    * vector, singletons included. Oracle: the k-NN replay
+    * (`sim_knn_graph`) closed under mutuality + recursive
+    * reachability. */
+  def knnClusters(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "knn_clusters") {
+      val e = knnEdges(s, dir).select("vec_id", "neighbor_id")
+      val mutual = e.toDF("a", "b")
+        .join(e.toDF("b", "a").hint("shuffle_hash"), Seq("a", "b"), "left_semi")
+      val pairs = mutual.filter(col("a") < col("b"))
+        .select(col("a").as("h_a"), col("b").as("h_b"))
+      val ids = vectors(s, dir)
+        .select(col("vec_id").as("doc_id"), col("vec_id").as("hash"))
+      Dedup.clustersFromHashGraph(ids, pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    }
 
   /** Candidate volume probe for `SimilaritySpec`'s linearity bound:
     * the same exactly-once celled pair stream WITHOUT the cosine
@@ -1355,6 +1389,7 @@ object Similarity {
     "sim_ivf_pruned_topk" -> (ivfPrunedTopK _),
     "sim_range_search"    -> (ivfRangeSearch _),
     "sim_knn_graph"       -> (knnGraph _),
+    "sim_knn_clusters"    -> (knnClusters _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_semantic_keep" -> (semanticKeep _),
@@ -1823,6 +1858,28 @@ object Similarity {
          |SELECT vec_id, neighbor_id, round(cos, 4) AS cos,
          |  CAST(rank AS BIGINT) AS rank
          |FROM rk WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin,
+
+    // the k-NN replay closed under mutuality, then recursive
+    // reachability over the (already symmetric) mutual edge set
+    "sim_knn_clusters" ->
+      s"""WITH RECURSIVE $embeddingPairsCteSql,
+         |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos FROM p
+         |  UNION ALL SELECT vec_b, vec_a, cos FROM p),
+         |rk AS (SELECT vec_id, neighbor_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM sym),
+         |ke AS (SELECT vec_id, neighbor_id FROM rk WHERE rank <= $KnnK),
+         |mutual AS (SELECT a.vec_id AS src, a.neighbor_id AS dst FROM ke a
+         |  JOIN ke b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id),
+         |reach AS (
+         |  SELECT vec_id, vec_id AS r FROM n
+         |  UNION
+         |  SELECT e.dst AS vec_id, reach.r
+         |  FROM reach JOIN mutual e ON e.src = reach.vec_id),
+         |rep AS (SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT r.vec_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.vec_id""".stripMargin,
 
     "dedup_embedding_clusters" ->
       s"""WITH RECURSIVE $embeddingClustersCteSql

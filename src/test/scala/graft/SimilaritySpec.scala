@@ -156,6 +156,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"knn graph recall $recall%.3f below 0.7")
   }
 
+  test("mutual-kNN clusters == JVM union-find over the mutual edge set") {
+    val edges = Similarity.knnGraph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = edges.filter { case (a, b) => edges.contains((b, a)) }
+    assert(mutual.nonEmpty && mutual.size < edges.size,
+      "fixture must have both mutual and hub-only (non-mutual) kNN edges")
+    val got = Similarity.knnClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(got.size.toLong == nVecs, "clusters must cover every vector")
+    // exact replay: union-find over the mutual edges, rep = min member
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (0L until nVecs).foreach(v => find(v))
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = (0L until nVecs).groupBy(find)
+    val expect = comps.flatMap { case (_, ms) =>
+      val rep = ms.min; ms.map(m => m -> (rep, ms.size.toLong))
+    }
+    assert(got == expect, "cluster map diverges from the union-find replay")
+  }
+
   test("embedding clusters: pairs share a rep, non-paired vectors stay singleton") {
     val reps = Similarity.embeddingClusters(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
