@@ -107,6 +107,62 @@ object Curation {
     * no stratum ever ranks on one task). Allocations cap at the
     * stratum size without redistribution (documented; never binds on
     * balanced corpora). */
+  private val DriftMod = 7L // current batch: doc_id % DriftMod == 0
+
+  /** Distribution-DRIFT monitor (PSI) — the data-ops gate a standing
+    * curation pipeline runs on every arriving batch: quality models
+    * and mixture weights are calibrated on a reference distribution,
+    * and the characteristic silent failure is the INPUT shifting
+    * under them (new scraper, new source mix, new boilerplate), not
+    * the code. Population Stability Index per per-doc signal between
+    * the reference corpus (doc_id % [[DriftMod]] ≠ 0) and the
+    * arriving batch (= 0 — the established IVM split device):
+    * PSI = Σ_bins (p−q)·ln(p/q) with add-one smoothing, the standard
+    * ops bands (< 0.1 stable, < 0.25 moderate, else shifted).
+    *
+    * Scale + determinism shape: the three signals are INTEGERS
+    * (chars, tokens, distinct tokens), binned by binary magnitude —
+    * `length(bin(v))` — so bin membership is integer-exact on both
+    * engines (a float-derived signal could flip a doc across a bin
+    * edge by one ulp); one map-side explode → one vocabulary-sized
+    * (signal, bucket) aggregate (≤ ~64 buckets/signal at ANY corpus
+    * size — this is a single map-combine pass at 100 TB); the ln
+    * terms round to 12 dp before the exact-DECIMAL sum (the
+    * entropy/PMI discipline), the PSI to 4. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val sv = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array(
+          struct(lit("n_chars").as("signal"), col("n_chars").cast("long").as("v")),
+          struct(lit("n_tokens").as("signal"), size(toks).cast("long").as("v")),
+          struct(lit("n_types").as("signal"),
+            size(array_distinct(toks)).cast("long").as("v")))).as("sv"))
+      .select(col("sv.signal").as("signal"),
+        length(bin(col("sv.v"))).as("bucket"),
+        (col("doc_id") % DriftMod === 0).as("cur"))
+    val c = sv.groupBy("signal", "bucket").agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("c_base"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"))
+    val t = c.groupBy("signal").agg(
+      sum("c_base").as("n_base"), sum("c_cur").as("n_current"),
+      count(lit(1)).as("n_bins"))
+    val d = (x: Column) => x.cast("double")
+    val p = d(col("c_base") + 1) / d(col("n_base") + col("n_bins"))
+    val q = d(col("c_cur") + 1) / d(col("n_current") + col("n_bins"))
+    val psi = round(col("psi_raw"), 4)
+    c.join(broadcast(t), Seq("signal"))
+      .select(col("signal"), col("n_base"), col("n_current"), col("n_bins"),
+        round((p - q) * log(p / q), 12).as("term"))
+      .groupBy("signal", "n_base", "n_current", "n_bins")
+      .agg(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(25, 15)))
+        .cast("double").as("psi_raw"))
+      .select(col("signal"), col("n_base"), col("n_current"), col("n_bins"),
+        psi.as("psi"),
+        when(psi < 0.1, "stable").when(psi < 0.25, "moderate")
+          .otherwise("shifted").as("drift_band"))
+      .orderBy("signal")
+  }
+
   def neymanSample(s: SparkSession, dir: String): DataFrame = {
     val x = size(Text.tokens(col("text"))).cast("long")
     val base = Tables.documents(s, dir)
@@ -838,6 +894,7 @@ object Curation {
     "sample_poisson_bootstrap" -> (poissonBootstrap _),
     "pack_epoch_shuffle"     -> (epochShuffle _),
     "pipeline_dsir_sample"   -> (dsirSample _),
+    "pipeline_drift"         -> (drift _),
     "pipeline_profile"       -> (profileColumns _),
     "pipeline_profile_sketch" -> (profileColumnsSketch _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
@@ -920,6 +977,40 @@ object Curation {
          |  FROM tb JOIN model ON model.b = tb.b GROUP BY 1, 2)
          |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, log_ratio
          |FROM d ORDER BY log_ratio DESC, doc_id ASC LIMIT $DsirKeep""".stripMargin,
+
+    // integer signals, integer binary-magnitude bins, the identical
+    // smoothing/ln/decimal tree as the Spark side (terms round 12 dp
+    // before the exact sum, PSI to 4)
+    "pipeline_drift" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, ${Text.tokSql} AS tk FROM documents),
+         |sv AS (SELECT doc_id, 'n_chars' AS signal, CAST(n_chars AS BIGINT) AS v FROM d
+         |  UNION ALL SELECT doc_id, 'n_tokens', CAST(len(tk) AS BIGINT) FROM d
+         |  UNION ALL SELECT doc_id, 'n_types', CAST(len(list_distinct(tk)) AS BIGINT) FROM d),
+         |b AS (SELECT signal, CAST(length(bin(v)) AS INTEGER) AS bucket,
+         |    doc_id % $DriftMod = 0 AS cur FROM sv),
+         |c AS (SELECT signal, bucket,
+         |    SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS c_base,
+         |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cur
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT signal, CAST(SUM(c_base) AS BIGINT) AS n_base,
+         |    CAST(SUM(c_cur) AS BIGINT) AS n_current,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bins
+         |  FROM c GROUP BY 1),
+         |terms AS (SELECT c.signal, t.n_base, t.n_current, t.n_bins,
+         |    round((CAST(c_base + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE)
+         |         - CAST(c_cur + 1 AS DOUBLE) / CAST(n_current + n_bins AS DOUBLE))
+         |      * ln((CAST(c_base + 1 AS DOUBLE) / CAST(n_base + n_bins AS DOUBLE))
+         |          / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_current + n_bins AS DOUBLE))),
+         |      12) AS term
+         |  FROM c JOIN t USING (signal)),
+         |agg AS (SELECT signal, n_base, n_current, n_bins,
+         |    round(CAST(SUM(CAST(term AS DECIMAL(25,15))) AS DOUBLE), 4) AS psi
+         |  FROM terms GROUP BY 1, 2, 3, 4)
+         |SELECT signal, n_base, n_current, n_bins, psi,
+         |  CASE WHEN psi < 0.1 THEN 'stable'
+         |       WHEN psi < 0.25 THEN 'moderate'
+         |       ELSE 'shifted' END AS drift_band
+         |FROM agg ORDER BY signal""".stripMargin,
 
     // the estimate is engine-specific; the oracle checks the exact
     // stats and that the sketch certified (same pattern as

@@ -21,6 +21,45 @@ class CurationSpec extends SparkSpec {
     java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
   }
 
+  test("drift PSI matches an independent JVM replay; a random split reads stable") {
+    val got = Curation.drift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    assert(got.map(_._1).toSeq == Seq("n_chars", "n_tokens", "n_types"))
+    // the %7 split is hash-random w.r.t. every signal, so no signal
+    // may read as drifted on the fixture
+    got.foreach(r => assert(r._6 == "stable", s"random split flagged: $r"))
+    // exact replay: same signals, binary-magnitude bins, smoothing,
+    // 12-dp ln terms, decimal sum, 4-dp PSI
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sv = docs.flatMap { case (id, text, nChars) =>
+      val tk = text.trim.split("\\s+").toSeq
+      Seq(("n_chars", id, nChars), ("n_tokens", id, tk.size.toLong),
+        ("n_types", id, tk.distinct.size.toLong))
+    }
+    val expect = sv.groupBy(_._1).toSeq.sortBy(_._1).map { case (sig, rows) =>
+      val binned = rows.map { case (_, id, v) =>
+        (java.lang.Long.toBinaryString(v).length, id % 7 == 0)
+      }
+      val buckets = binned.groupBy(_._1)
+      val (nBase, nCur) = (binned.count(!_._2).toLong, binned.count(_._2).toLong)
+      val nBins = buckets.size.toLong
+      val terms = buckets.values.map { bs =>
+        val (cb, cc) = (bs.count(!_._2).toLong, bs.count(_._2).toLong)
+        val p = (cb + 1).toDouble / (nBase + nBins)
+        val q = (cc + 1).toDouble / (nCur + nBins)
+        BigDecimal((p - q) * math.log(p / q))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val psi = terms.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (sig, nBase, nCur, nBins, psi)
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == expect,
+      s"got=${got.toSeq} expect=$expect")
+  }
+
   test("hashBernoulli matches an independent JVM md5 recomputation") {
     val got = Curation.hashBernoulli(spark, sf0001)
       .select("doc_id", "sample_bucket").collect()
