@@ -840,36 +840,49 @@ object Dedup {
     }
     val bk = minhashBuckets(docs)
     val isDelta = col("doc_id") % DeltaMod === 0
-    val baseBk = bk.filter(!isDelta)
-    val deltaBk = bk.filter(isDelta)
     // the standing state a prior pass persisted: the base-only map
     val baseMap = graft.SessionMemo.cached(s, dir, "minhash_clusters_base") {
-      clustersFromBuckets(baseBk)
+      clustersFromBuckets(bk.filter(!isDelta))
     }
-    // touched base docs: base rows in delta-occupied buckets — the
-    // delta bucket set is batch-bounded, so it broadcasts with the
-    // bounding filter inside the broadcast
-    val sharedBase = baseBk.join(
-      broadcast(deltaBk.select("bucket").distinct()), Seq("bucket"), "left_semi")
-    val affectedReps = baseMap
-      .join(sharedBase.select("doc_id").distinct().hint("shuffle_hash"),
+    foldClusterBatch(bk.filter(!isDelta), baseMap, bk.filter(isDelta))
+      .orderBy("doc_id")
+  }
+
+  /** ONE maintenance step of the cluster map — the fold the batch
+    * query above runs once and the streaming continuous-clustering
+    * face (DedupSpec) runs per micro-batch over a growing index:
+    * `indexBk` is the standing corpus's (doc_id, bucket) table,
+    * `standingMap` its converged cluster map, `batchBk` the arriving
+    * batch's bucket rows. Returns the maintained map for index ∪
+    * batch with the kept/resolved `path` readout. */
+  private[graft] def foldClusterBatch(indexBk: DataFrame,
+      standingMap: DataFrame, batchBk: DataFrame): DataFrame = {
+    // touched standing docs: index rows in batch-occupied buckets —
+    // the batch bucket set is batch-bounded, so it broadcasts with
+    // the bounding filter inside the broadcast
+    val shared = indexBk.join(
+      broadcast(batchBk.select("bucket").distinct()), Seq("bucket"), "left_semi")
+    val affectedReps = standingMap
+      .join(shared.select("doc_id").distinct().hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
       .select("cluster_rep").distinct()
     // affected members re-enter via ONE membership bucket per
     // component (the standing forest as evidence), so intra-component
     // connectivity is one star contraction, never re-derived bands
-    val compBk = baseMap
+    val compBk = standingMap
       .join(affectedReps.hint("shuffle_hash"), Seq("cluster_rep"), "left_semi")
       .select(col("doc_id"),
         concat(lit("rep:"), col("cluster_rep").cast("string")).as("bucket"))
     val resolved = clustersFromBuckets(
-        deltaBk.unionByName(sharedBase).unionByName(compBk))
+        batchBk.select("doc_id", "bucket")
+          .unionByName(shared.select("doc_id", "bucket"))
+          .unionByName(compBk))
       .withColumn("path", lit("resolved"))
-    val kept = baseMap
+    val kept = standingMap
       .join(affectedReps.hint("shuffle_hash"), Seq("cluster_rep"), "left_anti")
       .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
         lit("kept").as("path"))
-    kept.unionByName(resolved).orderBy("doc_id")
+    kept.unionByName(resolved)
   }
 
   /** CROSS-MODAL entity resolution — one cluster map over the union

@@ -153,6 +153,48 @@ class DedupSpec extends SparkSpec {
       s"missing=${(expect -- got).take(3)} extra=${(got.toSet -- expect).take(3)}")
   }
 
+  test("streaming continuous clustering: per-batch folds converge to the full map") {
+    import org.apache.spark.sql.functions._
+    // the production flow for the CLUSTER MAP: the corpus-so-far
+    // keeps its bucket index + converged map; each arriving
+    // micro-batch folds in via foldClusterBatch (only touched
+    // components re-solve) and appends its buckets to the index. The
+    // final map must equal the one-shot full recompute — no
+    // connectivity lost at a batch boundary.
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("cont_cluster").toString
+    delta.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/d0")
+    delta.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$tmp/d1")
+    def bucketsOf(d: org.apache.spark.sql.DataFrame) =
+      ext.Dedup.minhashBuckets(ext.Dedup.signaturesOf(d))
+    var indexBk = bucketsOf(base).cache()
+    var curMap = ext.Dedup.clustersFromBuckets(indexBk).cache()
+    var nBatches = 0
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/d*/*.parquet")
+      .writeStream.outputMode("append").foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bk = bucketsOf(b).cache()
+          curMap = ext.Dedup.foldClusterBatch(indexBk, curMap, bk)
+            .select("doc_id", "cluster_rep", "cluster_size")
+            .localCheckpoint()
+          indexBk = indexBk.unionByName(bk).cache()
+          nBatches += 1
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches >= 2, s"stream must run >= 2 micro-batches, ran $nBatches")
+    val got = curMap.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val full = Dedup.clusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == full, "streamed cluster map diverges from the one-shot map " +
+      s"(first diff: ${got.zip(full).find(p => p._1 != p._2)})")
+  }
+
   test("winnowing candidates cover the shingle-Jaccard near-dups") {
     val exact = Dedup.shingleJaccardPairs(spark, sf0001)
       .select("doc_a", "doc_b").collect()
