@@ -84,29 +84,6 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
-  private val NeymanBudget = 200L // total sample size across strata
-
-  /** NEYMAN-OPTIMAL stratified allocation (Neyman 1934) — the other
-    * classic next to [[stratifiedSample]]'s equal quotas: allocate a
-    * fixed budget of [[NeymanBudget]] draws across strata (sources)
-    * proportional to `N_h · S_h` (stratum size × token-count standard
-    * deviation), the allocation that minimizes the variance of the
-    * stratified mean estimator. High-variance sources get deeper
-    * samples; uniform ones get shallow.
-    *
-    * Determinism at every step: per-stratum Σx and Σx² are exact
-    * BIGINT sums (x = token count; DECIMAL at a scale where Σx²
-    * approaches 2⁶³); the population variance and `S_h` derive
-    * through the identical double tree on both engines with `S_h`
-    * rounded to 8 dp; weights round to 8 dp and total through the
-    * exact-DECIMAL path (double sum order must not matter);
-    * fractional allocations resolve by LARGEST-REMAINDER rounding
-    * (floor + top-remainder bumps, ties on source) so the realized
-    * total is exactly the budget; the draw itself is the keyed-hash
-    * order (salted two-phase rank, the [[stratifiedSample]] shape —
-    * no stratum ever ranks on one task). Allocations cap at the
-    * stratum size without redistribution (documented; never binds on
-    * balanced corpora). */
   private val DriftMod = 7L // current batch: doc_id % DriftMod == 0
 
   /** Distribution-DRIFT monitor (PSI) — the data-ops gate a standing
@@ -163,6 +140,65 @@ object Curation {
       .orderBy("signal")
   }
 
+  private val BalSalts = 8 // balancedClasses phase-1 fan-out per class
+
+  /** CLASS-BALANCED downsampling — the classifier-training
+    * counterpart of [[stratifiedSample]]'s fixed quotas: every class
+    * caps at the MINORITY class's size (the quota is data-derived —
+    * a #classes-sized aggregate reduced to one broadcast row), so a
+    * skewed label distribution trains as a uniform one. Membership is
+    * the keyed-hash order (deterministic across engines/retries — no
+    * `rand()`), drawn with the salted two-phase rank so no class ever
+    * ranks its full population on one task: phase 1 ranks within
+    * (class, salt-of-hash) slices and keeps `quota` per slice (any
+    * global top-quota member is within its slice's top-quota —
+    * pigeonhole), phase 2 ranks the ≤ quota·[[BalSalts]] survivors.
+    * Oracle states the plan-equivalent one-window form (the
+    * [[stratifiedSample]] precedent, spec-asserted there). */
+  def balancedClasses(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("h", graft.functions.Md5Hash60.md5Hash60(
+        concat(lit("balance:"), col("vec_id").cast("string"))))
+      .withColumn("salt", pmod(col("h"), lit(BalSalts)))
+    val quota = base.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("quota"))
+    val perSlice = Window.partitionBy("label", "salt")
+      .orderBy(col("h"), col("vec_id"))
+    val perClass = Window.partitionBy("label")
+      .orderBy(col("h"), col("vec_id"))
+    base.crossJoin(broadcast(quota))
+      .withColumn("r1", row_number().over(perSlice))
+      .filter(col("r1") <= col("quota"))
+      .withColumn("rk", row_number().over(perClass).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("label"), col("vec_id"), col("rk"))
+      .orderBy("label", "rk")
+  }
+
+  private val NeymanBudget = 200L // total sample size across strata
+
+  /** NEYMAN-OPTIMAL stratified allocation (Neyman 1934) — the other
+    * classic next to [[stratifiedSample]]'s equal quotas: allocate a
+    * fixed budget of [[NeymanBudget]] draws across strata (sources)
+    * proportional to `N_h · S_h` (stratum size × token-count standard
+    * deviation), the allocation that minimizes the variance of the
+    * stratified mean estimator. High-variance sources get deeper
+    * samples; uniform ones get shallow.
+    *
+    * Determinism at every step: per-stratum Σx and Σx² are exact
+    * BIGINT sums (x = token count; DECIMAL at a scale where Σx²
+    * approaches 2⁶³); the population variance and `S_h` derive
+    * through the identical double tree on both engines with `S_h`
+    * rounded to 8 dp; weights round to 8 dp and total through the
+    * exact-DECIMAL path (double sum order must not matter);
+    * fractional allocations resolve by LARGEST-REMAINDER rounding
+    * (floor + top-remainder bumps, ties on source) so the realized
+    * total is exactly the budget; the draw itself is the keyed-hash
+    * order (salted two-phase rank, the [[stratifiedSample]] shape —
+    * no stratum ever ranks on one task). Allocations cap at the
+    * stratum size without redistribution (documented; never binds on
+    * balanced corpora). */
   def neymanSample(s: SparkSession, dir: String): DataFrame = {
     val x = size(Text.tokens(col("text"))).cast("long")
     val base = Tables.documents(s, dir)
@@ -895,6 +931,7 @@ object Curation {
     "pack_epoch_shuffle"     -> (epochShuffle _),
     "pipeline_dsir_sample"   -> (dsirSample _),
     "pipeline_drift"         -> (drift _),
+    "sample_balanced_classes" -> (balancedClasses _),
     "pipeline_profile"       -> (profileColumns _),
     "pipeline_profile_sketch" -> (profileColumnsSketch _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
@@ -977,6 +1014,20 @@ object Curation {
          |  FROM tb JOIN model ON model.b = tb.b GROUP BY 1, 2)
          |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, log_ratio
          |FROM d ORDER BY log_ratio DESC, doc_id ASC LIMIT $DsirKeep""".stripMargin,
+
+    // one-window form of the salted two-phase draw (the stratified
+    // precedent); quota = the minority class size
+    "sample_balanced_classes" ->
+      """WITH b AS (SELECT vec_id, label,
+        |    CAST(concat('0x', substr(md5('balance:' || vec_id), 1, 15)) AS BIGINT) AS h
+        |  FROM embeddings),
+        |q AS (SELECT min(n) AS quota
+        |  FROM (SELECT label, count(*) AS n FROM b GROUP BY 1)),
+        |rk AS (SELECT label, vec_id, row_number() OVER
+        |    (PARTITION BY label ORDER BY h, vec_id) AS rk
+        |  FROM b)
+        |SELECT label, vec_id, CAST(rk AS BIGINT) AS rk
+        |FROM rk CROSS JOIN q WHERE rk <= quota ORDER BY label, rk""".stripMargin,
 
     // integer signals, integer binary-magnitude bins, the identical
     // smoothing/ln/decimal tree as the Spark side (terms round 12 dp

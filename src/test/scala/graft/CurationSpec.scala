@@ -21,6 +21,22 @@ class CurationSpec extends SparkSpec {
     java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
   }
 
+  test("balancedClasses == JVM replay: minority-size quota, hash-order draw") {
+    val got = Curation.balancedClasses(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val all = Tables.embeddings(spark, sf0001).select("vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val quota = all.groupBy(_._2).values.map(_.size).min
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (label, ms) =>
+      ms.map { case (id, _) => (jvmHash60("balance:", id), id) }
+        .sorted.take(quota).zipWithIndex
+        .map { case ((_, id), i) => (label, id, (i + 1).toLong) }
+    }.sorted
+    assert(got.toSeq.sorted == expect, "balanced draw diverges from JVM replay")
+    // every class lands at exactly the minority size
+    got.groupBy(_._1).values.foreach(rs => assert(rs.size == quota))
+  }
+
   test("drift PSI matches an independent JVM replay; a random split reads stable") {
     val got = Curation.drift(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
