@@ -285,9 +285,15 @@ object Similarity {
     kmeansMemo.contains((s, dir, KCells, KmIters))
 
   private def buildKmeans(s: SparkSession, dir: String, k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Seq[Double], Double)]) =
+    buildKmeansOf(vectors(s, dir), k, iters)
+
+  /** The Lloyd build over an arbitrary (vec_id, v, nrm) frame — the
+    * (session, dir) form above trains on the whole corpus; the
+    * index-upsert face trains on the standing BASE only. */
+  private def buildKmeansOf(vs: DataFrame, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {
     import graft.functions.Num.davg
-    val vs = vectors(s, dir)
     // the assignment frames CARRY (v, nrm): every per-round frame is
     // a pure map over the corpus, so the centroid aggregation reads
     // it directly — the earlier vs ⋈ assign self-join re-shuffled the
@@ -520,6 +526,61 @@ object Similarity {
       .filter(col("cos") >= RangeTau)
       .select(col("query_id"), col("neighbor_id"), r4(col("cos")).as("cos"))
       .orderBy("query_id", "neighbor_id")
+  }
+
+  private val UpsertMod = 7L // arriving batch: vec_id % UpsertMod == 0
+
+  /** The standing IVF model trained on the BASE corpus only
+    * (vec_id % [[UpsertMod]] ≠ 0) — the frozen index state an upsert
+    * routes into. Memoized separately from the full-corpus model
+    * (same Lloyd machinery via [[buildKmeansOf]]); evicted through
+    * the registered cleanup hook like every other model. */
+  private val baseKmeansMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (DataFrame, Seq[(Int, Seq[Double], Double)])]
+
+  private[graft] def baseKmeansModel(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Double], Double)]) =
+    baseKmeansMemo.getOrElseUpdate((s, dir), {
+      val (assign, cents) = buildKmeansOf(
+        vectors(s, dir).filter(col("vec_id") % UpsertMod =!= 0),
+        KCells, KmIters)
+      graft.SessionMemo.registerCleanup(s, s"ivf_base_kmeans:$dir") { () =>
+        baseKmeansMemo.remove((s, dir)).foreach { case (df, _) =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+      }
+      (assign.cache(), cents)
+    })
+
+  /** IVF index UPSERT — the IVM face of the vector index, next to the
+    * incremental aggregate/join/pair-index/cluster-map queries: a
+    * production vector store ingests continuously and does NOT retrain
+    * per batch — arriving vectors route through the FROZEN centroids
+    * (one map-side argmax per vector: work ∝ |batch| · cells, the
+    * corpus never rescans) and periodic rebuilds reconcile drift,
+    * which [[evalIvfRecall]]'s SLA readout is there to catch. The
+    * standing model trains on the base corpus only
+    * ([[baseKmeansModel]] — the batch must not have influenced the
+    * centroids it routes into); the declared output is the per-cell
+    * occupancy ledger (n_base, n_delta, n_total), which hash-checks
+    * every individual routing decision in aggregate. Oracle: the
+    * base-restricted Lloyd unroll + frozen-centroid routing of the
+    * batch. */
+  def ivfUpsert(s: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(s, dir)
+    val (baseAssign, cents) = baseKmeansModel(s, dir)
+    val delta = vs.filter(col("vec_id") % UpsertMod === 0)
+    val deltaAssign = assignToNearestAny(delta, cents).select("vec_id", "cell")
+    val b = baseAssign.groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val d = deltaAssign.groupBy("cell").agg(count(lit(1)).as("n_delta"))
+    b.join(d, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"))
+      .orderBy("cell")
   }
 
   private val PqM      = 4         // subspaces
@@ -1390,6 +1451,7 @@ object Similarity {
     "sim_range_search"    -> (ivfRangeSearch _),
     "sim_knn_graph"       -> (knnGraph _),
     "sim_knn_clusters"    -> (knnClusters _),
+    "sim_ivf_upsert"      -> (ivfUpsert _),
     "dedup_embedding_pairs" -> (embeddingNearDups _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_semantic_keep" -> (semanticKeep _),
@@ -1840,6 +1902,33 @@ object Similarity {
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos
          |FROM p WHERE cos >= $RangeTau
          |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // the base-restricted Lloyd unroll (n = standing corpus only),
+    // then the batch routes through the FINAL centroids — the same
+    // frozen-model argmax the Spark side runs map-side
+    "sim_ivf_upsert" -> {
+      val baseInit =
+        s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |na AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |n AS (SELECT * FROM na WHERE vec_id % $UpsertMod != 0),
+           |a0 AS (SELECT vec_id,
+           |    CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |      % $KCells AS INTEGER) AS cell
+           |  FROM n)""".stripMargin
+      s"""WITH ${(baseInit +: kmeansIterCtes(KmIters)).mkString(",\n")},
+         |nd AS (SELECT * FROM na WHERE vec_id % $UpsertMod = 0),
+         |da AS (SELECT vec_id, cell FROM (
+         |    SELECT nd.vec_id, c.cell, row_number() OVER (PARTITION BY nd.vec_id
+         |      ORDER BY list_dot_product(nd.v, c.cv) / (nd.nrm * c.cnrm) DESC,
+         |        c.cell ASC) AS rr
+         |    FROM nd CROSS JOIN cn${KmIters - 1} c) WHERE rr = 1),
+         |b AS (SELECT cell, count(*) AS n_base FROM a$KmIters GROUP BY 1),
+         |d AS (SELECT cell, count(*) AS n_delta FROM da GROUP BY 1)
+         |SELECT coalesce(b.cell, d.cell) AS cell,
+         |  coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta,
+         |  coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_total
+         |FROM b FULL OUTER JOIN d ON b.cell = d.cell ORDER BY cell""".stripMargin
+    },
 
     "dedup_embedding_pairs" ->
       s"""WITH $embeddingPairsCteSql

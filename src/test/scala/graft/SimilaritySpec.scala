@@ -156,6 +156,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"knn graph recall $recall%.3f below 0.7")
   }
 
+  test("ivf upsert: batch routes through the FROZEN base model, ledger covers the corpus") {
+    val rows = Similarity.ivfUpsert(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nAll = Tables.embeddings(spark, sf0001).count()
+    val nDelta = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(rows.map(_._2).sum == nAll - nDelta, "n_base must cover the base corpus")
+    assert(rows.map(_._3).sum == nDelta, "n_delta must cover the batch")
+    assert(rows.forall(r => r._4 == r._2 + r._3))
+    // frozen-model claim: every delta vector's cell is the argmax
+    // against the BASE-trained centroids (JVM replay), and the base
+    // model genuinely differs from the full-corpus model on the
+    // fixture (otherwise the distinction is untested)
+    val (_, baseCents) = Similarity.baseKmeansModel(spark, sf0001)
+    val (_, fullCents) = Similarity.kmeansModel(spark, sf0001)
+    assert(baseCents != fullCents,
+      "fixture must distinguish the frozen base model from the full model")
+    val delta = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 7 === 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def route(v: Array[Double]): Int = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      baseCents.map { case (c, cv, cnrm) =>
+        val d = v.zip(cv).map { case (a, b) => a * b }.sum
+        (d / (nrm * cnrm), -c)
+      }.zip(baseCents.map(_._1)).maxBy(_._1)._2
+    }
+    val expect = delta.map { case (_, v) => route(v) }
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val gotDelta = rows.filter(_._3 > 0).map(r => r._1 -> r._3).toMap
+    assert(gotDelta == expect, s"delta routing diverges: $gotDelta vs $expect")
+  }
+
   test("mutual-kNN clusters == JVM union-find over the mutual edge set") {
     val edges = Similarity.knnGraph(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
