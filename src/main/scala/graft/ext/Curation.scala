@@ -176,6 +176,38 @@ object Curation {
       .orderBy("label", "rk")
   }
 
+  /** BATCH NOVELTY — the crawl-health readout next to
+    * [[drift]]: what fraction of the arriving batch's distinct
+    * 3-token shingles has the standing corpus never seen, per source?
+    * A fresh crawl of a mostly-static site reads near zero (pure
+    * re-crawl — candidate for skip/dedup at ingest); a healthy new
+    * source reads high. The intra-corpus first-owner form
+    * ([[Dedup.shingleNovelty]]) attributes novelty doc-by-doc; this is
+    * the INCREMENTAL face over the shared %[[DriftMod]] IVM split —
+    * the question ops actually asks per batch. One gram-vocabulary-
+    * sized flag aggregate (does ANY standing doc carry this shingle —
+    * map-side combined), the batch's distinct (source, shingle) rows
+    * re-join it SHUFFLE-HASH (gram vocabulary is corpus-derived,
+    * never broadcast), then a #sources-sized rollup. */
+  def batchNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(s, dir).select(col("doc_id"), col("sh"))
+    val isDelta = col("doc_id") % DriftMod === 0
+    val flags = sh.select(col("sh"), (!isDelta).cast("int").as("b"))
+      .groupBy("sh").agg(max("b").as("in_base"))
+    val src = Tables.documents(s, dir).select("doc_id", "source")
+    val deltaSh = sh.filter(isDelta)
+      .join(src.hint("shuffle_hash"), Seq("doc_id"))
+      .select("source", "sh").distinct()
+    deltaSh.join(flags.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(lit(1) - col("in_base")).as("novel_shingles"))
+      .select(col("source"), col("n_shingles"), col("novel_shingles"),
+        r4(col("novel_shingles").cast("double") /
+          col("n_shingles").cast("double")).as("novelty_rate"))
+      .orderBy("source")
+  }
+
   private val NeymanBudget = 200L // total sample size across strata
 
   /** NEYMAN-OPTIMAL stratified allocation (Neyman 1934) — the other
@@ -932,6 +964,7 @@ object Curation {
     "pipeline_dsir_sample"   -> (dsirSample _),
     "pipeline_drift"         -> (drift _),
     "sample_balanced_classes" -> (balancedClasses _),
+    "pipeline_batch_novelty" -> (batchNovelty _),
     "pipeline_profile"       -> (profileColumns _),
     "pipeline_profile_sketch" -> (profileColumnsSketch _),
     "pipeline_leakfree_split" -> (leakFreeSplit _),
@@ -1014,6 +1047,29 @@ object Curation {
          |  FROM tb JOIN model ON model.b = tb.b GROUP BY 1, 2)
          |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, log_ratio
          |FROM d ORDER BY log_ratio DESC, doc_id ASC LIMIT $DsirKeep""".stripMargin,
+
+    // the standing-corpus flag per shingle, the batch's distinct
+    // (source, shingle) pairs, one rollup — same shingle fragment as
+    // the dedup family's oracles
+    "pipeline_batch_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM t),
+         |flags AS (SELECT shingle,
+         |    max(CASE WHEN doc_id % $DriftMod != 0 THEN 1 ELSE 0 END) AS in_base
+         |  FROM sh GROUP BY 1),
+         |ds AS (SELECT DISTINCT d.source, sh.shingle
+         |  FROM sh JOIN documents d USING (doc_id) WHERE sh.doc_id % $DriftMod = 0),
+         |a AS (SELECT source, count(*) AS n_shingles,
+         |    CAST(sum(1 - in_base) AS BIGINT) AS novel_shingles
+         |  FROM ds JOIN flags USING (shingle) GROUP BY 1)
+         |SELECT source, n_shingles, novel_shingles,
+         |  round(CAST(novel_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+         |    AS novelty_rate
+         |FROM a ORDER BY source""".stripMargin,
 
     // one-window form of the salted two-phase draw (the stratified
     // precedent); quota = the minority class size

@@ -400,7 +400,7 @@ object Dedup {
     * run interpreted with their tokenizer input re-inlined per
     * element (~70× slower, profiled). Docs under 3 tokens have no
     * shingles and are excluded, mirroring the oracle. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  private[ext] def shingleRows(s: SparkSession, dir: String): DataFrame =
     // shared by shingle-Jaccard and winnowing
     graft.SessionMemo.cached(s, dir, "shingle_rows") {
       import org.apache.spark.sql.expressions.Window

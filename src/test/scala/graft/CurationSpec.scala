@@ -21,6 +21,32 @@ class CurationSpec extends SparkSpec {
     java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
   }
 
+  test("batchNovelty == JVM replay over shingle sets") {
+    val got = Curation.batchNovelty(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val tk = t.trim.split("\\s+")
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val baseSh = docs.filter(_._1 % 7 != 0).flatMap(d => shingles(d._3)).toSet
+    val expect = docs.filter(_._1 % 7 == 0)
+      .flatMap { case (_, src, t) => shingles(t).map(src -> _) }
+      .distinct.groupBy(_._1).toSeq.map { case (src, ps) =>
+        val n = ps.length.toLong
+        val novel = ps.count(p => !baseSh.contains(p._2)).toLong
+        (src, n, novel, BigDecimal(novel.toDouble / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sorted
+    assert(got == expect, s"got=$got expect=$expect")
+    // the fixture must exercise both seen and novel shingles
+    assert(got.exists(_._3 > 0) && got.exists(r => r._3 < r._2))
+  }
+
   test("balancedClasses == JVM replay: minority-size quota, hash-order draw") {
     val got = Curation.balancedClasses(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
