@@ -77,6 +77,13 @@ class SqlSurfaceSpec extends SparkSpec {
     "sim_ivf_pruned_topk" -> "list comprehension k-means unroll",
     "sim_range_search" -> "list comprehension k-means unroll",
     "sim_topk_lsh_ann" -> "list_dot_product",
+    "dedup_incremental_clusters" -> "recursive CTE reachability + hex-string casts",
+    "sim_knn_graph" -> "list comprehension k-means unroll (list(... ORDER BY) aggregate)",
+    "sim_knn_clusters" -> "list comprehension k-means unroll + recursive CTE reachability",
+    "sim_ivf_upsert" -> "list comprehension k-means unroll",
+    "pipeline_drift" -> "string_split_regex + list_distinct signals",
+    "pipeline_batch_novelty" -> "string_split_regex + list_transform shingles",
+    "sample_balanced_classes" -> "hex-string CAST to BIGINT",
     "text_cms_heavy_hitters" -> "unnest() lateral",
     "text_fingerprint" -> "hex-digit CAST to INT",
     "text_keyword_search" -> "string_split_regex + list_filter postings",
