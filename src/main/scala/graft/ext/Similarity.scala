@@ -118,13 +118,18 @@ object Similarity {
   }
 
   /** `bits`-bit signature of `v` for hash table `table`: bit j is
-    * `sign(v · plane(table, j))`. Each projection is one native
-    * codegen'd dot against a literal sign vector. */
+    * `sign(v · plane(table, j))`, computed by ONE native codegen'd
+    * loop expression per table ([[graft.functions.HyperplaneSig]]).
+    * The earlier composed form — `bits` inlined `when(dot(v, lit) >
+    * 0, …)` terms — exceeded whole-stage codegen's method limits at
+    * the population-scaled width (tables·bits(n) = 112 literal dots
+    * at 100× bench scale), silently dropping the WHOLE bucket stage
+    * to interpreted evaluation: the r10 profile read 78 s where this
+    * form runs ~2 s. Same arithmetic bit-for-bit (index-order dot
+    * fold, same `> 0` test, same null-signs-to-0 algebra). */
   private def lshSig(v: Column, table: Int, bits: Int): Column =
-    (0 until bits).map { j =>
-      when(dot(v, typedlit(signPlane(table, j).toSeq)) > 0, lit(1L << j))
-        .otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.HyperplaneSig.hyperplaneSig(v,
+      Array.tabulate(bits)(j => signPlane(table, j)))
 
   /** Skinny bucket table (vec_id, t, sig): one row per vector per
     * hash table. Downstream candidate joins carry only three longs —

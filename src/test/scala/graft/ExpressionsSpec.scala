@@ -82,6 +82,30 @@ class ExpressionsSpec extends SparkSpec {
       .foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("hyperplane_sig == the composed when(dot > 0) sum it replaces") {
+    import graft.functions.DotProduct.dotProduct
+    import graft.functions.HyperplaneSig.hyperplaneSig
+    val planes = Array.tabulate(14)(j => graft.ext.Similarity.signPlane(3, j))
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(50)(Seq.fill(64)(rnd.nextGaussian())).toDF("v")
+    val composed = planes.zipWithIndex.map { case (p, j) =>
+      when(dotProduct(col("v"), typedlit(p.toSeq)) > 0, lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    df.select(hyperplaneSig(col("v"), planes).as("fast"),
+        composed.as("ref")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // the quirky null algebra is preserved: null vector, mismatched
+    // length, and a null element each sign to 0, never null
+    val odd = Seq(
+      Option.empty[Seq[Option[Double]]],
+      Some(Seq(Some(1.0))),
+      Some(Seq.tabulate(64)(i => if (i == 3) None else Some(1.0))),
+    ).toDF("v")
+    odd.select(hyperplaneSig(col("v"), planes)).collect()
+      .foreach(r => assert(!r.isNullAt(0) && r.getLong(0) == 0L, r.toString))
+  }
+
   test("signPlane matches the md5 top-bit rule (oracle parity)") {
     // DuckDB: substr(md5('0_0_0'),1,1) BETWEEN '0' AND '7'  <=>  +1.0
     val md = java.security.MessageDigest.getInstance("MD5")
