@@ -135,15 +135,20 @@ object Bench {
     // Memo-build attribution: which memoized family each query BUILT
     // (paying the one-time cost) vs merely reused, per pass — the
     // accounting that explains why e.g. the first crossmodal query in
-    // a pass carries ~90% family-build time. Keys sorted, events
-    // deduped per (query, key).
-    def attrJson(attr: Seq[(String, String, Boolean)]): String =
-      attr.distinct.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, evs) =>
-        def arr(built: Boolean) = evs.collect {
-          case (_, key, b) if b == built => "\"" + key + "\""
-        }.distinct.sorted.mkString("[", ",", "]")
-        "\"" + q + "\":{\"built\":" + arr(true) +
-          ",\"reused\":" + arr(false) + "}"
+    // a pass carries ~90% family-build time. "built" maps each key to
+    // its build wall seconds (r11: max over the key's events — the
+    // timedBuild/eager-thunk measurement wins over the 0-second
+    // registration event), so layout builds are separable from query
+    // cost in the artifact. Keys sorted, reused events deduped.
+    def attrJson(attr: Seq[(String, String, Boolean, Double)]): String =
+      attr.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, evs) =>
+        val built = evs.filter(_._3).groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (key, es) =>
+            "\"" + key + "\":" + r3(es.map(_._4).max) }
+          .mkString("{", ",", "}")
+        val reused = evs.collect { case (_, key, b, _) if !b => "\"" + key + "\"" }
+          .distinct.sorted.mkString("[", ",", "]")
+        "\"" + q + "\":{\"built\":" + built + ",\"reused\":" + reused + "}"
       }.mkString("{", ",", "}")
     val full = line.dropRight(1) +
       s""","pass_pairs":$passPairs,"memo_pass1":${attrJson(attr1)},"memo_pass2":${attrJson(attr2)}}"""

@@ -23,9 +23,20 @@ object SessionMemo {
   def cached(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val key = (s, dir, name)
-    val hit = memo.contains(key)
-    val df = memo.getOrElseUpdate(key, build.cache())
-    note(name, built = !hit)
+    // the hit flag comes from whether OUR thunk ran (atomic with the
+    // insert — a contains()-then-update pair could mis-attribute
+    // under concurrent consumers); the thunk is also timed, which
+    // captures eager builds (CC fixpoints, checkpointed pair tables)
+    // but only plan-construction cost for lazy ones — those
+    // materialize inside the consumer's own measured action.
+    var secs = -1.0
+    val df = memo.getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      val b = build.cache()
+      secs = (System.nanoTime() - t0) / 1e9
+      b
+    })
+    note(name, built = secs >= 0, math.max(secs, 0.0))
     df
   }
 
@@ -33,10 +44,22 @@ object SessionMemo {
     * Idempotent per (session, name): re-registering overwrites.
     * Every model/layout builder calls this exactly once when it
     * BUILDS (inside its memo's getOrElseUpdate / guard branch), so
-    * registration doubles as the build event for attribution. */
+    * registration doubles as the build event for attribution; wall
+    * seconds for the build come from the [[timedBuild]] wrapper at
+    * the guard site (events merge per key, max-seconds wins). */
   def registerCleanup(s: SparkSession, name: String)(f: () => Unit): Unit = {
-    note(name, built = true)
+    note(name, built = true, 0.0)
     cleanups.put((s, name), f); ()
+  }
+
+  /** Time an eager one-time build (physical layout write, k-means
+    * model fit, bucketed-table save) and record the wall seconds
+    * against the current consumer under `name` — the accounting that
+    * separates layout-build cost from query cost in the bench
+    * artifact. Returns `f`'s result unchanged. */
+  def timedBuild[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally note(name, built = true, (System.nanoTime() - t0) / 1e9)
   }
 
   // ── Build attribution ──────────────────────────────────────────
@@ -47,23 +70,27 @@ object SessionMemo {
   // library use don't).
 
   private val attributionLog = new java.util.concurrent
-    .ConcurrentLinkedQueue[(String, String, Boolean)]
-  @volatile private var currentConsumer: String = null
+    .ConcurrentLinkedQueue[(String, String, Boolean, Double)]
+  // ThreadLocal, saved/restored around f: a nested or concurrent
+  // consumer must not clobber (or null out) an enclosing one's label
+  private val currentConsumer = new ThreadLocal[String]
 
   /** Run `f` with memo events attributed to `consumer`. */
   def attributing[T](consumer: String)(f: => T): T = {
-    currentConsumer = consumer
-    try f finally currentConsumer = null
+    val prev = currentConsumer.get()
+    currentConsumer.set(consumer)
+    try f finally currentConsumer.set(prev)
   }
 
-  private def note(key: String, built: Boolean): Unit = {
-    val c = currentConsumer
-    if (c != null) { attributionLog.add((c, key, built)); () }
+  private def note(key: String, built: Boolean, secs: Double): Unit = {
+    val c = currentConsumer.get()
+    if (c != null) { attributionLog.add((c, key, built, secs)); () }
   }
 
-  /** Drain recorded (consumer, memo key, built?) events. */
-  def drainAttribution(): Seq[(String, String, Boolean)] = {
-    val b = Seq.newBuilder[(String, String, Boolean)]
+  /** Drain recorded (consumer, memo key, built?, build seconds)
+    * events. */
+  def drainAttribution(): Seq[(String, String, Boolean, Double)] = {
+    val b = Seq.newBuilder[(String, String, Boolean, Double)]
     while (!attributionLog.isEmpty) b += attributionLog.poll()
     b.result()
   }

@@ -894,33 +894,57 @@ object Dedup {
     * ANY modality connects them — the form a multimodal training-data
     * pipeline actually dedups on (a recaptioned image, a re-encoded
     * page, and a paraphrase are the same sample even when no single
-    * modality links all three). Each evidence set arrives as
-    * (doc_id, bucket) rows with a modality-prefixed bucket key; the
-    * shared large-star/small-star CC machinery resolves the union in
-    * O(log d) rounds; every memoized family build (signatures,
-    * verified pair tables) is REUSED, not recomputed. Output one row
-    * per document: (doc_id, cluster_rep, cluster_size). */
+    * modality links all three).
+    *
+    * r11: the union runs on ONE dense long node space — docs keep
+    * their own ids (< 2^61 by contract of the corpus id space), each
+    * distinct MinHash band bucket becomes node `2^61 | md5_60(t: ∥
+    * bucket)`, each distinct image dHash value node
+    * `2^62 | md5_60(dh: ∥ dhash)` — and all evidence becomes (long,
+    * long) edges into the shared [[clustersFromHashGraph]] fixpoint:
+    * doc→bucket and doc→dhash memberships, verified embedding pairs
+    * (already doc-level), and verified dHash near pairs (node-level).
+    * Reachability is identical to the retired string-keyed bucket
+    * form (node mapping is injective per range; a 60-bit md5
+    * collision inside a range is ~n²/2^61 — negligible and, being
+    * md5-deterministic, identical across runs), but the CC input
+    * carries zero string keys: the string bucket union was the last
+    * `clustersFromBuckets` caller over mixed id spaces and the most
+    * expensive query at every bench scale (86.9 s at 100× scale).
+    * Every memoized family build (signatures, hash frames, verified
+    * pair tables) is REUSED, not recomputed. Output one row per
+    * document: (doc_id, cluster_rep, cluster_size). */
   def crossModalClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "crossmodal_clusters") {
       val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
         signatures(distinctTokens(s, dir))
       }
-      val textBk = minhashBuckets(sigs)
-        .select(col("doc_id"), concat(lit("t:"), col("bucket")).as("bucket"))
-      val ep = Similarity.embeddingNearDups(s, dir).select("vec_a", "vec_b")
-      val eKey = concat_ws(",", lit("e"),
-        col("vec_a").cast("string"), col("vec_b").cast("string"))
-      val embBk = ep.select(col("vec_a").as("doc_id"), eKey.as("bucket"))
-        .union(ep.select(col("vec_b").as("doc_id"), eKey.as("bucket")))
-      // image evidence at the HASH level (r10): identical reachability
-      // to the id-level pair listing, but rows linear in corpus +
-      // hash pairs instead of quadratic in duplicate-group size —
-      // the pair expansion was 22M bucket rows at 100× bench scale
-      val imgBk = Multimodal.imageEvidenceBuckets(s, dir)
-      val self = graft.Tables.documents(s, dir).select(col("doc_id"),
-        concat_ws(":", lit("self"), col("doc_id").cast("string")).as("bucket"))
-      clustersFromBuckets(textBk.union(embBk).union(imgBk).union(self))
-        .orderBy("doc_id")
+      val textNode = lit(1L << 61)
+        .bitwiseOR(md5Hash60(concat(lit("t:"), col("bucket")))).as("h_b")
+      val textEdges = minhashBuckets(sigs)
+        .select(col("doc_id").as("h_a"), textNode)
+      // embedding evidence is already doc-level (vec ids ARE doc ids,
+      // vec_a < vec_b canonical): direct doc–doc edges
+      val embEdges = Similarity.embeddingNearDups(s, dir)
+        .select(col("vec_a").as("h_a"), col("vec_b").as("h_b"))
+      // image evidence at the hash level (r10): docs sharing a dHash
+      // meet at its node; verified near hash-pairs bridge node pairs
+      def imgNode(dh: Column) = lit(1L << 62)
+        .bitwiseOR(md5Hash60(concat(lit("dh:"), dh.cast("string"))))
+      val imgMember = Multimodal.imageHashFrame(s, dir)
+        .select(col("media_id").as("h_a"), imgNode(col("dhash")).as("h_b"))
+      val imgPairs = Multimodal.imageHashPairs(s, dir)
+        .select(imgNode(col("h_a")).as("na"), imgNode(col("h_b")).as("nb"))
+        .select(least(col("na"), col("nb")).as("h_a"),
+          greatest(col("na"), col("nb")).as("h_b"))
+        .where(col("h_a") =!= col("h_b"))
+      val edges = textEdges.unionByName(embEdges)
+        .unionByName(imgMember).unionByName(imgPairs).distinct()
+      // every doc enters as its own node; singletons re-enter via the
+      // left join on the finished node→root map
+      val ids = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("node"))
+      clustersFromHashGraph(ids, edges).orderBy("doc_id")
     }
 
   /** Blocking-quality report — the dedup machinery measuring ITSELF

@@ -525,10 +525,24 @@ object Multimodal {
     // encode→decode→dHash pipeline — ~ms per image, the dominant
     // cost at 100× bench scale. The frame is two longs per item at
     // ANY corpus size; localCheckpoint truncates the decode lineage
-    // the same way the CC rounds do.
+    // the same way the CC rounds do — and, like the CC rounds, the
+    // pinned blocks are registered for release via the session
+    // cleanup hook: repeated invocations (two bench passes, the pair
+    // and cluster faces of a family) must not accumulate executor
+    // storage until JVM GC notices the dropped frame.
+    val sess = hashes.sparkSession
     val hs = hashes.localCheckpoint()
+    val ids = hs.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    graft.SessionMemo.registerCleanup(sess,
+      s"mm_ckpt:${ckptInstance.incrementAndGet()}")(() =>
+      ids.foreach(id => sess.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false))))
     expandHashPairs(hs, hashPairsPlanned(hs, plan, maxHamming, population))
   }
+
+  private val ckptInstance = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** DISTINCT-SKETCH near pairs (0 < Hamming ≤ max) — the hash-level
     * half of the pairing. IDENTICAL-SKETCH COMPRESSION: mass
@@ -749,28 +763,6 @@ object Multimodal {
 
   private[graft] def buildImagePairs(s: SparkSession, dir: String): DataFrame =
     expandHashPairs(imageHashFrame(s, dir), imageHashPairs(s, dir))
-
-  /** HASH-LEVEL connectivity evidence for CC consumers ([[
-    * imageClusters]], the cross-modal entity map): docs sharing a
-    * dHash connect through the dhash bucket (one star contraction
-    * where the pair listing is a g²/2 clique), and verified near
-    * hash-pairs bridge their two member groups. Component structure
-    * is EXACTLY the id-level pair graph's — same reachability, rows
-    * linear in corpus + hash pairs instead of quadratic in
-    * duplicate-group size. */
-  private[graft] def imageEvidenceBuckets(s: SparkSession, dir: String): DataFrame = {
-    val hs = imageHashFrame(s, dir)
-    val hp = imageHashPairs(s, dir)
-    val pairKey = concat_ws(",", lit("hp"),
-      col("h_a").cast("string"), col("h_b").cast("string"))
-    val groupBk = hs.select(col("media_id").as("doc_id"),
-      concat(lit("dh:"), col("dhash").cast("string")).as("bucket"))
-    val nearBk = hp.join(hs.toDF("doc_id", "h_a").hint("shuffle_hash"), Seq("h_a"))
-      .select(col("doc_id"), pairKey.as("bucket"))
-      .union(hp.join(hs.toDF("doc_id", "h_b").hint("shuffle_hash"), Seq("h_b"))
-        .select(col("doc_id"), pairKey.as("bucket")))
-    groupBk.union(nearBk)
-  }
 
   /** Perceptual image near-dup CLUSTERS — the linear-output form of
     * [[imageDedup]]: pair listing is quadratic in duplicate-group

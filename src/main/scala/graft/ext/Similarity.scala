@@ -275,15 +275,16 @@ object Similarity {
     * so the same deterministic Lloyd machinery must run at any k. */
   private[graft] def kmeansModelK(s: SparkSession, dir: String, k: Int,
       iters: Int = KmIters): (DataFrame, Seq[(Int, Seq[Double], Double)]) =
-    kmeansMemo.getOrElseUpdate((s, dir, k, iters), {
-      val (assign, cents) = buildKmeans(s, dir, k, iters)
-      graft.SessionMemo.registerCleanup(s, s"ivf_kmeans:$dir:$k:$iters") { () =>
-        kmeansMemo.remove((s, dir, k, iters)).foreach { case (df, _) =>
-          try df.unpersist() catch { case _: Throwable => () }
+    kmeansMemo.getOrElseUpdate((s, dir, k, iters),
+      graft.SessionMemo.timedBuild(s"ivf_kmeans:$dir:$k:$iters") {
+        val (assign, cents) = buildKmeans(s, dir, k, iters)
+        graft.SessionMemo.registerCleanup(s, s"ivf_kmeans:$dir:$k:$iters") { () =>
+          kmeansMemo.remove((s, dir, k, iters)).foreach { case (df, _) =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
         }
-      }
-      (assign.cache(), cents)
-    })
+        (assign.cache(), cents)
+      })
 
   /** Test probe: is an IVF model memoized for (s, dir)? */
   private[graft] def kmeansMemoized(s: SparkSession, dir: String): Boolean =
@@ -442,18 +443,19 @@ object Similarity {
     import s.implicits._
     val (assign, cents) = kmeansModel(s, dir)
     val path = graft.sources.Ingest.ingestTmpPath("ivfcells", dir)
-    if (!graft.sources.SnapshotFs.hasSuccess(path)) {
-      // one-time layout build: vector + norm per row, cell as the
-      // partition key (one directory per cell). At 100 TB this is the
-      // write-once index-build job; every later probe query reads
-      // only its cells. SessionMemo.clear deletes the layout (like
-      // the bucketed tables) so a cold bench pass repays the build.
-      graft.SessionMemo.registerCleanup(s, s"ivf_layout:$dir")(() =>
-        graft.sources.SnapshotFs.deleteTree(path))
-      vectors(s, dir).join(assign.hint("shuffle_hash"), Seq("vec_id"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell").parquet(path)
-    }
+    if (!graft.sources.SnapshotFs.hasSuccess(path))
+      graft.SessionMemo.timedBuild(s"ivf_layout:$dir") {
+        // one-time layout build: vector + norm per row, cell as the
+        // partition key (one directory per cell). At 100 TB this is the
+        // write-once index-build job; every later probe query reads
+        // only its cells. SessionMemo.clear deletes the layout (like
+        // the bucketed tables) so a cold bench pass repays the build.
+        graft.SessionMemo.registerCleanup(s, s"ivf_layout:$dir")(() =>
+          graft.sources.SnapshotFs.deleteTree(path))
+        vectors(s, dir).join(assign.hint("shuffle_hash"), Seq("vec_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell").parquet(path)
+      }
     val fact = s.read.parquet(path)
       .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
         col("nrm").as("nnrm"), col("cell"))
@@ -546,17 +548,18 @@ object Similarity {
 
   private[graft] def baseKmeansModel(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) =
-    baseKmeansMemo.getOrElseUpdate((s, dir), {
-      val (assign, cents) = buildKmeansOf(
-        vectors(s, dir).filter(col("vec_id") % UpsertMod =!= 0),
-        KCells, KmIters)
-      graft.SessionMemo.registerCleanup(s, s"ivf_base_kmeans:$dir") { () =>
-        baseKmeansMemo.remove((s, dir)).foreach { case (df, _) =>
-          try df.unpersist() catch { case _: Throwable => () }
+    baseKmeansMemo.getOrElseUpdate((s, dir),
+      graft.SessionMemo.timedBuild(s"ivf_base_kmeans:$dir") {
+        val (assign, cents) = buildKmeansOf(
+          vectors(s, dir).filter(col("vec_id") % UpsertMod =!= 0),
+          KCells, KmIters)
+        graft.SessionMemo.registerCleanup(s, s"ivf_base_kmeans:$dir") { () =>
+          baseKmeansMemo.remove((s, dir)).foreach { case (df, _) =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
         }
-      }
-      (assign.cache(), cents)
-    })
+        (assign.cache(), cents)
+      })
 
   /** IVF index UPSERT — the IVM face of the vector index, next to the
     * incremental aggregate/join/pair-index/cluster-map queries: a
@@ -609,15 +612,16 @@ object Similarity {
 
   private[graft] def pqModel(s: SparkSession, dir: String)
       : (DataFrame, Seq[Seq[(Int, Seq[Double])]]) =
-    pqMemo.getOrElseUpdate((s, dir), {
-      val (codes, books) = buildPq(s, dir)
-      graft.SessionMemo.registerCleanup(s, s"pq_model:$dir") { () =>
-        pqMemo.remove((s, dir)).foreach { case (df, _) =>
-          try df.unpersist() catch { case _: Throwable => () }
+    pqMemo.getOrElseUpdate((s, dir),
+      graft.SessionMemo.timedBuild(s"pq_model:$dir") {
+        val (codes, books) = buildPq(s, dir)
+        graft.SessionMemo.registerCleanup(s, s"pq_model:$dir") { () =>
+          pqMemo.remove((s, dir)).foreach { case (df, _) =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
         }
-      }
-      (codes.cache(), books)
-    })
+        (codes.cache(), books)
+      })
 
   private def buildPq(s: SparkSession, dir: String)
       : (DataFrame, Seq[Seq[(Int, Seq[Double])]]) = {
@@ -946,7 +950,8 @@ object Similarity {
     * step (md5 init, DECIMAL means, index-order dot folds, cosine-desc
     * sub-asc argmax) is replayed bit-for-bit by the DuckDB oracle. */
   private[graft] def nearDupModel(s: SparkSession, dir: String): NearDupModel =
-    nearDupMemo.getOrElseUpdate((s, dir), {
+    nearDupMemo.getOrElseUpdate((s, dir),
+      graft.SessionMemo.timedBuild(s"neardup_model:$dir") {
       val vs = vectors(s, dir)
       // the count is one action over the cached vector frame; k/k1/k2
       // derive from it deterministically, replayed by the oracle from

@@ -912,7 +912,8 @@ object Text {
 
   private def trainBpe(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, String, Long)], DataFrame) =
-    bpeMemo.getOrElseUpdate((s, dir), {
+    bpeMemo.getOrElseUpdate((s, dir),
+      graft.SessionMemo.timedBuild(s"bpe:$dir") {
       val words = fannedDocs(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))

@@ -107,6 +107,20 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
       value = JavaCode.variable(sig, LongType))
   }
 
+  // Array[Array[Double]]'s equals/hashCode are reference-based, which
+  // would make semantically identical instances never compare equal —
+  // Catalyst canonicalization and common-subexpression elimination
+  // could not dedup them. Deep content comparison restores that.
+  override def equals(other: Any): Boolean = other match {
+    case HyperplaneSig(c, p) => c == child &&
+      p.length == planes.length &&
+      p.indices.forall(j => java.util.Arrays.equals(p(j), planes(j)))
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }

@@ -182,7 +182,14 @@ object Ingest {
     val log = touchedHist.drop(intervalCols: _*)
       .unionByName(changes)
       .dropDuplicates()
-    val w = Window.partitionBy(key).orderBy("valid_from")
+    // valid_from alone is not a total order: two DISTINCT payload
+    // versions sharing (key, valid_from) would chain
+    // nondeterministically across runs/engines. The full payload as
+    // secondary sort makes the chain order total (rows are distinct
+    // after dropDuplicates), so replay and engine-swap are stable.
+    val payloadCols = log.columns.filter(c => c != key && c != "valid_from")
+    val w = Window.partitionBy(key)
+      .orderBy(col("valid_from") +: payloadCols.toSeq.map(col): _*)
     untouched.unionByName(
       log.withColumn("valid_to", lead(col("valid_from"), 1).over(w))
         .withColumn("is_current", col("valid_to").isNull)
@@ -365,7 +372,8 @@ object Ingest {
     val basePath = ingestTmpPath("tt_base", dir)
     val v1Path = ingestTmpPath("tt_v1", dir)
     val v2Path = ingestTmpPath("tt_v2", dir)
-    if (!SnapshotFs.hasSuccess(basePath)) {
+    if (!SnapshotFs.hasSuccess(basePath)) graft.SessionMemo.timedBuild(
+        s"tt_layout:$dir") {
       graft.SessionMemo.registerCleanup(s, s"tt_layout:$dir") { () =>
         Seq(basePath, v1Path, v2Path).foreach(SnapshotFs.deleteTree)
       }
@@ -427,7 +435,8 @@ object Ingest {
     val v1Path = ingestTmpPath("vac_v1", dir)
     val v2Path = ingestTmpPath("vac_v2", dir)
     val ckptPath = ingestTmpPath("vac_ckpt", dir)
-    if (!SnapshotFs.hasSuccess(ckptPath)) {
+    if (!SnapshotFs.hasSuccess(ckptPath)) graft.SessionMemo.timedBuild(
+        s"vac_layout:$dir") {
       graft.SessionMemo.registerCleanup(s, s"vac_layout:$dir") { () =>
         Seq(basePath, v1Path, v2Path, ckptPath).foreach(SnapshotFs.deleteTree)
       }
@@ -456,10 +465,15 @@ object Ingest {
         .filter(col("__rn") === 1 && !col("deleted"))
         .drop("__rn", "deleted", "__v")
         .write.mode("overwrite").parquet(ckptPath)
-      // ... then reclaim the expired commits
-      SnapshotFs.deleteTree(basePath)
-      SnapshotFs.deleteTree(v1Path)
     }
+    // ... then reclaim the expired commits. UNCONDITIONAL once the
+    // checkpoint is committed (outside the build guard): a crash
+    // between checkpoint commit and reclamation must not strand the
+    // expired commits forever — the rerun skips the build but still
+    // converges the store to (checkpoint, v2). Same crash-recovery
+    // discipline as swapStaged/recoverSnapshot.
+    SnapshotFs.deleteTree(basePath)
+    SnapshotFs.deleteTree(v1Path)
     // measured from the store, not assumed: checkpoint + live v2
     val remaining = Seq(basePath, v1Path, v2Path, ckptPath)
       .count(SnapshotFs.hasSuccess).toLong
@@ -807,7 +821,8 @@ object Ingest {
       "_" + ProcessHandle.current().pid()
     val oT = s"graft_b_orders_$suffix"
     val cT = s"graft_b_customer_$suffix"
-    if (!s.catalog.tableExists(oT)) {
+    if (!s.catalog.tableExists(oT)) graft.SessionMemo.timedBuild(
+        "bucketed_tables") {
       armShutdownSweep(s)
       graft.SessionMemo.registerCleanup(s, "bucketed_tables")(() =>
         dropBucketedTables(s))
@@ -918,7 +933,8 @@ object Ingest {
     val path = ingestTmpPath("dpp", dir)
     // write the partitioned fact copy once per (process, sf dir);
     // SessionMemo.clear drops it so a cold bench pass repays the build
-    if (!SnapshotFs.hasSuccess(path)) {
+    if (!SnapshotFs.hasSuccess(path)) graft.SessionMemo.timedBuild(
+        s"dpp_layout:$dir") {
       graft.SessionMemo.registerCleanup(s, s"dpp_layout:$dir")(() =>
         SnapshotFs.deleteTree(path))
       writeTimeSeries(base, path, "o_orderdate")
