@@ -98,6 +98,27 @@ object Tables {
     * DECIMAL sums, set/min/max sketches, per-row maps), which is the
     * repo's determinism discipline everywhere.
     */
+  /** Gate-scale certification sample — the device that keeps exact-
+    * certification faces (`pipeline_profile`'s exact ndv, the exact
+    * WAU, exact quantiles) from dominating wall time at scale factors
+    * far above the oracle gate: at/below `gateRows` population the
+    * frame passes through UNCHANGED (the DuckDB oracle scales run the
+    * full-exact form bit-for-bit), above it a deterministic md5-keyed
+    * Bernoulli filter keeps an expected ~`gateRows`-row subset, so
+    * the certification's cost is pinned at gate-scale cost at ANY
+    * corpus size while the sketch face remains the full-population
+    * readout. The keep set is a pure function of `key` (per-million
+    * md5-60 threshold — the `sample_hash_bernoulli` device), so both
+    * engines — and any two runs — agree on it exactly. */
+  private[graft] def certSample(df: DataFrame, key: org.apache.spark.sql.Column,
+      population: Long, gateRows: Long): DataFrame =
+    if (population <= gateRows) df
+    else {
+      val keepPerM = math.max(1L, gateRows * 1000000L / population)
+      df.filter(pmod(graft.functions.Md5Hash60.md5Hash60(
+          concat(lit("cert:"), key.cast("string"))), lit(1000000L)) < keepPerM)
+    }
+
   def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
     val slots = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < slots) df.repartition(slots) else df

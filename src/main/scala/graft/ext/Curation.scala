@@ -702,28 +702,78 @@ object Curation {
     * expression, making the whole profile a single map-combine pass
     * with an 11-row result. The flag demonstrates on-corpus that the
     * sketch path certifies against the exact one (same pattern as
-    * `events_hll_users`). */
-  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    * `events_hll_users`).
+    *
+    * r11 — the certification is GATE-SCALE BOUNDED: at/below
+    * [[ProfileGateRows]] (above the largest oracle scale) the whole
+    * profile, exact ndv included, runs over every row (what the
+    * DuckDB gate replays). Above it, the cheap full-scan stats
+    * (rows/nulls/min/max — all partial-aggregatable, no Expand) stay
+    * full-population, while the exact-vs-HLL certification runs on a
+    * deterministic md5-keyed row sample pinned at ~gate-scale size
+    * ([[Tables.certSample]]): the Expand's shuffle is then constant
+    * in corpus size, the certification remains a real on-corpus
+    * check, and the full-population ndv readout at scale is the
+    * sketch face's job ([[profileColumnsSketch]]). The 100×-scale
+    * leg measured the unbounded exact face at 42.8 s and 7.5× growth
+    * per 10× — by design, but the wrong default at 100 TB. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame =
+    profileColumnsGated(s, dir, ProfileGateRows)
+
+  private[graft] def profileColumnsGated(s: SparkSession, dir: String,
+      gateRows: Long): DataFrame = {
     val kvs = ProfileCols.map { case (n, v, _) =>
       struct(lit(n).as("col_name"), v.as("v")) }
-    Tables.fanOut(s, Tables.lineitem(s, dir))
+    def unpivot(df: DataFrame): DataFrame = df
       .select(explode(array(kvs: _*)).as("kv"))
       .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
-      .groupBy("col_name")
-      .agg(
+    val li = Tables.fanOut(s, Tables.lineitem(s, dir))
+    val population = Tables.lineitem(s, dir).count()
+    if (population <= gateRows)
+      unpivot(li)
+        .groupBy("col_name")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          r4(min(col("v"))).as("min_v"),
+          r4(max(col("v"))).as("max_v"),
+          approx_count_distinct(col("v")).as("est"))
+        .withColumn("sketch_ok",
+          abs(col("est") - col("n_distinct")) <=
+            lit(ProfileRsdBound) * col("n_distinct"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"))
+        .orderBy("col_name")
+    else {
+      // (l_orderkey, l_linenumber) is the table's row key — the
+      // sample is a pure row-level function, stable across runs
+      val sampled = Tables.certSample(li,
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        population, gateRows)
+      val full = unpivot(li).groupBy("col_name").agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v")).as("n_distinct"),
         r4(min(col("v"))).as("min_v"),
-        r4(max(col("v"))).as("max_v"),
+        r4(max(col("v"))).as("max_v"))
+      val cert = unpivot(sampled).groupBy("col_name").agg(
+        countDistinct(col("v")).as("n_distinct"),
         approx_count_distinct(col("v")).as("est"))
-      .withColumn("sketch_ok",
-        abs(col("est") - col("n_distinct")) <=
-          lit(ProfileRsdBound) * col("n_distinct"))
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"))
-      .orderBy("col_name")
+        .withColumn("sketch_ok",
+          abs(col("est") - col("n_distinct")) <=
+            lit(ProfileRsdBound) * col("n_distinct"))
+      full.join(cert.hint("shuffle_hash"), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"))
+        .orderBy("col_name")
+    }
   }
+
+  /** Above this `lineitem` population the exact-certification terms
+    * of [[profileColumns]] run on the gate-sized sample. The largest
+    * oracle scale (sf0.1) is 600 k rows — the gate binds only the
+    * never-oracled headroom legs and real deployments. */
+  private val ProfileGateRows = 1000000L
 
   private val KmvK = 256
   /** KMV certification envelope: rsd ≈ 1/√(k−2) ≈ 0.063 at k = 256;

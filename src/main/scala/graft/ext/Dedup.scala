@@ -369,14 +369,29 @@ object Dedup {
     // above the join it would be pushed in at the front and the
     // per-pair intersect would run before the O(1) cuts); survivors
     // recompute c for the argmax columns at contained-doc density.
+    //
+    // r11: the verify is the THRESHOLD form — the merge scan abandons
+    // a candidate the moment the unseen remainder cannot reach
+    // ⌈t·na⌉ (at t = 0.9 most failing candidates die within their
+    // first mismatches instead of walking both arrays), and a
+    // LongAccumulator gauge counts verify attempts so the bench
+    // artifact shows candidate volume per leg. For survivors the
+    // returned size equals the plain intersect exactly, so the
+    // result — and the oracle's brute-force replay — is unchanged.
+    val verifyAcc = sorted.sparkSession.sparkContext
+      .longAccumulator("containment_verify_candidates")
+    graft.SessionMemo.setGauge("containment_verify_candidates")(() =>
+      verifyAcc.value.toDouble)
+    val required = ceil(lit(ContainT) * col("na")).cast("int")
     val csize = graft.functions.SortedIntersectSize
-      .sortedIntersectSize(col("ords_a"), col("ords_b"))
+      .sortedIntersectAtLeast(col("ords_a"), col("ords_b"), required,
+        Some(verifyAcc))
     pa.join(pb,
         pa("ord") === pb("ord") && pa("salt") === pb("salt") &&
           col("na") < col("nb") &&
           lit(1) + least(col("na") - col("ia") - 1,
             col("nb") - col("jb") - 1) >= ceil(lit(ContainT) * col("na")) &&
-          csize / col("na") >= lit(ContainT))
+          csize >= required)
       .withColumn("c", csize)
       .withColumn("containment", col("c") / col("na"))
       // argmax container per contained doc: lexicographic struct max

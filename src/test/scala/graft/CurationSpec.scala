@@ -426,6 +426,31 @@ class CurationSpec extends SparkSpec {
     assert(scans == 1, s"profile should scan lineitem once, saw $scans:\n$plan")
   }
 
+  test("profile above the gate: certification sample-bounded, stats full-population") {
+    val li = Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    val full = Curation.profileColumns(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // gate far below the corpus: forces the sampled-certification branch
+    val gated = Curation.profileColumnsGated(spark, sf0001, 1000L).collect()
+    assert(gated.length == 11, s"expected 11 profiled columns, got ${gated.length}")
+    gated.foreach { r =>
+      val name = r.getString(0)
+      val f = full(name)
+      assert(r.getLong(1) == n, s"$name n_rows must stay full-population")
+      assert(r.getLong(2) == f.getLong(2), s"$name n_null must stay full-population")
+      assert(r.getDouble(4) == f.getDouble(4) && r.getDouble(5) == f.getDouble(5),
+        s"$name min/max must stay full-population")
+      assert(r.getLong(3) > 0 && r.getLong(3) <= f.getLong(3),
+        s"$name sampled ndv must be a positive subset count")
+      assert(r.getBoolean(6), s"$name certification must hold on the sample")
+    }
+    // md5-keyed sample: bit-stable across runs
+    val again = Curation.profileColumnsGated(spark, sf0001, 1000L).collect()
+    assert(gated.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "gated profile must be deterministic")
+  }
+
   test("poisson bootstrap: replicate means bracket the true mean, JVM replay") {
     val got = Curation.poissonBootstrap(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

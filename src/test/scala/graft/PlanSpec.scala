@@ -85,6 +85,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"image band join lost its shuffle-hash shape:\n$plan")
   }
 
+  test("cbo join order: the sketch estimate picks the first join and flips the plan") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf0001)
+    val oF = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pF = Tables.part(spark, sf0001).filter(col("p_size") <= 10)
+    // topmost SHJ (pre-order collect) is the SECOND join executed
+    def topJoin(df: org.apache.spark.sql.DataFrame): String = {
+      val shj = collectWithSubqueries(executed(df)) {
+        case j: ShuffledHashJoinExec => j }
+      assert(shj.size == 2, s"expected 2 shuffle-hash joins, got ${shj.size}")
+      shj.head.leftKeys.map(_.sql).mkString(",")
+    }
+    // estimates say orders first → part join sits on top; and vice
+    // versa — the plan FLIPS with the sketch, which is the whole point
+    assert(topJoin(operators.Relational.cboJoinOrderOf(li, oF, pF, 10L, 20L))
+      .contains("l_partkey"), "orders-first plan must top out at the part join")
+    assert(topJoin(operators.Relational.cboJoinOrderOf(li, oF, pF, 20L, 10L))
+      .contains("l_orderkey"), "part-first plan must top out at the orders join")
+    // the declared query's stated choice is consistent with its estimates
+    val r = operators.Relational.cboJoinOrder(spark, sf0001).head()
+    assert(r.getString(2) ==
+      (if (r.getLong(0) <= r.getLong(1)) "orders" else "part"),
+      s"first_join inconsistent with estimates: $r")
+    assert(r.getLong(3) > 0, s"empty join result: $r")
+  }
+
   test("Q16 shape: broadcast prune + anti-join, one distinct aggregate, no Expand") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = executed(operators.Relational.partSupplierCounts(spark, sf0001))
@@ -153,9 +181,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val j = joinLine(ext.Dedup.jaccardPairs(spark, sf0001), "sortedintersectsize")
     assert(j.indexOf("doc_a") < j.indexOf("sortedintersectsize"),
       s"verify precedes the cheap cuts in the jaccard join condition:\n$j")
-    val c = joinLine(ext.Dedup.containmentTop(spark, sf0001), "sortedintersectsize")
+    // containment verifies with the threshold early-exit form (r11)
+    val c = joinLine(ext.Dedup.containmentTop(spark, sf0001),
+      "sortedintersectatleast")
     // containment's cheap cut is the positional least(...) cap
-    assert(c.indexOf("least(") < c.indexOf("sortedintersectsize"),
+    assert(c.indexOf("least(") < c.indexOf("sortedintersectatleast"),
       s"verify precedes the cheap cuts in the containment join condition:\n$c")
     val m = joinLine(ext.Dedup.minhashLsh(spark, sf0001), "arrayagreecount")
     assert(m.indexOf("doc_a") < m.indexOf("arrayagreecount"),

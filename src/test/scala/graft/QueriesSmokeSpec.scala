@@ -134,6 +134,30 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(r.getLong(1) == exact(r.getDate(0).toString), s"wau drift at $r"))
   }
 
+  test("gated exact faces above the gate: cohort-bounded, certified, deterministic") {
+    // tiny gate forces the above-gate branch on the 1000-row corpus
+    val fullDau = streaming.Events.dauWau(spark, sf0001).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val cohort = streaming.Events.dauWauGated(spark, sf0001, 200L).collect()
+    assert(cohort.nonEmpty, "cohort must be non-empty at a 20% keep rate")
+    cohort.foreach { r =>
+      val (d, w) = fullDau(r.getDate(0).toString)
+      assert(r.getLong(1) <= d && r.getLong(2) <= w,
+        s"cohort counts must be subsets of the full population: $r")
+      assert(r.getLong(1) <= r.getLong(2), s"dau > wau: $r")
+    }
+    val wb = streaming.Events.wauSketchGated(spark, sf0001, 200L).collect()
+    assert(wb.nonEmpty && wb.forall(_.getBoolean(2)),
+      "cohort HLL certification must hold")
+    val q = streaming.Events.valueQuantilesGated(spark, sf0001, 200L).collect()
+    assert(q.nonEmpty)
+    q.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) &&
+      r.getDouble(2) <= r.getDouble(3), s"quantiles out of order: $r"))
+    val again = streaming.Events.dauWauGated(spark, sf0001, 200L).collect()
+    assert(cohort.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "md5-keyed cohort must be deterministic")
+  }
+
   test("type transitions: rows are a stochastic matrix over observed pairs") {
     val rows = streaming.Events.typeTransitions(spark, sf0001).collect()
     assert(rows.nonEmpty)
