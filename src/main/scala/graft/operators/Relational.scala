@@ -745,11 +745,44 @@ object Relational {
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // Population-scaled partitioning (the arrayJoinPartitions
+    // discipline, r11): the basket self-join's build side carries the
+    // whole (order, part) incidence and the pair aggregation's key
+    // space is Σ n(n−1)/2 over baskets — both grow linearly with the
+    // corpus, and at a FIXED 32-partition count the per-task build
+    // relation + aggregation map grow with them (the 100×-scale leg
+    // OOMed an 8 GiB heap here; the recurring fixed-width disease).
+    // Basket stats come from one pre-reduced aggregate — order-count
+    // rows through the driver, the same two scalars the containment
+    // join derives.
+    val sz = op.groupBy("o").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sn2")).head()
+    val par = s.sparkContext.defaultParallelism
+    val (nJoin, nPair) =
+      if (sz.isNullAt(0)) (par, par)
+      else (graft.ext.Dedup.arrayJoinPartitions(sz.getLong(0), 0L, par),
+        graft.ext.Dedup.arrayJoinPartitions(
+          math.max((sz.getLong(1) - sz.getLong(0)) / 2, 1L), 0L, par))
     val nOrders = op.agg(countDistinct("o").as("n_orders"))
     val perPart = op.groupBy("p").agg(count(lit(1)).as("n_p"))
-    val pairs = op.toDF("o", "pa")
-      .join(op.toDF("o", "pb").hint("shuffle_hash"), Seq("o"))
+    // both sides repartition to the same HashPartitioning — the join
+    // adds no further exchange; the pair stream then re-keys onto the
+    // pair-space partitioning so the counting aggregation's per-task
+    // state is ~[[graft.ext.Dedup.arrayJoinPartitions]]-target-sized
+    // at any corpus size
+    val opJ = op.repartition(nJoin, col("o"))
+    val joined = opJ.toDF("o", "pa")
+      .join(opJ.toDF("o", "pb").hint("shuffle_hash"), Seq("o"))
       .filter(col("pa") < col("pb"))
+    // the explicit pair-space repartition trades map-side combine for
+    // bounded final-aggregation state — only worth it once the pair
+    // space outgrows the session's default partitioning (at gate
+    // scales nPair == parallelism and the plain partial+final
+    // aggregate is both safe and ~2× cheaper)
+    val keyed =
+      if (nPair > par) joined.repartition(nPair, col("pa"), col("pb"))
+      else joined
+    val pairs = keyed
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= BasketMinSupport)
     pairs

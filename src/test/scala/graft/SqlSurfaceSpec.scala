@@ -123,6 +123,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "events_decay_counts" -> "epoch_us()",
     "pipeline_profile_sketch" -> "hex-string CAST + bare VARCHAR cast + scalar-subquery CTE blocks",
     "rel_join_size_est" -> "range(n) dd(d) alias + hex-string CAST to BIGINT",
+    "rel_cbo_join_order" -> "range(n) dd(d) alias + hex-string CAST to BIGINT",
     "text_boilerplate_chunks" -> "string_split_regex + list slicing",
     "text_pii_scrub" -> "regexp_extract_all + regexp_replace 'g' flag",
     "dedup_duplicate_spans" -> "string_split_regex + list slicing",
