@@ -752,17 +752,17 @@ object Relational {
     // corpus, and at a FIXED 32-partition count the per-task build
     // relation + aggregation map grow with them (the 100×-scale leg
     // OOMed an 8 GiB heap here; the recurring fixed-width disease).
-    // Basket stats come from one pre-reduced aggregate — order-count
-    // rows through the driver, the same two scalars the containment
-    // join derives.
-    val sz = op.groupBy("o").agg(count(lit(1)).as("n"))
-      .agg(sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sn2")).head()
+    // Sizing stats come from parquet METADATA counts (~free at any
+    // scale — a distinct pre-pass just for partition sizing is the
+    // wrong cost model): incidence ≤ lineitem rows, and expected
+    // pairs ≈ rows · avg-basket — a deliberate overestimate of the
+    // distinct incidence, which only adds partitions.
+    val liRows = Tables.lineitem(s, dir).count()
+    val ordRows = math.max(Tables.orders(s, dir).count(), 1L)
+    val pairEst = math.max(liRows * math.max(liRows / ordRows, 1L), 1L)
     val par = s.sparkContext.defaultParallelism
-    val (nJoin, nPair) =
-      if (sz.isNullAt(0)) (par, par)
-      else (graft.ext.Dedup.arrayJoinPartitions(sz.getLong(0), 0L, par),
-        graft.ext.Dedup.arrayJoinPartitions(
-          math.max((sz.getLong(1) - sz.getLong(0)) / 2, 1L), 0L, par))
+    val nJoin = graft.ext.Dedup.arrayJoinPartitions(liRows, 0L, par)
+    val nPair = graft.ext.Dedup.arrayJoinPartitions(pairEst, 0L, par)
     val nOrders = op.agg(countDistinct("o").as("n_orders"))
     val perPart = op.groupBy("p").agg(count(lit(1)).as("n_p"))
     // both sides repartition to the same HashPartitioning — the join
@@ -776,11 +776,11 @@ object Relational {
       .filter(col("pa") < col("pb"))
     // the explicit pair-space repartition trades map-side combine for
     // bounded final-aggregation state — only worth it once the pair
-    // space outgrows the session's default partitioning (at gate
-    // scales nPair == parallelism and the plain partial+final
-    // aggregate is both safe and ~2× cheaper)
+    // space clearly outgrows the session's default partitioning (at
+    // gate scales the plain partial+final aggregate is both safe and
+    // ~2× cheaper)
     val keyed =
-      if (nPair > par) joined.repartition(nPair, col("pa"), col("pb"))
+      if (nPair > 2 * par) joined.repartition(nPair, col("pa"), col("pb"))
       else joined
     val pairs = keyed
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
