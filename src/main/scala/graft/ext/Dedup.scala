@@ -1368,17 +1368,29 @@ object Dedup {
     * brute-force DuckDB oracle never models the bands. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sk = simhashSketch(s, dir)
-    // corpus count: one tiny action on the memoized sketch frame —
-    // the same oracle-replayable COUNT(*) device as the LSH widths
-    val n = sk.count()
-    val plan = Multimodal.bandPlanFor(simBandBlocks(n), SimHammingT, SimBits)
-    Multimodal.nearDupImagePairsPlanned(
-        sk.select(col("doc_id").as("media_id"), col("simhash").as("dhash")),
-        plan, SimHammingT, n)
+      .select(col("doc_id").as("media_id"), col("simhash").as("dhash"))
+    Multimodal.expandHashPairs(sk, simhashHashPairs(s, dir))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** DISTINCT-sketch verified near hash-pairs, session-memoized (r11):
+    * the banded Hamming join is the SimHash family's dominant stage at
+    * scale, and both faces — the doc-level pair listing and the
+    * cluster map — consume the identical hash-level pair set; before
+    * the memo each face re-ran the whole band join (2 × ~15 s at 100×
+    * bench scale). Same sharing shape as [[Multimodal.imageHashPairs]].
+    * The corpus count is one tiny action on the memoized sketch frame
+    * — the same oracle-replayable COUNT(*) device as the LSH widths. */
+  private def simhashHashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cached(s, dir, "simhash_hash_pairs") {
+      val sk = simhashSketch(s, dir)
+      val n = sk.count()
+      val plan = Multimodal.bandPlanFor(simBandBlocks(n), SimHammingT, SimBits)
+      Multimodal.hashPairsPlanned(
+        sk.select(col("simhash").as("dhash")), plan, SimHammingT, n)
+    }
 
   /** SimHash near-dup CLUSTERS — the linear-output face of
     * [[simhashPairs]], completing the pair/cluster duality the
@@ -1394,12 +1406,8 @@ object Dedup {
     * oracle states. */
   def simhashClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "simhash_clusters") {
-      val sk = simhashSketch(s, dir)
-      val n = sk.count()
-      val plan = Multimodal.bandPlanFor(simBandBlocks(n), SimHammingT, SimBits)
-      val hp = Multimodal.hashPairsPlanned(
-        sk.select(col("simhash").as("dhash")), plan, SimHammingT, n)
-      clustersFromHashGraph(sk.select("doc_id", "simhash"), hp)
+      clustersFromHashGraph(simhashSketch(s, dir).select("doc_id", "simhash"),
+          simhashHashPairs(s, dir))
         .orderBy("doc_id")
     }
 
