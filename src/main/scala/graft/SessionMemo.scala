@@ -10,8 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reused, never re-materialized); `clear(session)` drops them
   * eagerly if a long-lived process cycles many sessions. */
 object SessionMemo {
+  /** One lazy build slot per memo key: `putIfAbsent` publishes the
+    * HOLDER (cheap, no thunk run), and the `lazy val` body — which
+    * Scala guards with the holder's monitor — runs the build exactly
+    * once no matter how many first callers race. The r11 shape
+    * (`getOrElseUpdate`) evaluated the thunk OUTSIDE the CAS: two
+    * concurrent first callers both built, both logged `built=true`,
+    * and the loser's `cache()`-marked frame leaked unpersisted. */
+  private final class Slot(mk: () => DataFrame) {
+    // lets clear() unpersist only slots whose build actually ran —
+    // forcing an unbuilt slot just to unpersist it would BUILD it
+    @volatile var forced = false
+    lazy val df: DataFrame = { val b = mk(); forced = true; b }
+  }
+
   private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), Slot]
 
   /** Session-keyed teardown hooks: operators that hold state OUTSIDE
     * this memo (the IVF k-means model cache, bucketed layout tables)
@@ -23,19 +37,25 @@ object SessionMemo {
   def cached(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val key = (s, dir, name)
-    // the hit flag comes from whether OUR thunk ran (atomic with the
-    // insert — a contains()-then-update pair could mis-attribute
-    // under concurrent consumers); the thunk is also timed, which
-    // captures eager builds (CC fixpoints, checkpointed pair tables)
-    // but only plan-construction cost for lazy ones — those
-    // materialize inside the consumer's own measured action.
+    // `secs` is set by THIS call's closure, which only runs if this
+    // call's slot won the publish race AND its lazy val is the one
+    // forced — so at most one caller ever logs `built=true`, and the
+    // timing captures eager builds (CC fixpoints, checkpointed pair
+    // tables) but only plan-construction cost for lazy ones — those
+    // materialize inside the consumer's own measured action. Under a
+    // concurrent first access the build may run on the OTHER thread
+    // (whoever forces the winning slot's lazy val first); attribution
+    // then credits the slot-publisher's consumer — best-effort by
+    // design, while the build itself runs exactly once.
     var secs = -1.0
-    val df = memo.getOrElseUpdate(key, {
+    val slot = new Slot({ () =>
       val t0 = System.nanoTime()
       val b = build.cache()
       secs = (System.nanoTime() - t0) / 1e9
       b
     })
+    val winner = memo.putIfAbsent(key, slot).getOrElse(slot)
+    val df = winner.df
     note(name, built = secs >= 0, math.max(secs, 0.0))
     df
   }
@@ -120,8 +140,9 @@ object SessionMemo {
     * session holds no graft-cached frames, models, or layout tables. */
   def clear(s: SparkSession): Unit = {
     memo.keys.filter(_._1 eq s).foreach { k =>
-      memo.remove(k).foreach(df =>
-        try df.unpersist() catch { case _: Throwable => () })
+      memo.remove(k).foreach(slot =>
+        if (slot.forced)
+          try slot.df.unpersist() catch { case _: Throwable => () })
     }
     cleanups.keys.filter(_._1 eq s).foreach { k =>
       cleanups.remove(k).foreach(f =>

@@ -743,7 +743,10 @@ object Curation {
           abs(col("est") - col("n_distinct")) <=
             lit(ProfileRsdBound) * col("n_distinct"))
         .select(col("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"))
+          col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"),
+          // regime indicator (r12, advisor ask): FALSE here — this
+          // branch ran the full-population exact profile
+          lit(false).as("cert_sampled"))
         .orderBy("col_name")
     else {
       // (l_orderkey, l_linenumber) is the table's row key — the
@@ -764,7 +767,10 @@ object Curation {
             lit(ProfileRsdBound) * col("n_distinct"))
       full.join(cert.hint("shuffle_hash"), Seq("col_name"))
         .select(col("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"))
+          col("n_distinct"), col("min_v"), col("max_v"), col("sketch_ok"),
+          // TRUE: n_distinct/sketch_ok came from the gate-sized
+          // sample — a consumer can tell without knowing the gate
+          lit(true).as("cert_sampled"))
         .orderBy("col_name")
     }
   }
@@ -1178,7 +1184,8 @@ object Curation {
            |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
            |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
            |  round(min(v), 4) AS min_v, round(max(v), 4) AS max_v,
-           |  TRUE AS sketch_ok
+           |  TRUE AS sketch_ok,
+           |  (SELECT count(*) FROM lineitem) > $ProfileGateRows AS cert_sampled
            |FROM (SELECT $sql AS v FROM lineitem)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 

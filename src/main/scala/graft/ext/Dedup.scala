@@ -370,29 +370,44 @@ object Dedup {
     // per-pair intersect would run before the O(1) cuts); survivors
     // recompute c for the argmax columns at contained-doc density.
     //
-    // r11: the verify is the THRESHOLD form — the merge scan abandons
-    // a candidate the moment the unseen remainder cannot reach
-    // ⌈t·na⌉ (at t = 0.9 most failing candidates die within their
-    // first mismatches instead of walking both arrays), and a
-    // LongAccumulator gauge counts verify attempts so the bench
-    // artifact shows candidate volume per leg. For survivors the
-    // returned size equals the plain intersect exactly, so the
-    // result — and the oracle's brute-force replay — is unchanged.
+    // r12: the verify is the MINIMAL-WITNESS form
+    // ([[graft.functions.SortedContainMinimal]]) — r11's threshold
+    // merge scan ran once per SHARED PREFIX ORDINAL, so a true
+    // containment (which shares its whole prefix) paid ~prefix-length
+    // identical full verifies. Now two O(1) value bounds prune
+    // value-range-impossible candidates, at most `ia` binary searches
+    // establish whether THIS row holds the pair's smallest common
+    // ordinal (every other witness row of the pair dies in ~one
+    // binary search), and exactly the minimal row runs the threshold
+    // merge — started at the witness, heads never rescanned. The
+    // LongAccumulator gauge counts those canonical verifies: it now
+    // reads candidate PAIRS (one verify per distinct candidate pair),
+    // not witness rows — 42.0 M → 11.3 M at sf0.1 by measurement. For
+    // survivors the returned size equals the plain full-array
+    // intersect exactly, so the result — and the oracle's brute-force
+    // replay — is unchanged.
     val verifyAcc = sorted.sparkSession.sparkContext
       .longAccumulator("containment_verify_candidates")
     graft.SessionMemo.setGauge("containment_verify_candidates")(() =>
       verifyAcc.value.toDouble)
     val required = ceil(lit(ContainT) * col("na")).cast("int")
     val csize = graft.functions.SortedIntersectSize
-      .sortedIntersectAtLeast(col("ords_a"), col("ords_b"), required,
-        Some(verifyAcc))
+      .sortedContainMinimal(col("ords_a"), col("ords_b"), required,
+        col("ia"), col("jb"), Some(verifyAcc))
+    // the survivor-column recompute is gauge-SILENT (counter = None):
+    // with the shared accumulator it re-counted every qualifying row
+    // a second time (+59% on this corpus's near-dup density),
+    // polluting the candidate readout
+    val csizeOut = graft.functions.SortedIntersectSize
+      .sortedContainMinimal(col("ords_a"), col("ords_b"), required,
+        col("ia"), col("jb"), None)
     pa.join(pb,
         pa("ord") === pb("ord") && pa("salt") === pb("salt") &&
           col("na") < col("nb") &&
           lit(1) + least(col("na") - col("ia") - 1,
             col("nb") - col("jb") - 1) >= ceil(lit(ContainT) * col("na")) &&
           csize >= required)
-      .withColumn("c", csize)
+      .withColumn("c", csizeOut)
       .withColumn("containment", col("c") / col("na"))
       // argmax container per contained doc: lexicographic struct max
       // on (containment, −nb, −doc_b) — a map-side-combining hash
@@ -911,50 +926,39 @@ object Dedup {
     * page, and a paraphrase are the same sample even when no single
     * modality links all three).
     *
-    * r11: the union runs on ONE dense long node space — docs keep
-    * their own ids (< 2^61 by contract of the corpus id space), each
-    * distinct MinHash band bucket becomes node `2^61 | md5_60(t: ∥
-    * bucket)`, each distinct image dHash value node
-    * `2^62 | md5_60(dh: ∥ dhash)` — and all evidence becomes (long,
-    * long) edges into the shared [[clustersFromHashGraph]] fixpoint:
-    * doc→bucket and doc→dhash memberships, verified embedding pairs
-    * (already doc-level), and verified dHash near pairs (node-level).
-    * Reachability is identical to the retired string-keyed bucket
-    * form (node mapping is injective per range; a 60-bit md5
-    * collision inside a range is ~n²/2^61 — negligible and, being
-    * md5-deterministic, identical across runs), but the CC input
-    * carries zero string keys: the string bucket union was the last
-    * `clustersFromBuckets` caller over mixed id spaces and the most
-    * expensive query at every bench scale (86.9 s at 100× scale).
-    * Every memoized family build (signatures, hash frames, verified
-    * pair tables) is REUSED, not recomputed. Output one row per
-    * document: (doc_id, cluster_rep, cluster_size). */
+    * r12: the union is PRE-CONTRACTED through the per-family cluster
+    * maps the session already holds — `dedup_clusters` (MinHash band
+    * reachability), `dedup_embedding_clusters` (verified cosine
+    * pairs), `mm_image_clusters` (dHash membership + verified Hamming
+    * pairs) are each the transitive CLOSURE of their own evidence, so
+    * feeding (doc → family cluster_rep) edges into the fixpoint
+    * yields doc-level reachability IDENTICAL to the raw evidence
+    * union: cross-modal chains only ever bridge through shared DOCS
+    * (band-bucket and dHash nodes are family-internal — no evidence
+    * edge joins a text bucket to an image hash except via a
+    * document), and within a family the rep edge set is exactly its
+    * closure. The r11 form re-derived text connectivity from raw
+    * doc→bucket membership (|membership| ≈ 4 rows/doc plus pair-level
+    * bridges) although the memoized maps already hold the answer; the
+    * contracted edge list is ≤ 3 doc-level star edges per doc — its
+    * own CC is a star forest almost everywhere and converges in 1–2
+    * rounds (the ~31 s own-CC half of the 61.2 s sf10 query). All
+    * three family maps are session-memoized, so in any real session
+    * (and the bench) they are built once and REUSED here. Output one
+    * row per document: (doc_id, cluster_rep, cluster_size). */
   def crossModalClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cached(s, dir, "crossmodal_clusters") {
-      val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
-        signatures(distinctTokens(s, dir))
-      }
-      val textNode = lit(1L << 61)
-        .bitwiseOR(md5Hash60(concat(lit("t:"), col("bucket")))).as("h_b")
-      val textEdges = minhashBuckets(sigs)
-        .select(col("doc_id").as("h_a"), textNode)
-      // embedding evidence is already doc-level (vec ids ARE doc ids,
-      // vec_a < vec_b canonical): direct doc–doc edges
-      val embEdges = Similarity.embeddingNearDups(s, dir)
-        .select(col("vec_a").as("h_a"), col("vec_b").as("h_b"))
-      // image evidence at the hash level (r10): docs sharing a dHash
-      // meet at its node; verified near hash-pairs bridge node pairs
-      def imgNode(dh: Column) = lit(1L << 62)
-        .bitwiseOR(md5Hash60(concat(lit("dh:"), dh.cast("string"))))
-      val imgMember = Multimodal.imageHashFrame(s, dir)
-        .select(col("media_id").as("h_a"), imgNode(col("dhash")).as("h_b"))
-      val imgPairs = Multimodal.imageHashPairs(s, dir)
-        .select(imgNode(col("h_a")).as("na"), imgNode(col("h_b")).as("nb"))
-        .select(least(col("na"), col("nb")).as("h_a"),
-          greatest(col("na"), col("nb")).as("h_b"))
-        .where(col("h_a") =!= col("h_b"))
-      val edges = textEdges.unionByName(embEdges)
-        .unionByName(imgMember).unionByName(imgPairs).distinct()
+      // each family map emits (rep → member) star edges; rep is the
+      // component-MIN member id, so rep < doc orients every edge the
+      // way the fixpoint expects (h_a < h_b), and singleton rows
+      // (rep == member) contribute nothing
+      def repEdges(map: DataFrame, idCol: String) = map
+        .filter(col("cluster_rep") =!= col(idCol))
+        .select(col("cluster_rep").as("h_a"), col(idCol).as("h_b"))
+      val edges = repEdges(clusters(s, dir), "doc_id")
+        .unionByName(repEdges(Similarity.embeddingClusters(s, dir), "vec_id"))
+        .unionByName(repEdges(Multimodal.imageClusters(s, dir), "media_id"))
+        .distinct()
       // every doc enters as its own node; singletons re-enter via the
       // left join on the finished node→root map
       val ids = graft.Tables.documents(s, dir)

@@ -297,7 +297,7 @@ object Similarity {
   /** The Lloyd build over an arbitrary (vec_id, v, nrm) frame — the
     * (session, dir) form above trains on the whole corpus; the
     * index-upsert face trains on the standing BASE only. */
-  private def buildKmeansOf(vs: DataFrame, k: Int, iters: Int)
+  private[graft] def buildKmeansOf(vs: DataFrame, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Seq[Double], Double)]) = {
     import graft.functions.Num.davg
     // the assignment frames CARRY (v, nrm): every per-round frame is
@@ -370,7 +370,7 @@ object Similarity {
 
   /** Literal scoring for model-sized k (fully codegen'd, zero
     * shuffle), join scoring once k is corpus-derived. */
-  private def assignToNearestAny(vs: DataFrame,
+  private[graft] def assignToNearestAny(vs: DataFrame,
       cents: Seq[(Int, Seq[Double], Double)]): DataFrame =
     if (cents.size <= 16) assignToNearest(vs, cents)
     else assignByJoin(vs, cents)

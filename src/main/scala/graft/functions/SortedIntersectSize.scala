@@ -107,6 +107,16 @@ object SortedIntersectSize {
     GraftShims.column(SortedIntersectAtLeast(
       GraftShims.expression(a), GraftShims.expression(b),
       GraftShims.expression(required), counter))
+
+  /** Column-API entry point for the minimal-witness containment
+    * verify. */
+  def sortedContainMinimal(a: Column, b: Column, required: Column,
+      ia: Column, jb: Column,
+      counter: Option[org.apache.spark.util.LongAccumulator] = None): Column =
+    GraftShims.column(SortedContainMinimal(
+      GraftShims.expression(a), GraftShims.expression(b),
+      GraftShims.expression(required), GraftShims.expression(ia),
+      GraftShims.expression(jb), counter))
 }
 
 /** Threshold verify: `|A ∩ B|` when it reaches `required`, else −1 —
@@ -212,4 +222,210 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): SortedIntersectAtLeast =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Minimal-witness containment verify — the per-PAIR form of
+  * [[SortedIntersectAtLeast]] for prefix-filtered candidate joins
+  * that emit one row per SHARED PREFIX ORDINAL: a pair sharing k
+  * bounded-prefix ordinals reaches the verify k times, and for true
+  * containments (which share their whole prefix) that multiplied the
+  * r11 verify volume by ~the prefix length. Inputs: the two
+  * ascending-sorted ordinal arrays, the threshold `required =
+  * ⌈t·|A|⌉`, and the witness POSITIONS (`ia` in A, `jb` in B, both
+  * 0-based, with A(ia) == B(jb) == the joined ordinal). Semantics:
+  *
+  *  1. O(1) value bounds: if A(required−1) > B.last, fewer than
+  *     `required` elements of A can sit inside B's value range (B is
+  *     sorted); symmetrically if A(|A|−required) < B.head. Either →
+  *     −1, before anything is counted.
+  *  2. MINIMALITY: the pair's canonical verify runs at the witness
+  *     holding the pair's SMALLEST common ordinal. Any smaller common
+  *     value must pair A's head (positions < ia) with B's head
+  *     (positions < jb, since B(≥jb) ≥ the witness ordinal), so the
+  *     check is `A[0..ia) ∩ B[0..jb) = ∅` — at most `ia` (≤ prefix
+  *     length) binary searches over B's head, first hit → −1 (a
+  *     DIFFERENT row owns this pair). Every qualifying pair's minimal
+  *     witness row survives the candidate join's positional/probe
+  *     bounds (the prefix-filter theorem puts the smallest common
+  *     ordinal inside A's prefix, and the positional cap holds
+  *     there), so gating to it never drops a qualifying pair.
+  *  3. The threshold merge scan of [[SortedIntersectAtLeast]], but
+  *     started AT (ia, jb) with the witness pre-counted — the heads
+  *     are disjoint by (2), so no match is skipped and the heads are
+  *     never rescanned.
+  *
+  * For the surviving (minimal, qualifying) row the returned count
+  * equals the plain full-array intersect exactly — downstream
+  * arithmetic and the oracle's brute-force replay are unchanged; the
+  * only difference is each pair yields ONE verified row instead of k
+  * identical ones (the consumer's argmax was already
+  * duplicate-insensitive). `counter` counts CANONICAL verify attempts
+  * — one per distinct candidate pair that reaches step 3 — so the
+  * gauge now reads candidate PAIRS, not witness rows. */
+case class SortedContainMinimal(aArr: Expression, bArr: Expression,
+    required: Expression, ia: Expression, jb: Expression,
+    counter: Option[org.apache.spark.util.LongAccumulator])
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(aArr, bArr, required, ia, jb)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = IntegerType
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arraysOk = Seq(IntegerType, LongType).exists(et =>
+      Seq(aArr, bArr).forall(_.dataType match {
+        case ArrayType(`et`, _) => true
+        case _ => false
+      }))
+    if (arraysOk && Seq(required, ia, jb).forall(_.dataType == IntegerType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_contain_minimal requires two sorted arrays + three int " +
+        s"args, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+  }
+
+  private def isLong: Boolean =
+    aArr.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a0 = aArr.eval(input); if (a0 == null) return null
+    val b0 = bArr.eval(input); if (b0 == null) return null
+    val r0 = required.eval(input); if (r0 == null) return null
+    val i0 = ia.eval(input); if (i0 == null) return null
+    val j0 = jb.eval(input); if (j0 == null) return null
+    val x = a0.asInstanceOf[ArrayData]
+    val y = b0.asInstanceOf[ArrayData]
+    val req = r0.asInstanceOf[Int]
+    val wi = i0.asInstanceOf[Int]
+    val wj = j0.asInstanceOf[Int]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    @inline def ax(i: Int): Long = if (isLong) x.getLong(i) else x.getInt(i).toLong
+    @inline def by(j: Int): Long = if (isLong) y.getLong(j) else y.getInt(j).toLong
+    if (req < 1 || req > n1 || n2 < 1) return -1
+    // O(1) value bounds
+    if (ax(req - 1) > by(n2 - 1)) return -1
+    if (ax(n1 - req) < by(0)) return -1
+    // minimality: A[0..wi) must not intersect B[0..wj)
+    var p = 0
+    while (p < wi) {
+      val v = ax(p)
+      var lo = 0; var hi = wj
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (by(mid) < v) lo = mid + 1 else hi = mid
+      }
+      if (lo < wj && by(lo) == v) return -1
+      p += 1
+    }
+    counter.foreach(_.add(1L))
+    // threshold merge from the witness, witness pre-counted
+    var i = wi + 1; var j = wj + 1; var c = 1
+    while (i < n1 && j < n2 &&
+        c + math.min(n1 - i, n2 - j) >= req) {
+      val xi = ax(i); val yj = by(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    if (c >= req) c else -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aC = aArr.genCode(ctx); val bC = bArr.genCode(ctx)
+    val rC = required.genCode(ctx)
+    val iC = ia.genCode(ctx); val jC = jb.genCode(ctx)
+    val (jt, getter) = if (isLong) ("long", "getLong") else ("int", "getInt")
+    val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+    val p = ctx.freshName("p"); val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi"); val mid = ctx.freshName("mid")
+    val v = ctx.freshName("v"); val i = ctx.freshName("i")
+    val j = ctx.freshName("j"); val c = ctx.freshName("c")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val rem = ctx.freshName("rem"); val done = ctx.freshName("done")
+    val count = counter.map { acc =>
+      val ref = ctx.addReferenceObj("verifyCounter", acc,
+        "org.apache.spark.util.LongAccumulator")
+      s"$ref.add(1L);"
+    }.getOrElse("")
+    val body =
+      s"""
+         |final int $n1 = ${aC.value}.numElements();
+         |final int $n2 = ${bC.value}.numElements();
+         |int $c = -1;
+         |boolean $done = false;
+         |if (${rC.value} < 1 || ${rC.value} > $n1 || $n2 < 1 ||
+         |    ${aC.value}.$getter(${rC.value} - 1) > ${bC.value}.$getter($n2 - 1) ||
+         |    ${aC.value}.$getter($n1 - ${rC.value}) < ${bC.value}.$getter(0)) {
+         |  $done = true;
+         |}
+         |if (!$done) {
+         |  for (int $p = 0; $p < ${iC.value}; $p++) {
+         |    final $jt $v = ${aC.value}.$getter($p);
+         |    int $lo = 0, $hi = ${jC.value};
+         |    while ($lo < $hi) {
+         |      final int $mid = ($lo + $hi) >>> 1;
+         |      if (${bC.value}.$getter($mid) < $v) { $lo = $mid + 1; }
+         |      else { $hi = $mid; }
+         |    }
+         |    if ($lo < ${jC.value} && ${bC.value}.$getter($lo) == $v) {
+         |      $done = true; break;
+         |    }
+         |  }
+         |}
+         |if (!$done) {
+         |  $count
+         |  int $i = ${iC.value} + 1, $j = ${jC.value} + 1;
+         |  $c = 1;
+         |  while ($i < $n1 && $j < $n2) {
+         |    final int $rem = ($n1 - $i < $n2 - $j) ? ($n1 - $i) : ($n2 - $j);
+         |    if ($c + $rem < ${rC.value}) { break; }
+         |    final $jt $x = ${aC.value}.$getter($i);
+         |    final $jt $y = ${bC.value}.$getter($j);
+         |    if ($x == $y) { $c++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; }
+         |    else { $j++; }
+         |  }
+         |  if ($c < ${rC.value}) { $c = -1; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    if (nullable) {
+      val anyNull = Seq(aC, bC, rC, iC, jC).map(_.isNull).mkString(" || ")
+      ev.copy(code =
+        code"""
+          ${aC.code}
+          ${bC.code}
+          ${rC.code}
+          ${iC.code}
+          ${jC.code}
+          boolean ${ev.isNull} = $anyNull;
+          int ${ev.value} = -1;
+          if (!${ev.isNull}) {
+            $body
+          }""")
+    } else {
+      ev.copy(code =
+        code"""
+          ${aC.code}
+          ${bC.code}
+          ${rC.code}
+          ${iC.code}
+          ${jC.code}
+          int ${ev.value} = -1;
+          {
+            $body
+          }""",
+        isNull = FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SortedContainMinimal =
+    copy(aArr = newChildren(0), bArr = newChildren(1),
+      required = newChildren(2), ia = newChildren(3), jb = newChildren(4))
 }

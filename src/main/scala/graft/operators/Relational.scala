@@ -752,14 +752,26 @@ object Relational {
     // corpus, and at a FIXED 32-partition count the per-task build
     // relation + aggregation map grow with them (the 100×-scale leg
     // OOMed an 8 GiB heap here; the recurring fixed-width disease).
-    // Sizing stats come from parquet METADATA counts (~free at any
-    // scale — a distinct pre-pass just for partition sizing is the
-    // wrong cost model): incidence ≤ lineitem rows, and expected
-    // pairs ≈ rows · avg-basket — a deliberate overestimate of the
-    // distinct incidence, which only adds partitions.
+    // Join-build sizing comes from the parquet METADATA count (~free
+    // at any scale): incidence ≤ lineitem rows. Pair-space sizing is
+    // the SECOND MOMENT Σ n·(n−1)/2 over per-order line counts — the
+    // r11 first-moment proxy rows·avg-basket is, by Cauchy–Schwarz,
+    // the MINIMUM of the true pair count, so under basket-size skew
+    // (the heavy-hitter regime) it undershoots by orders of magnitude
+    // and re-exposes the aggregation-state OOM this sizing exists to
+    // prevent. The stats job is one partial-aggregating pass over the
+    // single-column orderkey projection (map-side combine ships at
+    // most one (order, n) row per order — far below the full-incidence
+    // shuffle the join itself is about to pay), computed over RAW
+    // lines (≥ the distinct incidence's baskets), so it only ever
+    // overestimates — which only adds partitions.
     val liRows = Tables.lineitem(s, dir).count()
-    val ordRows = math.max(Tables.orders(s, dir).count(), 1L)
-    val pairEst = math.max(liRows * math.max(liRows / ordRows, 1L), 1L)
+    val pairRow = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o")).groupBy("o")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")).as("pairs"))
+      .head()
+    val pairEst = if (pairRow.isNullAt(0)) 1L else math.max(pairRow.getLong(0), 1L)
     val par = s.sparkContext.defaultParallelism
     val nJoin = graft.ext.Dedup.arrayJoinPartitions(liRows, 0L, par)
     val nPair = graft.ext.Dedup.arrayJoinPartitions(pairEst, 0L, par)
@@ -905,98 +917,165 @@ object Relational {
       .groupBy(col("db.d").as("d"), col("db.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
-  /** The CMS join-cardinality estimate as a driver scalar: min over
-    * depths of Σ_b ca·cb (Alon–Matias–Szegedy style inner product —
-    * an upper bound in expectation 3·|A|·|B|/W above the truth).
-    * One tiny action over two bucket-count frames (≤ D·W rows each)
-    * — the J2 scalar-through-driver pattern. Empty side → 0. */
-  private[graft] def cmsJoinRowsEst(a: DataFrame, b: DataFrame): Long = {
-    val r = cmsKeySketch(a).toDF("d", "b", "ca")
-      .join(cmsKeySketch(b).toDF("d", "b", "cb"), Seq("d", "b"))
-      .groupBy("d").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min("ip").as("est")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+  /** A side's CMS sketch collected to the driver — ≤ [[JcmsD]]·
+    * [[JcmsW]] (d, bucket, count) cells, the J2 bounded-driver-data
+    * pattern: ONE scan of the side yields every statistic the CBO
+    * reads (join-cardinality inner products against any other sketch,
+    * and the side's own row count), exactly how a planner holds
+    * per-table sketch state at 100 TB. */
+  private[graft] def cmsCollect(keys: DataFrame): Array[(Int, Long, Long)] =
+    cmsKeySketch(keys).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+
+  /** The CMS join-cardinality estimate from two collected sketches:
+    * min over depths of Σ_b ca·cb (Alon–Matias–Szegedy style inner
+    * product — an upper bound in expectation 3·|A|·|B|/W above the
+    * truth). Empty side → 0. */
+  private[graft] def cmsJoinRowsEst(a: Array[(Int, Long, Long)],
+      b: Array[(Int, Long, Long)]): Long = {
+    val bm = b.map { case (d, bk, c) => (d, bk) -> c }.toMap
+    val ips = (0 until JcmsD).map { d =>
+      a.iterator.filter(_._1 == d)
+        .map { case (_, bk, ca) => ca * bm.getOrElse((d, bk), 0L) }.sum
+    }
+    if (ips.isEmpty || a.isEmpty || b.isEmpty) 0L else ips.min
   }
 
-  def joinSizeEst(s: SparkSession, dir: String): DataFrame = {
+  /** A side's row count read off its own sketch — the depth-0 bucket
+    * counts partition the side's rows exactly (every key lands in one
+    * bucket per depth), so Σ_b c at d = 0 IS |side|, with no second
+    * scan: the same sketch state prices both the join orders and the
+    * build sides. */
+  private[graft] def cmsSideRows(a: Array[(Int, Long, Long)]): Long =
+    a.iterator.filter(_._1 == 0).map(_._3).sum
+
+  /** Above this `lineitem` population [[joinSizeEst]]'s EXACT join —
+    * the certification term, a full two-sided shuffle that grows with
+    * the corpus while the sketch stays one map-combine pass per side
+    * (9.3 s of the query's sf10 wall) — restricts to a deterministic
+    * md5 KEY cohort ([[Tables.certSample]] on the join key: the same
+    * keep set on both sides, so the cohort join is the true join
+    * restricted to kept keys). The certification then compares
+    * cohort-exact to cohort-CMS (sketches of the same cohort frames —
+    * like with like, the `events_wau_sketch` discipline), while
+    * `n_left`/`n_right`/`est_join_rows` stay full-population
+    * readouts; `cert_sampled` states the regime in-row. */
+  private val JoinEstGateRows = 1000000L
+
+  def joinSizeEst(s: SparkSession, dir: String): DataFrame =
+    joinSizeEstGated(s, dir, JoinEstGateRows)
+
+  private[graft] def joinSizeEstGated(s: SparkSession, dir: String,
+      gateRows: Long): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
     val or = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
-    val ip = cmsKeySketch(li).toDF("d", "b", "ca")
-      .join(cmsKeySketch(or).toDF("d", "b", "cb"), Seq("d", "b"))
-      .groupBy("d").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min("ip").as("est_join_rows"))
-    val exact = li.join(or.hint("shuffle_hash"), Seq("k"))
+    val skL = cmsCollect(li)
+    val skR = cmsCollect(or)
+    val population = cmsSideRows(skL)
+    val gated = population > gateRows
+    val (liC, orC) =
+      if (gated)
+        (Tables.certSample(li, col("k"), population, gateRows),
+          Tables.certSample(or, col("k"), population, gateRows))
+      else (li, or)
+    // certification terms: below the gate these ARE the full sketches
+    // (zero extra work); above it, cohort sketches of the same frames
+    // the cohort join reads
+    val (skLc, skRc) = if (gated) (cmsCollect(liC), cmsCollect(orC))
+      else (skL, skR)
+    val estC = cmsJoinRowsEst(skLc, skRc)
+    val exact = liC.join(orC.hint("shuffle_hash"), Seq("k"))
       .agg(count(lit(1)).as("exact_join_rows"))
-    li.agg(count(lit(1)).as("n_left"))
-      .crossJoin(or.agg(count(lit(1)).as("n_right")))
-      .crossJoin(ip).crossJoin(exact)
-      .select(col("n_left"), col("n_right"), col("exact_join_rows"),
-        col("est_join_rows"),
-        // stated multiplied-through so the arithmetic stays integer
-        // on both engines (Spark's `/` on longs is double division);
-        // the bound term runs in DECIMAL so `3·n_left·n_right` cannot
-        // silently wrap negative in non-ANSI BIGINT once
-        // |A|·|B| > 2^63/3 (~sf300) — scale-0 decimals are exact to
-        // 38 digits on both engines
-        (col("exact_join_rows") <= col("est_join_rows") &&
-          (col("est_join_rows") - col("exact_join_rows")).cast("decimal(20,0)") *
-            lit(java.math.BigDecimal.valueOf(JcmsW.toLong)) <=
-            lit(java.math.BigDecimal.valueOf(3)) *
-              col("n_left").cast("decimal(18,0)") *
-              col("n_right").cast("decimal(18,0)"))
-          .as("within_bound"))
+    exact.select(
+      lit(population).as("n_left"),
+      lit(cmsSideRows(skR)).as("n_right"),
+      col("exact_join_rows"),
+      lit(cmsJoinRowsEst(skL, skR)).as("est_join_rows"),
+      // stated multiplied-through so the arithmetic stays integer
+      // on both engines (Spark's `/` on longs is double division);
+      // the bound term runs in DECIMAL so `3·n_left·n_right` cannot
+      // silently wrap negative in non-ANSI BIGINT once
+      // |A|·|B| > 2^63/3 (~sf300) — scale-0 decimals are exact to
+      // 38 digits on both engines. Cohort-side counts bound the
+      // cohort certification; below the gate they equal n_left/n_right
+      (col("exact_join_rows") <= lit(estC) &&
+        (lit(estC) - col("exact_join_rows")).cast("decimal(20,0)") *
+          lit(java.math.BigDecimal.valueOf(JcmsW.toLong)) <=
+          lit(java.math.BigDecimal.valueOf(3)) *
+            lit(cmsSideRows(skLc)).cast("decimal(18,0)") *
+            lit(cmsSideRows(skRc)).cast("decimal(18,0)"))
+        .as("within_bound"),
+      lit(gated).as("cert_sampled"))
   }
 
-  /** The CMS estimate ACTING as a cost-based optimizer — r11, closing
-    * the "readout with no consumer" gap: a 3-table star
-    * (lineitem ⋈ urgent orders ⋈ small parts) where the JOIN ORDER is
-    * chosen by the [[cmsJoinRowsEst]] sketch — the smaller estimated
-    * first-join runs first, so the second (costlier) join sees the
-    * reduced intermediate. The choice is a driver-side two-scalar
-    * compare (the J2 scalar-through-driver pattern; the sketches are
-    * ≤ D·W-row aggregates, never corpus collects) and is REPLAYED by
-    * the oracle: DuckDB recomputes both md5-seeded estimates and
-    * states the identical `first_join` — an engine mis-choice flips
-    * that column and fails the hash gate. The final aggregate is
-    * order-invariant, so correctness never depends on the optimizer
-    * being right — only the plan shape does (`PlanSpec` asserts the
-    * chosen dimension joins below the other, and that the assert
-    * FLIPS on a fixture whose selectivities reverse). Both dimension
-    * sides are corpus-derived → shuffle-hash, never broadcast. */
+  /** The CMS estimate ACTING as a cost-based optimizer — r11 chose the
+    * JOIN ORDER; r12 extends the same sketch state to the shuffle-hash
+    * BUILD SIDE of each join: a 3-table star (lineitem ⋈ urgent
+    * orders ⋈ small parts) where (a) the smaller estimated first-join
+    * runs first, so the second (costlier) join sees the reduced
+    * intermediate, and (b) each join BUILDS its hash relation on the
+    * smaller estimated side — the dimension when its sketch row count
+    * undercuts the fact side, the fact/intermediate when the
+    * selectivities reverse. The second join's fact-side estimate is
+    * the FIRST join's CMS output cardinality — the sketch pipeline a
+    * real CBO runs. All choices are driver-side scalar compares over
+    * collected sketches (≤ D·W cells per side, the J2 pattern; the
+    * side row counts come off the SAME sketches at depth 0 — one scan
+    * per side prices everything) and all are REPLAYED by the oracle:
+    * DuckDB recomputes both md5-seeded estimates and the side counts,
+    * and states identical `first_join`/`build_first`/`build_second` —
+    * an engine mis-choice flips a column and fails the hash gate. The
+    * final aggregate is order- and build-invariant, so correctness
+    * never depends on the optimizer being right — only the plan shape
+    * does (`PlanSpec` asserts the chosen dimension joins below the
+    * other AND the chosen build side, and that both FLIP with
+    * reversed estimates). Every side is corpus-derived → shuffle-hash,
+    * never broadcast. */
   def cboJoinOrder(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val ordersF = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === CboPriority)
     val partF = Tables.part(s, dir).filter(col("p_size") <= CboMaxSize)
-    val estO = cmsJoinRowsEst(
-      li.select(col("l_orderkey").as("k")),
-      ordersF.select(col("o_orderkey").as("k")))
-    val estP = cmsJoinRowsEst(
-      li.select(col("l_partkey").as("k")),
-      partF.select(col("p_partkey").as("k")))
-    cboJoinOrderOf(li, ordersF, partF, estO, estP)
+    val skLiO = cmsCollect(li.select(col("l_orderkey").as("k")))
+    val skO = cmsCollect(ordersF.select(col("o_orderkey").as("k")))
+    val skLiP = cmsCollect(li.select(col("l_partkey").as("k")))
+    val skP = cmsCollect(partF.select(col("p_partkey").as("k")))
+    cboJoinOrderOf(li, ordersF, partF,
+      cmsJoinRowsEst(skLiO, skO), cmsJoinRowsEst(skLiP, skP),
+      cmsSideRows(skLiO), cmsSideRows(skO), cmsSideRows(skP))
   }
 
   private val CboPriority = "1-URGENT"
   private val CboMaxSize = 10
 
-  /** The order-choosing join tree itself, estimate-parameterized so
-    * `PlanSpec` can drive the choice both ways on synthetic frames. */
+  /** The order- and build-choosing join tree itself,
+    * estimate-parameterized so `PlanSpec` can drive every choice both
+    * ways on synthetic frames. `nLi`/`nOrders`/`nPart` are the sides'
+    * sketch-derived row counts; the second join's left side is priced
+    * at the first join's estimated cardinality. */
   private[graft] def cboJoinOrderOf(li: DataFrame, ordersF: DataFrame,
-      partF: DataFrame, estOrders: Long, estPart: Long): DataFrame = {
+      partF: DataFrame, estOrders: Long, estPart: Long,
+      nLi: Long, nOrders: Long, nPart: Long): DataFrame = {
     import graft.functions.Num._
+    // hint exactly the side the estimates elect to build
+    def shj(l: DataFrame, r: DataFrame,
+        cond: org.apache.spark.sql.Column,
+        buildRight: Boolean): DataFrame =
+      if (buildRight) l.join(r.hint("shuffle_hash"), cond)
+      else l.hint("shuffle_hash").join(r, cond)
     val ordersFirst = estOrders <= estPart
+    val buildDim1 = (if (ordersFirst) nOrders else nPart) <= nLi
+    val buildDim2 =
+      if (ordersFirst) nPart <= estOrders else nOrders <= estPart
     val joined =
       if (ordersFirst)
-        li.join(ordersF.hint("shuffle_hash"),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(partF.hint("shuffle_hash"),
-            col("l_partkey") === col("p_partkey"))
+        shj(shj(li, ordersF, col("l_orderkey") === col("o_orderkey"),
+            buildDim1),
+          partF, col("l_partkey") === col("p_partkey"), buildDim2)
       else
-        li.join(partF.hint("shuffle_hash"),
-            col("l_partkey") === col("p_partkey"))
-          .join(ordersF.hint("shuffle_hash"),
-            col("l_orderkey") === col("o_orderkey"))
+        shj(shj(li, partF, col("l_partkey") === col("p_partkey"),
+            buildDim1),
+          ordersF, col("l_orderkey") === col("o_orderkey"), buildDim2)
     joined.agg(
         count(lit(1)).as("n_rows"),
         r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -1004,6 +1083,10 @@ object Relational {
       .select(lit(estOrders).as("est_orders_rows"),
         lit(estPart).as("est_part_rows"),
         lit(if (ordersFirst) "orders" else "part").as("first_join"),
+        lit(if (buildDim1) (if (ordersFirst) "orders" else "part")
+            else "lineitem").as("build_first"),
+        lit(if (buildDim2) (if (ordersFirst) "part" else "orders")
+            else "mid").as("build_second"),
         col("n_rows"), col("revenue"))
   }
 
@@ -1389,12 +1472,15 @@ object Relational {
          |     * CAST($JcmsW AS DECIMAL(4,0))
          |   <= CAST(3 AS DECIMAL(1,0)) * CAST(n_left AS DECIMAL(18,0))
          |     * CAST(n_right AS DECIMAL(18,0)))
-         |    AS within_bound
+         |    AS within_bound,
+         |  (SELECT count(*) FROM la) > $JoinEstGateRows AS cert_sampled
          |FROM n, est, ex""".stripMargin,
 
-    // the oracle replays BOTH md5-seeded CMS estimates, states the
-    // identical order choice, and computes the order-invariant
-    // aggregate flat — an engine mis-choice flips first_join
+    // the oracle replays BOTH md5-seeded CMS estimates plus the three
+    // side counts (the sketches' depth-0 row totals are exactly
+    // count(*)), states the identical order AND build-side choices,
+    // and computes the order-invariant aggregate flat — an engine
+    // mis-choice flips a stated column
     "rel_cbo_join_order" ->
       s"""WITH lo AS (SELECT l_orderkey AS k FROM lineitem),
          |ofk AS (SELECT o_orderkey AS k FROM orders
@@ -1425,12 +1511,25 @@ object Relational {
          |  FROM lineitem
          |    JOIN orders ON l_orderkey = o_orderkey
          |    JOIN part ON l_partkey = p_partkey
-         |  WHERE o_orderpriority = '$CboPriority' AND p_size <= $CboMaxSize)
+         |  WHERE o_orderpriority = '$CboPriority' AND p_size <= $CboMaxSize),
+         |ns AS (SELECT (SELECT count(*) FROM lineitem) AS n_li,
+         |    (SELECT count(*) FROM ofk) AS n_o,
+         |    (SELECT count(*) FROM pfk) AS n_p)
          |SELECT est_orders_rows, est_part_rows,
          |  CASE WHEN est_orders_rows <= est_part_rows THEN 'orders'
          |       ELSE 'part' END AS first_join,
+         |  CASE WHEN est_orders_rows <= est_part_rows
+         |       THEN CASE WHEN n_o <= n_li THEN 'orders' ELSE 'lineitem' END
+         |       ELSE CASE WHEN n_p <= n_li THEN 'part' ELSE 'lineitem' END
+         |  END AS build_first,
+         |  CASE WHEN est_orders_rows <= est_part_rows
+         |       THEN CASE WHEN n_p <= est_orders_rows THEN 'part'
+         |            ELSE 'mid' END
+         |       ELSE CASE WHEN n_o <= est_part_rows THEN 'orders'
+         |            ELSE 'mid' END
+         |  END AS build_second,
          |  n_rows, revenue
-         |FROM e1, e2, agg""".stripMargin,
+         |FROM e1, e2, agg, ns""".stripMargin,
 
     // the oracle keeps Q5's flat form with the same-nation equality
     // in the WHERE clause; the engine runs the join-graph placement

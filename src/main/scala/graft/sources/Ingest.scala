@@ -179,17 +179,28 @@ object Ingest {
     // batch-derived key list: tiny vs the table, broadcast both ways
     val touchedHist = history.join(broadcast(touched), Seq(key), "left_semi")
     val untouched = history.join(broadcast(touched), Seq(key), "left_anti")
-    val log = touchedHist.drop(intervalCols: _*)
+    val log0 = touchedHist.drop(intervalCols: _*)
       .unionByName(changes)
-      .dropDuplicates()
     // valid_from alone is not a total order: two DISTINCT payload
     // versions sharing (key, valid_from) would chain
-    // nondeterministically across runs/engines. The full payload as
-    // secondary sort makes the chain order total (rows are distinct
-    // after dropDuplicates), so replay and engine-swap are stable.
-    val payloadCols = log.columns.filter(c => c != key && c != "valid_from")
+    // nondeterministically across runs/engines. An md5 digest of the
+    // payload (its JSON rendering — null-safe, defined for EVERY
+    // column type) makes BOTH the replay dedup and the chain order
+    // total: the r11 form deduped with dropDuplicates() over raw
+    // columns and sorted ties by them, which failed analysis the
+    // moment a change log carried a non-orderable/non-set-op column
+    // (map, or a struct holding one), though the helper is generic
+    // over payloads. Digest-equal rows are identical payloads (a
+    // deterministic md5 collision aside), so which one dedup keeps is
+    // content-irrelevant. The fixture's change log has no (key,
+    // valid_from) ties, so the oracle keeps its plain valid_from
+    // chain.
+    val payloadCols = log0.columns.filter(c => c != key && c != "valid_from")
+    val payloadDigest = md5(to_json(struct(payloadCols.map(col).toSeq: _*)))
+    val log = log0.withColumn("__digest", payloadDigest)
+      .dropDuplicates(key, "valid_from", "__digest")
     val w = Window.partitionBy(key)
-      .orderBy(col("valid_from") +: payloadCols.toSeq.map(col): _*)
+      .orderBy(col("valid_from"), col("__digest"))
     untouched.unionByName(
       log.withColumn("valid_to", lead(col("valid_from"), 1).over(w))
         .withColumn("is_current", col("valid_to").isNull)

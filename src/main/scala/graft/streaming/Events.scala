@@ -219,18 +219,25 @@ object Events {
       gateRows: Long): DataFrame = {
     val ev = Tables.events(s, dir)
     val population = ev.count()
+    // cert_sampled states WHICH REGIME produced the row (r12, advisor
+    // ask): above the gate the quantiles are sample-based under the
+    // same column names, and a consumer must not need to know the
+    // corpus size and the gate constant to tell.
     Tables.certSample(ev, col("event_id"), population, gateRows)
       .groupBy("event_type")
       .agg(
         r4(percentile(col("value"), lit(0.5))).as("p50"),
         r4(percentile(col("value"), lit(0.95))).as("p95"),
         r4(percentile(col("value"), lit(0.99))).as("p99"))
+      .withColumn("cert_sampled", lit(population > gateRows))
       .orderBy("event_type")
   }
 
   /** Above this `events` population the exact-certification faces
-    * ([[valueQuantiles]], [[dauWau]], [[wauSketch]]'s exact side)
-    * restrict to the gate-sized deterministic sample/cohort. The
+    * ([[valueQuantiles]], [[dauWau]], [[wauSketch]]'s exact side,
+    * [[hllIntersection]] — r12) restrict to the gate-sized
+    * deterministic sample/cohort, and each states the regime in its
+    * `cert_sampled` output column. The
     * largest oracle scale (sf0.1) is 100 k rows — the gate binds only
     * the never-oracled headroom legs and real deployments, where the
     * full-population readout is the sketch face's job. */
@@ -732,8 +739,22 @@ object Events {
     * error, so the honest bound is on the input magnitudes, not the
     * small difference) — and the oracle expects TRUE. Days lacking
     * either type drop (no overlap to estimate). */
-  def hllIntersection(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def hllIntersection(s: SparkSession, dir: String): DataFrame =
+    hllIntersectionGated(s, dir, GateRows)
+
+  private[graft] def hllIntersectionGated(s: SparkSession, dir: String,
+      gateRows: Long): DataFrame = {
+    // r12 gate-bound (the certSample discipline): the exact per-day
+    // view/purchase/both distinct counts exist to certify the
+    // inclusion–exclusion sketch estimate, and they re-shuffle the
+    // user-day stream — the one term that grows with the corpus.
+    // Above the gate BOTH sides (exact and sketch) restrict to the
+    // same deterministic md5 USER cohort (per-day counts stay exact
+    // for kept users), so the certification compares like with like
+    // at gate-pinned cost; cert_sampled states the regime in-row.
+    val evAll = Tables.events(s, dir)
+    val population = evAll.count()
+    val ev = Tables.certSample(evAll, col("user_id"), population, gateRows)
       .filter(col("event_type").isin("view", "purchase"))
       .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
     val sk = ev.groupBy("day", "event_type")
@@ -762,7 +783,8 @@ object Events {
         (abs(col("est_both") - col("exact_both")) <=
           greatest(lit(5L),
             ((col("exact_view") + col("exact_purchase")) * 0.15).cast("long")))
-          .as("certified"))
+          .as("certified"),
+        lit(population > gateRows).as("cert_sampled"))
       .orderBy("day")
   }
 
@@ -820,7 +842,8 @@ object Events {
   private[graft] def dauWauGated(s: SparkSession, dir: String,
       gateRows: Long): DataFrame = {
     val ev = Tables.events(s, dir)
-    val ud = Tables.certSample(ev, col("user_id"), ev.count(), gateRows)
+    val population = ev.count()
+    val ud = Tables.certSample(ev, col("user_id"), population, gateRows)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val days = ud.select("day").distinct()
@@ -833,7 +856,10 @@ object Events {
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
         graft.functions.Num.r4(col("dau").cast("double") / col("wau"))
-          .as("stickiness"))
+          .as("stickiness"),
+        // regime indicator (r12): above the gate dau/wau are COHORT
+        // counts under the same names — state it in the row
+        lit(population > gateRows).as("cert_sampled"))
       .orderBy("day")
   }
 
@@ -858,7 +884,8 @@ object Events {
   private[graft] def wauSketchGated(s: SparkSession, dir: String,
       gateRows: Long): DataFrame = {
     val ev = Tables.events(s, dir)
-    val ud = Tables.certSample(ev, col("user_id"), ev.count(), gateRows)
+    val population = ev.count()
+    val ud = Tables.certSample(ev, col("user_id"), population, gateRows)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
     val days = ud.select("day").distinct()
@@ -878,7 +905,10 @@ object Events {
       .withColumn("within_bound",
         abs(col("approx") - col("wau")) <=
           greatest(lit(3L), (col("wau") * 0.15).cast("long")))
-      .select(col("day"), col("wau"), col("within_bound"))
+      .select(col("day"), col("wau"), col("within_bound"),
+        // regime indicator (r12): above the gate wau is the COHORT
+        // count and the certification compares cohort-to-cohort
+        lit(population > gateRows).as("cert_sampled"))
       .orderBy("day")
   }
 
@@ -1176,13 +1206,14 @@ object Events {
     // the estimate is engine-specific; the oracle checks exact WAU
     // and that the sketch union landed inside the certified envelope
     "events_wau_sketch" ->
-      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-        |  FROM events),
-        |days AS (SELECT DISTINCT day FROM ud)
-        |SELECT d.day, count(DISTINCT u.user_id) AS wau,
-        |  TRUE AS within_bound
-        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM ud)
+         |SELECT d.day, count(DISTINCT u.user_id) AS wau,
+         |  TRUE AS within_bound,
+         |  (SELECT count(*) FROM events) > $GateRows AS cert_sampled
+         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_type_transitions" ->
       """WITH nx AS (SELECT event_type, lead(event_type) OVER
@@ -1235,15 +1266,16 @@ object Events {
          |FROM sc ORDER BY event_type, day""".stripMargin,
 
     "events_dau_wau" ->
-      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      s"""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |  FROM events),
         |days AS (SELECT DISTINCT day FROM ud),
         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
         |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
         |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
         |  GROUP BY 1)
-        |SELECT dau.day, dau.dau, wau.wau,
-        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+         |SELECT dau.day, dau.dau, wau.wau,
+         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness,
+         |  (SELECT count(*) FROM events) > $GateRows AS cert_sampled
         |FROM dau JOIN wau ON wau.day = dau.day
         |ORDER BY dau.day""".stripMargin,
 
@@ -1355,7 +1387,7 @@ object Events {
     // exact overlap restated relationally; the estimate is engine-
     // specific, so the oracle checks the exact columns + TRUE
     "events_hll_intersection" ->
-      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
+      s"""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
         |  FROM events WHERE event_type IN ('view', 'purchase')),
         |d AS (SELECT day,
         |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
@@ -1368,8 +1400,9 @@ object Events {
         |  GROUP BY 1)
         |SELECT d.day, CAST(exact_view AS BIGINT) AS exact_view,
         |  CAST(exact_purchase AS BIGINT) AS exact_purchase,
-        |  CAST(coalesce(exact_both, 0) AS BIGINT) AS exact_both,
-        |  TRUE AS certified
+         |  CAST(coalesce(exact_both, 0) AS BIGINT) AS exact_both,
+         |  TRUE AS certified,
+         |  (SELECT count(*) FROM events) > $GateRows AS cert_sampled
         |FROM d LEFT JOIN b ON b.day = d.day
         |WHERE exact_view > 0 AND exact_purchase > 0
         |ORDER BY d.day""".stripMargin,
@@ -1420,11 +1453,12 @@ object Events {
         |FROM events GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 20""".stripMargin,
 
     "events_value_quantiles" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.95), 4) AS p95,
-        |  round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT event_type,
+         |  round(quantile_cont(value, 0.5), 4) AS p50,
+         |  round(quantile_cont(value, 0.95), 4) AS p95,
+         |  round(quantile_cont(value, 0.99), 4) AS p99,
+         |  (SELECT count(*) FROM events) > $GateRows AS cert_sampled
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The sketch values are engine-specific; the oracle checks the
     // certification columns — every approx MUST land within its

@@ -130,4 +130,140 @@ class ContinuousSpec extends SparkSpec {
     assert(late <= early * 5 + 0.5,
       f"per-batch wall grew: early median $early%.3f s -> late $late%.3f s")
   }
+
+  test("incremental LSH probe: 100+ batches, index ∝ corpus, probe output ∝ batch, union ≡ one-shot") {
+    // groups of 4 identical docs with DISJOINT per-group vocabulary:
+    // within-group est_jaccard = 1 (identical token sets), cross-group
+    // candidates impossible (no shared band key), and every group
+    // spans two batches — each batch both extends standing groups and
+    // opens new ones
+    val nBatches = 104
+    val batchSize = 5
+    def docsOf(ids: Seq[Long]): DataFrame = {
+      import spark.implicits._
+      ids.map { id =>
+        val g = id / 4
+        (id, s"g${g}a g${g}b g${g}c g${g}d g${g}e g${g}f")
+      }.toDF("doc_id", "text")
+    }
+    var indexSigs = ext.Dedup.signaturesOf(docsOf(Seq.empty)).localCheckpoint()
+    val allPairs = Seq.newBuilder[(Long, Long)]
+    val wallPerBatch = Seq.newBuilder[Double]
+    for (i <- 0 until nBatches) {
+      val t0 = System.nanoTime()
+      val ids = (i.toLong * batchSize) until ((i + 1).toLong * batchSize)
+      val batchSigs = ext.Dedup.signaturesOf(docsOf(ids)).localCheckpoint()
+      val index = indexSigs.withColumn("in_probe", lit(false))
+        .unionByName(batchSigs.withColumn("in_probe", lit(true)))
+      val pairs = ext.Dedup.probePairs(batchSigs, index)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // probe OUTPUT is batch-bounded: each arriving doc can pair with
+      // at most its 3 group siblings (groups of 4, disjoint vocab) —
+      // never with the standing corpus at large
+      assert(pairs.length <= batchSize * 3,
+        s"batch $i emitted ${pairs.length} pairs (bound ${batchSize * 3})")
+      allPairs ++= pairs
+      indexSigs = indexSigs.unionByName(batchSigs)
+      if (i % 20 == 19) indexSigs = indexSigs.localCheckpoint()
+      // state == the signature index, and it grows with the CORPUS
+      // only: rows == docs ingested so far, zero batch-count term
+      if (i % 20 == 19 || i == nBatches - 1)
+        assert(indexSigs.count() == (i + 1).toLong * batchSize,
+          s"batch $i: index rows != corpus size")
+      wallPerBatch += (System.nanoTime() - t0) / 1e9
+    }
+    val walls = wallPerBatch.result()
+    val early = median(walls.slice(4, 34))
+    val late = median(walls.takeRight(30))
+    assert(late <= early * 5 + 0.5,
+      f"per-batch wall grew: early median $early%.3f s -> late $late%.3f s")
+    // the union of the 104 per-batch probe outputs IS the one-shot
+    // all-pairs run over the final corpus — batch-by-batch index
+    // maintenance loses and invents nothing
+    val got = allPairs.result().sorted
+    val oneShot = ext.Dedup.probePairs(indexSigs,
+        indexSigs.withColumn("in_probe", lit(true)))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == oneShot,
+      s"104-batch union diverged from one-shot (${got.size} vs ${oneShot.size})")
+    assert(got.nonEmpty, "fixture produced no pairs — test is vacuous")
+  }
+
+  test("IVF upsert: 100+ batches, ledger ∝ cells, frozen routing ≡ one-shot replay, flat wall") {
+    import spark.implicits._
+    val dim = 4
+    val k = 4
+    // deterministic synthetic vectors in 4 well-separated corners,
+    // with id-keyed jitter so cells hold distinct points
+    def vecsOf(ids: Seq[Long]): DataFrame =
+      ids.map { id =>
+        val corner = (id % k).toInt
+        val v = (0 until dim).map(d =>
+          (if (d == corner) 10.0 else 0.0) + ((id * 7 + d) % 5) * 0.01)
+        var ss = 0.0; v.foreach(x => ss += x * x)
+        (id, v, math.sqrt(ss))
+      }.toDF("vec_id", "v", "nrm")
+    // the standing model: frozen centroids trained on the BASE corpus
+    // only — upserts must route through them unchanged
+    val base = vecsOf(0L until 200L)
+    val (baseAssign, cents) = ext.Similarity.buildKmeansOf(base, k, 2)
+    // occupancy ledger as standing state: (cell, n_base, n_delta)
+    var ledger = baseAssign.groupBy("cell")
+      .agg(count(lit(1)).as("n_base"), lit(0L).as("n_delta"))
+      .localCheckpoint()
+    val nBatches = 100
+    val batchSize = 5
+    val allAssigned = Seq.newBuilder[(Long, Int)]
+    val wallPerBatch = Seq.newBuilder[Double]
+    for (i <- 0 until nBatches) {
+      val t0 = System.nanoTime()
+      val ids = (1000L + i * batchSize) until (1000L + (i + 1) * batchSize)
+      val assigned = ext.Similarity
+        .assignToNearestAny(vecsOf(ids), cents)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      allAssigned ++= assigned
+      val d = assigned.toSeq.toDF("vec_id", "cell")
+        .groupBy("cell").agg(count(lit(1)).as("dn"))
+      ledger = ledger.join(d, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          (coalesce(col("n_delta"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_delta"))
+        .localCheckpoint()
+      // state ∝ CELLS: the ledger never grows a per-batch (or even
+      // per-vector) term — k rows forever
+      assert(ledger.count() <= k,
+        s"batch $i: ledger grew past the cell count")
+      wallPerBatch += (System.nanoTime() - t0) / 1e9
+    }
+    val walls = wallPerBatch.result()
+    val early = median(walls.slice(4, 34))
+    val late = median(walls.takeRight(30))
+    assert(late <= early * 5 + 0.5,
+      f"per-batch wall grew: early median $early%.3f s -> late $late%.3f s")
+    // frozen-centroid routing is pure: the 100-batch accumulation ==
+    // a one-shot assignment of every delta vector through the same
+    // centroids (and so is engine-replayable across the whole run)
+    val got = allAssigned.result().sorted
+    val oneShot = ext.Similarity
+      .assignToNearestAny(vecsOf(1000L until (1000L + nBatches * batchSize)),
+        cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(got == oneShot, "100-batch routing diverged from one-shot replay")
+    // the folded ledger equals the one-shot occupancy rollup
+    val gotLedger = ledger.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val baseCounts = baseAssign.groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val deltaCounts = got.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val want = (baseCounts.keySet ++ deltaCounts.keySet).toSeq.map { c =>
+      (c, baseCounts.getOrElse(c, 0L), deltaCounts.getOrElse(c, 0L))
+    }.sorted
+    assert(gotLedger == want, "folded ledger != one-shot occupancy")
+  }
 }

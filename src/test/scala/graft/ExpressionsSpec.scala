@@ -48,6 +48,46 @@ class ExpressionsSpec extends SparkSpec {
     assert(acc.value == 5L, s"counter saw ${acc.value} of 5 rows")
   }
 
+  test("sorted_contain_minimal: one canonical verify per pair, value == brute force") {
+    import graft.functions.SortedIntersectSize.sortedContainMinimal
+    // randomized pairs: for EVERY shared-value witness row of a pair,
+    // exactly the row holding the smallest common value may return a
+    // count (the others return -1), and that count is the exact
+    // intersect when it reaches required, else -1
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.newBuilder[(Seq[Long], Seq[Long], Int, Int, Int, Int)]
+    for (_ <- 0 until 200) {
+      val universe = rnd.shuffle((0L until 40L).toVector)
+      val na = 3 + rnd.nextInt(10)
+      val nb = na + 1 + rnd.nextInt(10)
+      val a = universe.take(na).sorted
+      val b = rnd.shuffle(universe).take(nb).sorted
+      val req = math.ceil(0.9 * na).toInt
+      val common = a.toSet.intersect(b.toSet)
+      val exact = common.size
+      for (v <- common) {
+        val ia = a.indexOf(v); val jb = b.indexOf(v)
+        val isMin = v == common.min
+        val want = if (isMin && exact >= req) exact else -1
+        cases += ((a, b, req, ia, jb, want))
+      }
+    }
+    val df = cases.result().toDF("a", "b", "req", "ia", "jb", "want")
+    val acc = spark.sparkContext.longAccumulator("test_canonical")
+    val got = df.select(
+      sortedContainMinimal(col("a"), col("b"), col("req"),
+        col("ia"), col("jb"), Some(acc)).as("got"),
+      col("want"), col("a"), col("b"), col("ia"), col("jb")).collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch: $r")
+    }
+    // the counter fires at most once per (a, b) pair — the canonical
+    // verify — never once per witness row
+    val pairsWithWitnesses = cases.result().map(c => (c._1, c._2)).distinct.size
+    assert(acc.value <= pairsWithWitnesses,
+      s"counter ${acc.value} exceeds distinct pairs $pairsWithWitnesses")
+  }
+
   test("sorted_intersect_size: null input yields null") {
     val df = Seq((Some(Seq(1, 2)), Option.empty[Seq[Int]])).toDF("a", "b")
     assert(df.select(sortedIntersectSize(col("a"), col("b"))).head().isNullAt(0))

@@ -85,32 +85,50 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shj.nonEmpty, s"image band join lost its shuffle-hash shape:\n$plan")
   }
 
-  test("cbo join order: the sketch estimate picks the first join and flips the plan") {
+  test("cbo join order + build side: the sketch estimates flip both plan knobs") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf0001)
     val oF = Tables.orders(spark, sf0001)
       .filter(col("o_orderpriority") === "1-URGENT")
     val pF = Tables.part(spark, sf0001).filter(col("p_size") <= 10)
-    // topmost SHJ (pre-order collect) is the SECOND join executed
-    def topJoin(df: org.apache.spark.sql.DataFrame): String = {
+    // pre-order collect: head is the SECOND join executed (top of the
+    // tree), last the first
+    def joins(df: org.apache.spark.sql.DataFrame): Seq[ShuffledHashJoinExec] = {
       val shj = collectWithSubqueries(executed(df)) {
         case j: ShuffledHashJoinExec => j }
       assert(shj.size == 2, s"expected 2 shuffle-hash joins, got ${shj.size}")
-      shj.head.leftKeys.map(_.sql).mkString(",")
+      shj
     }
+    def q(estO: Long, estP: Long, nLi: Long, nO: Long, nP: Long) =
+      operators.Relational.cboJoinOrderOf(li, oF, pF, estO, estP, nLi, nO, nP)
     // estimates say orders first → part join sits on top; and vice
-    // versa — the plan FLIPS with the sketch, which is the whole point
-    assert(topJoin(operators.Relational.cboJoinOrderOf(li, oF, pF, 10L, 20L))
+    // versa — the ORDER flips with the sketch
+    val dimBuilds = q(10L, 20L, 1000L, 10L, 10L)
+    assert(joins(dimBuilds).head.leftKeys.map(_.sql).mkString(",")
       .contains("l_partkey"), "orders-first plan must top out at the part join")
-    assert(topJoin(operators.Relational.cboJoinOrderOf(li, oF, pF, 20L, 10L))
+    assert(joins(q(20L, 10L, 1000L, 10L, 10L)).head
+      .leftKeys.map(_.sql).mkString(",")
       .contains("l_orderkey"), "part-first plan must top out at the orders join")
-    // the declared query's stated choice is consistent with its estimates
+    // BUILD side: dims are always the RIGHT side of each join, so
+    // small dim estimates build right; a fact side priced below the
+    // dims builds left — the knob flips with the same sketch state
+    assert(joins(dimBuilds).forall(_.buildSide.toString == "BuildRight"),
+      "small-dim estimates must build the dimension (right) side")
+    val factBuilds = q(10L, 20L, 1L, 1000L, 1000L)
+    assert(joins(factBuilds).forall(_.buildSide.toString == "BuildLeft"),
+      "fact-priced-below-dims estimates must build the fact (left) side")
+    // the declared query's stated choices are consistent with its
+    // estimates (columns: est_o, est_p, first_join, build_first,
+    // build_second, n_rows, revenue)
     val r = operators.Relational.cboJoinOrder(spark, sf0001).head()
     assert(r.getString(2) ==
       (if (r.getLong(0) <= r.getLong(1)) "orders" else "part"),
       s"first_join inconsistent with estimates: $r")
-    assert(r.getLong(3) > 0, s"empty join result: $r")
+    assert(Set("orders", "part", "lineitem").contains(r.getString(3)) &&
+      Set("orders", "part", "mid").contains(r.getString(4)),
+      s"build columns out of domain: $r")
+    assert(r.getLong(5) > 0, s"empty join result: $r")
   }
 
   test("Q16 shape: broadcast prune + anti-join, one distinct aggregate, no Expand") {
@@ -181,11 +199,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val j = joinLine(ext.Dedup.jaccardPairs(spark, sf0001), "sortedintersectsize")
     assert(j.indexOf("doc_a") < j.indexOf("sortedintersectsize"),
       s"verify precedes the cheap cuts in the jaccard join condition:\n$j")
-    // containment verifies with the threshold early-exit form (r11)
+    // containment verifies with the minimal-witness form (r12)
     val c = joinLine(ext.Dedup.containmentTop(spark, sf0001),
-      "sortedintersectatleast")
+      "sortedcontainminimal")
     // containment's cheap cut is the positional least(...) cap
-    assert(c.indexOf("least(") < c.indexOf("sortedintersectatleast"),
+    assert(c.indexOf("least(") < c.indexOf("sortedcontainminimal"),
       s"verify precedes the cheap cuts in the containment join condition:\n$c")
     val m = joinLine(ext.Dedup.minhashLsh(spark, sf0001), "arrayagreecount")
     assert(m.indexOf("doc_a") < m.indexOf("arrayagreecount"),
