@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   *    near-dup cluster and the pair queries' OUTPUT quadratic —
   *    measuring output explosion, not engine scaling. Vocabulary
   *    grows ~linearly, which is what real corpus growth does.
-  *  - `embeddings.embedding` rotates its dimensions by `7i` per copy:
-  *    rotation preserves norms and all WITHIN-copy dot products
+  *  - `embeddings.embedding` gets a per-copy orthogonal transform
+  *    (dimension rotation by `7i` + md5-derived ±1 sign flips):
+  *    orthogonal maps preserve norms and all WITHIN-copy dot products
   *    (near-dup geometry replicates exactly, 10× pairs/clusters)
-  *    while cross-copy cosines stay unstructured.
+  *    while cross-copy cosines stay unstructured at ANY factor —
+  *    rotation alone cycles with period ≤ dim and made copies i and
+  *    i+dim identical twins at factor ≥ dim.
   *  - `region`/`nation` stay fixed (TPC-H semantics) and timestamps
   *    keep their range — 10× the rows per month/day is exactly the
   *    density growth a bigger corpus brings.
@@ -120,12 +123,32 @@ object ScaleCorpus {
     val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
     val vS = stride(embeddings, "vec_id")
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // Per-copy orthogonal transform = rotation ∘ deterministic sign
+    // flips. Rotation ALONE collides: `7i mod dim` has period
+    // dim/gcd(7,dim), so at factor ≥ dim (the 100× corpus with
+    // dim = 64) copies i and i + 64 carried IDENTICAL vectors per
+    // doc — structured cross-copy cosine-1.0 twins, exactly the
+    // output-explosion contamination the documents suffix exists to
+    // prevent (r11's sf10 corpus had 36 such copy-pairs). A per-copy
+    // ±1 diagonal from md5(copy, dim-index) is also orthogonal
+    // (within-copy dot products exact-preserved), two copies share a
+    // pattern with probability 2^-dim, and copy 0 stays byte-for-byte
+    // the original — any factor is now safe, including chained runs
+    // (sign patterns compose into fresh md5-random patterns).
+    def copySigns(i: Int): Seq[Float] = (0 until dim).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"scale-sign:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1f else -1f
+    }
     write(copies(embeddings) { (df, i) =>
       val k = (7 * i) % dim
-      val emb =
+      val rot =
         if (k == 0) col("embedding")
         else concat(slice(col("embedding"), k + 1, dim - k),
           slice(col("embedding"), 1, k))
+      val emb =
+        if (i == 0) col("embedding")
+        else zip_with(rot, typedlit(copySigns(i)), (x, sgn) => x * sgn)
       df.select(shift("vec_id", vS, i), emb.as("embedding"), col("label"))
     }, "embeddings")
 
