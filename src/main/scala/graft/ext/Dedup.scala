@@ -1305,6 +1305,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** HARD dedup with BEST-COPY selection: every doc gets a keep/drop
+    * verdict, exactly one kept per near-dup cluster — and the keeper
+    * is not an arbitrary member but the argmax of (quality_ok,
+    * n_tokens, smallest doc_id): prefer a doc the [[Text.quality]]
+    * filter accepts, then the longest, ties to the stable smallest
+    * id. This is the removal step a pretraining pipeline actually
+    * runs — dropping duplicates must not drop the best copy (the
+    * boilerplate-stripped original loses to its full-page mirror
+    * under naive min-id selection).
+    *
+    * Cost at 100 TB: one shuffle-hash join of per-doc quality scalars
+    * onto the memoized cluster map, a MAP-SIDE-COMBINING struct-max
+    * per cluster (deliberately not a per-cluster window: a mega
+    * boilerplate cluster would sort entirely inside one window
+    * partition, while partial aggregation reduces it tree-wise), and
+    * a shuffle-hash back-join of the per-cluster winner — linear, no
+    * new fixpoint, nothing driver-side. Output is per-doc (filter,
+    * don't join, downstream). */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    val perDoc = graft.Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      r4(Text.hitRatio(t, Text.stopEn)).as("stop_ratio"))
+      .withColumn("quality_ok",
+        col("n_tokens").between(10, 1000) && col("stop_ratio") > 0.01)
+      .drop("stop_ratio")
+    val scored = clusters(s, dir)
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"))
+    // lexicographic struct max = argmax without a window; negated id
+    // turns the smallest-id tie-break into a max
+    val best = scored.groupBy("cluster_rep")
+      .agg(max(struct(col("quality_ok"), col("n_tokens"),
+        (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_rep"), (-col("b.neg_id")).as("keep_doc_id"))
+    scored.join(best.hint("shuffle_hash"), Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("n_tokens"), col("quality_ok"),
+        (col("doc_id") === col("keep_doc_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   private val SimBits = 60        // md5Hash60 — oracle-reproducible
   private val SimBands = 6        // minimal Manku plan: 6 blocks, 10-bit keys
   private val SimHammingT = 5     // ≤ SimBands − 1 ⇒ pigeonhole holds
@@ -1999,6 +2041,7 @@ object Dedup {
     "dedup_incremental_clusters" -> (incrementalClusters _),
     "dedup_clusters"      -> (clusters _),
     "dedup_soft_weights"  -> (softWeights _),
+    "dedup_keep_best"     -> (keepBest _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_simhash_clusters" -> (simhashClusters _),
@@ -2131,6 +2174,21 @@ object Dedup {
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
          |FROM rep r JOIN cs USING (cluster_rep) ORDER BY r.doc_id""".stripMargin,
+
+    // keep verdict replayed from the same reachability + the
+    // text_quality scoring; the window form is fine at oracle scale
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |t AS (SELECT doc_id, ${Text.tokSql} AS toks FROM documents),
+         |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(${Text.hitRatioSql(Text.stopEn)}, 4) AS stop_ratio FROM t),
+         |sc AS (SELECT r.doc_id, r.cluster_rep, cs.cluster_size, q.n_tokens,
+         |  (q.n_tokens BETWEEN 10 AND 1000) AND q.stop_ratio > 0.01 AS quality_ok
+         |  FROM rep r JOIN cs USING (cluster_rep) JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_rep, cluster_size, n_tokens, quality_ok,
+         |  row_number() OVER (PARTITION BY cluster_rep
+         |    ORDER BY quality_ok DESC, n_tokens DESC, doc_id ASC) = 1 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // the maintained map IS the full recompute (that's the IVM
     // claim), so rep/cs come from the same reachability as

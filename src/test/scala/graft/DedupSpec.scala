@@ -254,6 +254,25 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must stay singleton clusters")
   }
 
+  test("keep-best: exactly one keep per cluster, and it is the quality argmax") {
+    val out = Dedup.keepBest(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.length == docs, "one verdict row per document")
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (rep, rows) =>
+      assert(rows.head.getLong(2) == rows.length,
+        s"cluster $rep: cluster_size must equal member count")
+      val kept = rows.filter(_.getBoolean(5))
+      assert(kept.length == 1, s"cluster $rep: exactly one keep")
+      // driver replay of the argmax from the output's own columns:
+      // (quality_ok, n_tokens, smallest doc_id)
+      val want = rows.maxBy(r =>
+        (r.getBoolean(4), r.getLong(3), -r.getLong(0)))
+      assert(kept.head.getLong(0) == want.getLong(0),
+        s"cluster $rep: keeper must be the (quality, length, id) argmax")
+    }
+  }
+
   test("connected components releases prior-round checkpoints (bounded storage)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
