@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
   "-XX:CICompilerCount=6",
+  // Humongous allocations (64 MB shuffle/agg buffers) racing JNI
+  // critical sections (parquet codec) can throw a spurious OOM after
+  // the default 2 GCLocker retries even with heap headroom ("Retried
+  // waiting for GCLocker too often") — one such flake killed a whole
+  // 100x-scale bench JVM. Raising the retry budget is the standard
+  // JDK17 mitigation (diagnostic flag, hence the unlock); it changes
+  // no memory-sizing discipline.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

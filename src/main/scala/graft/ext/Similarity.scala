@@ -355,17 +355,26 @@ object Similarity {
     val s = vs.sparkSession
     import s.implicits._
     val centDF = broadcast(cents.toDF("cell", "cv", "cnrm"))
-    // v/nrm ride INSIDE the max struct (same values on every row of a
-    // vec_id; negc is distinct per row so they never decide the max)
-    // — the assignment keeps the vector without a join back
-    vs.crossJoin(centDF)
+    // Score SKINNY, join the winner back. The r8–r11 form rode v/nrm
+    // INSIDE the max struct to skip the join back — which put the
+    // whole corpus into the aggregation BUFFERS: every per-task hash
+    // map held its vec_ids' full vectors, O(corpus/partitions) bytes
+    // per task at the session's fixed shuffle width, and the
+    // 1000×-scale probe OOMed the 8 GiB heap right here (in the
+    // SECOND Lloyd round — the first reads the md5 init, no
+    // reassignment). Skinny (vec_id, cos, −cell) buffers are 24 B
+    // fixed-width; the winner joins back to the cached corpus
+    // shuffle-hash — one extra linear exchange per round, the classic
+    // k-means-on-Spark trade, and the memory shape survives any
+    // corpus size.
+    val picked = vs.crossJoin(centDF)
       .select(col("vec_id"),
         struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"),
-          (-col("cell")).as("negc"), col("v").as("v"), col("nrm").as("nrm"))
-          .as("sc"))
+          (-col("cell")).as("negc")).as("sc"))
       .groupBy("vec_id").agg(max(col("sc")).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
-        (-col("m.negc")).cast("int").as("cell"))
+      .select(col("vec_id"), (-col("m.negc")).cast("int").as("cell"))
+    vs.join(picked.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
   }
 
   /** Literal scoring for model-sized k (fully codegen'd, zero
@@ -1005,16 +1014,22 @@ object Similarity {
     * cosine, then smallest sub id; v/nrm ride inside the struct (sub
     * ids are distinct per group, so they never decide the max) so the
     * next round needs no join back to the corpus. */
-  private def assignSubByJoin(scn: DataFrame, cur: DataFrame): DataFrame =
-    cur.select("vec_id", "v", "nrm", "coarse")
+  private def assignSubByJoin(scn: DataFrame, cur: DataFrame): DataFrame = {
+    // Same skinny-score/join-back shape as [[assignByJoin]], same
+    // reason: a max-struct buffer carrying v/nrm is corpus-sized
+    // aggregation state per task at fixed shuffle width.
+    val picked = cur.select("vec_id", "v", "nrm", "coarse")
       .join(scn.hint("shuffle_hash"), Seq("coarse"))
       .select(col("vec_id"), col("coarse"),
         struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"),
-          (-col("sub")).as("negs"), col("v").as("v"), col("nrm").as("nrm"))
-          .as("sc"))
+          (-col("sub")).as("negs")).as("sc"))
       .groupBy("vec_id", "coarse").agg(max(col("sc")).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
-        col("coarse"), (-col("m.negs")).cast("int").as("sub"))
+      .select(col("vec_id"), col("coarse").as("pcoarse"),
+        (-col("m.negs")).cast("int").as("sub"))
+    cur.select("vec_id", "v", "nrm", "coarse")
+      .join(picked.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("coarse"), col("sub"))
+  }
 
   /** Top-[[NearProbe]] cell assignment per vector under the two-level
     * model: rank the √k coarse centroids (broadcast — the one bounded
@@ -1100,10 +1115,27 @@ object Similarity {
       .select(Seq(col("vec_id"), col("v"), col("nrm")) ++ cs :+
         explode(array(cs: _*)).as("cell"): _*)
       .filter(col("cell").isNotNull)
+    // Population-scaled partitioning (the Dedup.arrayJoinPartitions
+    // discipline): the build side holds n·[[NearProbe]] rows EACH
+    // CARRYING the full vector, so at the session's fixed shuffle
+    // width the per-task hash relation grows linearly with the corpus
+    // — the 1000×-scale probe OOMed the whole embedding family here
+    // (the sixth fixed-width instance). Both sides repartition to the
+    // derived count on the join key: same HashPartitioning, so the
+    // join adds no further exchange, and the explicit count is exempt
+    // from AQE coalescing. The sizing action is one count over the
+    // memoized vector frame; vector floats are priced as 8-byte cells
+    // (a deliberate ≤2× overestimate — only adds partitions).
+    val n = vs.count()
+    val rows = n * NearProbe
+    val nParts = graft.ext.Dedup.arrayJoinPartitions(
+      rows, rows * Dim, s.sparkContext.defaultParallelism)
     val a = bk.toDF(Seq("vec_a", "va", "na") ++
       (1 to NearProbe).map(i => s"a$i") :+ "cell": _*)
+      .repartition(nParts, col("cell"))
     val b = bk.toDF(Seq("vec_b", "vb", "nb") ++
-      (1 to NearProbe).map(i => s"b$i") :+ "cell": _*).hint("shuffle_hash")
+      (1 to NearProbe).map(i => s"b$i") :+ "cell": _*)
+      .repartition(nParts, col("cell")).hint("shuffle_hash")
     (a, b, dot(col("va"), col("vb")) / (col("na") * col("nb")))
   }
 

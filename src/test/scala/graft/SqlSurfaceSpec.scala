@@ -21,6 +21,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // md5()-derived integers: DuckDB casts hex STRINGS to ints;
     // Spark needs conv()/unhex, so the shared-text form can't exist
     "dedup_clusters" -> "recursive CTE reachability + hex-string casts",
+    "dedup_keep_best" -> "recursive CTE reachability + hex-string casts + string_split_regex",
     "dedup_embedding_clusters" -> "recursive CTE reachability + list comprehension",
     "dedup_embedding_pairs" -> "list_transform/list_dot_product",
     "dedup_minhash_lsh" -> "list aggregation (list_min over shingle hashes)",
