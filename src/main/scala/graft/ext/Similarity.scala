@@ -1124,12 +1124,24 @@ object Similarity {
     // derived count on the join key: same HashPartitioning, so the
     // join adds no further exchange, and the explicit count is exempt
     // from AQE coalescing. The sizing action is one count over the
-    // memoized vector frame; vector floats are priced as 8-byte cells
-    // (a deliberate ≤2× overestimate — only adds partitions).
+    // memoized vector frame. Pricing is honest, not optimistic: v is
+    // DOUBLE[] here (8 B/element exact, cast on ingest), and each
+    // build row also carries [[NearProbe]] probe-cell longs beyond
+    // the 48 B base — the first sizing priced only the elements, left
+    // per-partition builds crossing the 32 MB page-doubling threshold,
+    // and 32 concurrent 64 MB page requests met a storage-squeezed
+    // execution pool at 1000× scale ("Can't acquire … to build hash
+    // relation"). Underpricing costs a failed stage; overpricing
+    // costs a few extra partitions. The 2× factor halves the
+    // per-partition target so builds stay BELOW the 32 MB
+    // page-doubling threshold: an SHJ build just over it requests a
+    // 64 MB page, and 32 concurrent 64 MB requests are exactly what
+    // failed.
     val n = vs.count()
     val rows = n * NearProbe
     val nParts = graft.ext.Dedup.arrayJoinPartitions(
-      rows, rows * Dim, s.sparkContext.defaultParallelism)
+      rows, rows * 2L * (Dim + 2L * NearProbe),
+      s.sparkContext.defaultParallelism)
     val a = bk.toDF(Seq("vec_a", "va", "na") ++
       (1 to NearProbe).map(i => s"a$i") :+ "cell": _*)
       .repartition(nParts, col("cell"))
