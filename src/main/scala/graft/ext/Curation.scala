@@ -806,10 +806,11 @@ object Curation {
     * `sketch_ok = |est − exact| ≤ 0.2·exact` where the Spark side
     * claims TRUE — a sketch drifting out of its envelope fails the
     * driver gate itself, with no exact aggregate in the Spark plan.
-    * Hash canonicalization: every coordinate renders through
-    * DECIMAL(18,4) (the corpus values carry ≤ 2 decimal places, so
-    * the cast is exact and both engines print the identical scaled
-    * string). */
+    * Hash canonicalization: every coordinate passes through
+    * DECIMAL(18,4) (exact — the corpus values carry ≤ 2 decimal
+    * places) and hashes its UNSCALED LONG's decimal digits, so both
+    * engines hash the identical byte string with no per-row string
+    * render on the Spark side. */
   def profileColumnsSketch(s: SparkSession, dir: String): DataFrame = {
     // Single-pass WIDE aggregate, not an unpivot: exploding n rows ×
     // 11 columns into 11n skinny rows (the certified profiler's
@@ -821,15 +822,22 @@ object Curation {
     // merge. The 11-row output unpivots from that single row — a
     // driver-side-free explode over one row.
     //
-    // The canonical DECIMAL(18,4) string renders in a codegen'd
-    // projection BEFORE the aggregate (the KmvSketch doc's
-    // discipline: its interpreted child.eval must stay a bare column
-    // reference, not a per-row interpreted cast tree).
+    // The canonical coordinate is the DECIMAL(18,4) UNSCALED LONG
+    // (value × 10⁴ — exact: the corpus carries ≤ 2 decimal places),
+    // computed in a codegen'd projection BEFORE the aggregate (the
+    // KmvSketch doc's discipline: its interpreted child.eval must
+    // stay a bare column reference, not a per-row interpreted cast
+    // tree). r12 rendered the decimal to a STRING here — a per-row
+    // UTF8String allocation × 11 columns × every corpus row that made
+    // the sketch face cost 4.4× its gated exact twin at sf10; the
+    // long projection allocates nothing and the aggregate renders its
+    // digits into a reused buffer, hash-identical to the string form
+    // (DuckDB: md5('kmv:' || CAST(u AS VARCHAR))).
     val pre = Tables.fanOut(s, Tables.lineitem(s, dir)).select(
       ProfileCols.flatMap { case (n, v, _) =>
-        val cs = v.cast(org.apache.spark.sql.types.DecimalType(18, 4))
-          .cast("string")
-        Seq(v.as(s"${n}__v"), when(v.isNotNull, cs).as(s"${n}__cs"))
+        val u = (v.cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+          lit(10000)).cast("long")
+        Seq(v.as(s"${n}__v"), when(v.isNotNull, u).as(s"${n}__u"))
       }: _*)
     val aggs = ProfileCols.flatMap { case (n, _, _) =>
       val v = col(s"${n}__v")
@@ -838,7 +846,7 @@ object Curation {
         sum(when(v.isNull, 1L).otherwise(0L)).as(s"${n}__n_null"),
         r4(min(v)).as(s"${n}__min_v"),
         r4(max(v)).as(s"${n}__max_v"),
-        graft.functions.KmvSketch.kmvSketch(col(s"${n}__cs"), KmvK)
+        graft.functions.KmvSketch.kmvSketch(col(s"${n}__u"), KmvK)
           .as(s"${n}__kmv"))
     }
     val wide = pre.agg(aggs.head, aggs.tail: _*)
@@ -1198,7 +1206,8 @@ object Curation {
       ProfileCols.map { case (n, _, sql) =>
         s"""SELECT * FROM (WITH v AS (SELECT $sql AS v FROM lineitem),
            |h AS (SELECT DISTINCT CAST(concat('0x', substr(md5('kmv:' ||
-           |    CAST(CAST(v AS DECIMAL(18,4)) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           |    CAST(CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) AS VARCHAR)),
+           |    1, 15)) AS BIGINT) AS h
            |  FROM v WHERE v IS NOT NULL),
            |km AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
            |est AS (SELECT CASE WHEN (SELECT count(*) FROM h) < $KmvK

@@ -952,8 +952,9 @@ object Similarity {
     * each round recomputes (coarse, sub) decimal elementwise-mean
     * centroids with a map-side-combined aggregation and reassigns by
     * an EQUI-join on the coarse key (shuffle-hash; each vector scores
-    * only its own coarse cell's k2 sub-centroids, carrying v/nrm
-    * through the argmax struct so no round re-joins the corpus). No
+    * only its own coarse cell's k2 sub-centroids through a skinny
+    * (cos, −sub) argmax, then joins the winning sub id back to the
+    * cached corpus shuffle-hash — r12's fixed-width discipline). No
     * driver sync anywhere in the sub build: the rounds materialize
     * lazily in one job when `subCents` first caches. Every arithmetic
     * step (md5 init, DECIMAL means, index-order dot folds, cosine-desc
@@ -1010,10 +1011,14 @@ object Similarity {
   /** Sub-cell reassignment: vectors equi-join their OWN coarse cell's
     * sub-centroids (shuffle-hash — the centroid table is corpus-scaled
     * overall but each vector sees only k2 rows), argmax as a
-    * partial-aggregatable `max(struct(cos, −sub, v, nrm))` — max
-    * cosine, then smallest sub id; v/nrm ride inside the struct (sub
-    * ids are distinct per group, so they never decide the max) so the
-    * next round needs no join back to the corpus. */
+    * partial-aggregatable `max(struct(cos, −sub))` — max cosine, then
+    * smallest sub id — over a SKINNY 24-byte fixed-width buffer; the
+    * winning sub id then joins back to the cached corpus shuffle-hash
+    * to restore v/nrm for the next round. One extra linear exchange
+    * per round, bought deliberately: r8–r11 carried v/nrm inside the
+    * max struct to skip the join-back, which made per-task aggregation
+    * state O(corpus/partitions) bytes at fixed shuffle width and
+    * OOMed the second Lloyd round at sf100. */
   private def assignSubByJoin(scn: DataFrame, cur: DataFrame): DataFrame = {
     // Same skinny-score/join-back shape as [[assignByJoin]], same
     // reason: a max-struct buffer carrying v/nrm is corpus-sized

@@ -43,20 +43,30 @@ case class KmvSketch(
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with ImplicitCastInputTypes with UnaryLike[Expression] {
 
-  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  // STRING is the canonical input; LONG is the zero-allocation fast
+  // path (the decimal unscaled-long discipline) — the long hashes as
+  // md5("kmv:" + its decimal digits), so a LONG input and its string
+  // render are hash-IDENTICAL and either form replays in DuckDB as
+  // `md5('kmv:' || CAST(u AS VARCHAR))`.
+  override def inputTypes = Seq(GraftShims.typeCollection(
+    org.apache.spark.sql.types.StringType, LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
 
-  // The aggregate hashes its STRING input itself with a REUSED digest
+  // The aggregate hashes its input itself with a REUSED digest
   // (the [[MinHashSketch]] discipline): routing the hash through the
   // `md5()` expression instead costs a fresh MessageDigest + hex
   // string + base-16 conv per row — profiled ~4× this whole
   // aggregate's runtime on an 11-column unpivot. `h` is the top 60
   // bits of md5("kmv:" ++ value) — identical to DuckDB's
   // `CAST(concat('0x', substr(md5('kmv:' || v), 1, 15)) AS BIGINT)`.
+  // LONG inputs render their decimal digits into a REUSED buffer
+  // (no String/UTF8String per row): at 11 columns × every corpus row
+  // the per-row allocation was the profiler's dominant constant.
   @transient private lazy val md =
     java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val digitBuf = new Array[Byte](20)
   private val prefix = "kmv:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
@@ -75,7 +85,25 @@ case class KmvSketch(
     if (v != null) {
       md.reset()
       md.update(prefix)
-      md.update(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      v match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          md.update(s.getBytes)
+        case l: java.lang.Long =>
+          // decimal digits of the long, written back-to-front into the
+          // reused buffer — byte-identical to Long.toString(l) without
+          // the per-row String. Inputs here are bounded unscaled
+          // decimals, far from Long.MinValue.
+          var x = l.longValue()
+          val neg = x < 0
+          if (neg) x = -x
+          var i = digitBuf.length
+          do { i -= 1; digitBuf(i) = ('0' + (x % 10)).toByte; x /= 10 }
+          while (x != 0)
+          if (neg) { i -= 1; digitBuf(i) = '-' }
+          md.update(digitBuf, i, digitBuf.length - i)
+        case other => throw new IllegalStateException(
+          s"kmv_sketch: unexpected input ${other.getClass}")
+      }
       val d = md.digest()
       val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
         ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |

@@ -927,6 +927,34 @@ object Relational {
     cmsKeySketch(keys).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
 
+  /** TWO key sketches of the same frame in ONE scan (columns `k0`,
+    * `k1`) — r12 collected `l_orderkey` and `l_partkey` as two
+    * separate lineitem aggregates, so the statistics pass cost 2× the
+    * fact I/O it exists to optimize. Each row lands in 2·[[JcmsD]]
+    * (key, depth, md5-bucket) cells; one pre-combined groupBy carries
+    * ≤ 2·[[JcmsD]]·[[JcmsW]] cells to the driver. Cell hashes are
+    * identical to [[cmsKeySketch]]'s (the seed never involved the
+    * key's NAME), so the estimates — and the oracle's replay — are
+    * unchanged. */
+  private[graft] def cmsKeySketchBoth(df: DataFrame): DataFrame =
+    df.select(explode(array((for {
+        ki <- 0 until 2; d <- 0 until JcmsD
+      } yield struct(lit(ki).as("ki"), lit(d).as("d"),
+        pmod(graft.functions.Md5Hash60.md5Hash60(
+            concat(lit(s"jcms:$d:"), col(s"k$ki").cast("string"))),
+          lit(JcmsW)).as("b"))).toSeq: _*)).as("kdb"))
+      .groupBy(col("kdb.ki").as("ki"), col("kdb.d").as("d"),
+        col("kdb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  private[graft] def cmsCollect2(df: DataFrame)
+      : (Array[(Int, Long, Long)], Array[(Int, Long, Long)]) = {
+    val cells = cmsKeySketchBoth(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    (cells.collect { case (0, d, b, c) => (d, b, c) },
+      cells.collect { case (1, d, b, c) => (d, b, c) })
+  }
+
   /** The CMS join-cardinality estimate from two collected sketches:
     * min over depths of Σ_b ca·cb (Alon–Matias–Szegedy style inner
     * product — an upper bound in expectation 3·|A|·|B|/W above the
@@ -1010,20 +1038,26 @@ object Relational {
 
   /** The CMS estimate ACTING as a cost-based optimizer — r11 chose the
     * JOIN ORDER; r12 extends the same sketch state to the shuffle-hash
-    * BUILD SIDE of each join: a 3-table star (lineitem ⋈ urgent
-    * orders ⋈ small parts) where (a) the smaller estimated first-join
-    * runs first, so the second (costlier) join sees the reduced
-    * intermediate, and (b) each join BUILDS its hash relation on the
-    * smaller estimated side — the dimension when its sketch row count
-    * undercuts the fact side, the fact/intermediate when the
-    * selectivities reverse. The second join's fact-side estimate is
-    * the FIRST join's CMS output cardinality — the sketch pipeline a
-    * real CBO runs. All choices are driver-side scalar compares over
-    * collected sketches (≤ D·W cells per side, the J2 pattern; the
-    * side row counts come off the SAME sketches at depth 0 — one scan
-    * per side prices everything) and all are REPLAYED by the oracle:
-    * DuckDB recomputes both md5-seeded estimates and the side counts,
-    * and states identical `first_join`/`build_first`/`build_second` —
+    * BUILD SIDE of each join; r13 closes the loop to PHYSICAL LAYOUT,
+    * deriving each join's shuffle-partition width from the estimated
+    * build-side bytes (`parts_first`/`parts_second` — the
+    * statistics → partitioning step a 100 TB planner runs): a 3-table
+    * star (lineitem ⋈ urgent orders ⋈ small parts) where (a) the
+    * smaller estimated first-join runs first, so the second
+    * (costlier) join sees the reduced intermediate, and (b) each join
+    * BUILDS its hash relation on the smaller estimated side — the
+    * dimension when its sketch row count undercuts the fact side, the
+    * fact/intermediate when the selectivities reverse. The second
+    * join's fact-side estimate is the FIRST join's CMS output
+    * cardinality — the sketch pipeline a real CBO runs. All choices
+    * are driver-side scalar compares over collected sketches (≤ D·W
+    * cells per side, the J2 pattern; the side row counts come off the
+    * SAME sketches at depth 0 — and r13 folds BOTH fact-key sketches
+    * into ONE lineitem scan, so the statistics pass reads the fact
+    * exactly once) and all are REPLAYED by the oracle: DuckDB
+    * recomputes both md5-seeded estimates, the side counts, and the
+    * integer width arithmetic, and states identical
+    * `first_join`/`build_first`/`build_second`/`parts_*` —
     * an engine mis-choice flips a column and fails the hash gate. The
     * final aggregate is order- and build-invariant, so correctness
     * never depends on the optimizer being right — only the plan shape
@@ -1036,9 +1070,9 @@ object Relational {
     val ordersF = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === CboPriority)
     val partF = Tables.part(s, dir).filter(col("p_size") <= CboMaxSize)
-    val skLiO = cmsCollect(li.select(col("l_orderkey").as("k")))
+    val (skLiO, skLiP) = cmsCollect2(li.select(
+      col("l_orderkey").as("k0"), col("l_partkey").as("k1")))
     val skO = cmsCollect(ordersF.select(col("o_orderkey").as("k")))
-    val skLiP = cmsCollect(li.select(col("l_partkey").as("k")))
     val skP = cmsCollect(partF.select(col("p_partkey").as("k")))
     cboJoinOrderOf(li, ordersF, partF,
       cmsJoinRowsEst(skLiO, skO), cmsJoinRowsEst(skLiP, skP),
@@ -1057,25 +1091,49 @@ object Relational {
       partF: DataFrame, estOrders: Long, estPart: Long,
       nLi: Long, nOrders: Long, nPart: Long): DataFrame = {
     import graft.functions.Num._
-    // hint exactly the side the estimates elect to build
-    def shj(l: DataFrame, r: DataFrame,
-        cond: org.apache.spark.sql.Column,
-        buildRight: Boolean): DataFrame =
-      if (buildRight) l.join(r.hint("shuffle_hash"), cond)
-      else l.hint("shuffle_hash").join(r, cond)
     val ordersFirst = estOrders <= estPart
     val buildDim1 = (if (ordersFirst) nOrders else nPart) <= nLi
     val buildDim2 =
       if (ordersFirst) nPart <= estOrders else nOrders <= estPart
+    // Third CBO knob (r13): each join's shuffle WIDTH from the same
+    // sketch state — the estimated BUILD side's bytes (48 B/row, the
+    // [[graft.ext.Dedup.arrayJoinPartitions]] fixed-row term; no
+    // array payloads here) over the 32 MB per-task build target.
+    // `parts_*` is the pure estimate-derived width (floor 1 — what
+    // the statistics contribute, and what the oracle replays
+    // arithmetically); the PHYSICAL exchange floors it at the
+    // session's shuffle parallelism, the engine-runtime term no
+    // estimate can know. This closes the statistics → physical-layout
+    // loop: a mis-estimate now mis-sizes a stated column AND the
+    // exchange width `PlanSpec` reads.
+    val buildRows1 =
+      if (buildDim1) (if (ordersFirst) nOrders else nPart) else nLi
+    val buildRows2 =
+      if (buildDim2) (if (ordersFirst) nPart else nOrders)
+      else (if (ordersFirst) estOrders else estPart)
+    val parts1 = graft.ext.Dedup.arrayJoinPartitions(buildRows1, 0L, 1)
+    val parts2 = graft.ext.Dedup.arrayJoinPartitions(buildRows2, 0L, 1)
+    val sessionPar =
+      li.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val w1 = math.max(sessionPar, parts1)
+    val w2 = math.max(sessionPar, parts2)
+    // hint exactly the side the estimates elect to build, at exactly
+    // the width the estimates price — both sides repartition on their
+    // join key so the SHJ reuses the co-partitioned exchanges
+    def shj(l: DataFrame, lk: String, r: DataFrame, rk: String,
+        w: Int, buildRight: Boolean): DataFrame = {
+      val lw = l.repartition(w, col(lk))
+      val rw = r.repartition(w, col(rk))
+      if (buildRight) lw.join(rw.hint("shuffle_hash"), col(lk) === col(rk))
+      else lw.hint("shuffle_hash").join(rw, col(lk) === col(rk))
+    }
     val joined =
       if (ordersFirst)
-        shj(shj(li, ordersF, col("l_orderkey") === col("o_orderkey"),
-            buildDim1),
-          partF, col("l_partkey") === col("p_partkey"), buildDim2)
+        shj(shj(li, "l_orderkey", ordersF, "o_orderkey", w1, buildDim1),
+          "l_partkey", partF, "p_partkey", w2, buildDim2)
       else
-        shj(shj(li, partF, col("l_partkey") === col("p_partkey"),
-            buildDim1),
-          ordersF, col("l_orderkey") === col("o_orderkey"), buildDim2)
+        shj(shj(li, "l_partkey", partF, "p_partkey", w1, buildDim1),
+          "l_orderkey", ordersF, "o_orderkey", w2, buildDim2)
     joined.agg(
         count(lit(1)).as("n_rows"),
         r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -1087,6 +1145,8 @@ object Relational {
             else "lineitem").as("build_first"),
         lit(if (buildDim2) (if (ordersFirst) "part" else "orders")
             else "mid").as("build_second"),
+        lit(parts1).as("parts_first"),
+        lit(parts2).as("parts_second"),
         col("n_rows"), col("revenue"))
   }
 
@@ -1528,6 +1588,16 @@ object Relational {
          |       ELSE CASE WHEN n_o <= est_part_rows THEN 'orders'
          |            ELSE 'mid' END
          |  END AS build_second,
+         |  CAST(GREATEST(1, (48 * (CASE WHEN est_orders_rows <= est_part_rows
+         |      THEN CASE WHEN n_o <= n_li THEN n_o ELSE n_li END
+         |      ELSE CASE WHEN n_p <= n_li THEN n_p ELSE n_li END END)
+         |    + 33554431) // 33554432) AS INTEGER) AS parts_first,
+         |  CAST(GREATEST(1, (48 * (CASE WHEN est_orders_rows <= est_part_rows
+         |      THEN CASE WHEN n_p <= est_orders_rows THEN n_p
+         |           ELSE est_orders_rows END
+         |      ELSE CASE WHEN n_o <= est_part_rows THEN n_o
+         |           ELSE est_part_rows END END)
+         |    + 33554431) // 33554432) AS INTEGER) AS parts_second,
          |  n_rows, revenue
          |FROM e1, e2, agg, ns""".stripMargin,
 

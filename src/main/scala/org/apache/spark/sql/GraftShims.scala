@@ -15,6 +15,12 @@ object GraftShims {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** `TypeCollection` (an either-of input-type contract for
+    * `ImplicitCastInputTypes`) is private[sql]. */
+  def typeCollection(ts: org.apache.spark.sql.types.AbstractDataType*):
+      org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
+
   /** Wrap a (resolved) logical plan back into a DataFrame —
     * `Dataset.ofRows` is private[sql]. */
   def dataFrame(s: SparkSession,

@@ -118,9 +118,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val factBuilds = q(10L, 20L, 1L, 1000L, 1000L)
     assert(joins(factBuilds).forall(_.buildSide.toString == "BuildLeft"),
       "fact-priced-below-dims estimates must build the fact (left) side")
+    // THIRD knob (r13): the shuffle WIDTH moves with the same sketch
+    // state — a build side priced above the 32 MB per-task target
+    // widens the exchange; PlanSpec reads the physical partitioning.
+    // 10M build rows → ceil(48·10M / 32MB) = 15 target; the physical
+    // width floors at the session parallelism, so drive the estimate
+    // far enough above it to see the knob move.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sessionPar =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def widths(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      collectWithSubqueries(executed(df)) {
+        case e: ShuffleExchangeExec => e.outputPartitioning.numPartitions }
+    val bigBuild = 100L * 1000 * 1000
+    // orders-first, nO > nLi → join 1 builds lineitem priced at 100M
+    // rows → parts_first = ceil(48·100M / 32MB) = 144 > the floor
+    val wFact = q(10L, 20L, bigBuild, bigBuild + 1, 10L)
+    val expTarget = ((48L * bigBuild + (32L << 20) - 1) / (32L << 20)).toInt
+    assert(widths(wFact).contains(math.max(sessionPar, expTarget)),
+      s"estimate-driven width $expTarget not in exchanges: ${widths(wFact)}")
+    assert(!widths(q(10L, 20L, 1000L, 10L, 10L))
+      .exists(_ > sessionPar),
+      "small estimates must keep every exchange at the session floor")
     // the declared query's stated choices are consistent with its
     // estimates (columns: est_o, est_p, first_join, build_first,
-    // build_second, n_rows, revenue)
+    // build_second, parts_first, parts_second, n_rows, revenue)
     val r = operators.Relational.cboJoinOrder(spark, sf0001).head()
     assert(r.getString(2) ==
       (if (r.getLong(0) <= r.getLong(1)) "orders" else "part"),
@@ -128,7 +150,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(Set("orders", "part", "lineitem").contains(r.getString(3)) &&
       Set("orders", "part", "mid").contains(r.getString(4)),
       s"build columns out of domain: $r")
-    assert(r.getLong(5) > 0, s"empty join result: $r")
+    assert(r.getInt(5) >= 1 && r.getInt(6) >= 1,
+      s"degenerate stated widths: $r")
+    assert(r.getLong(7) > 0, s"empty join result: $r")
+  }
+
+  test("cbo statistics pass: both fact-key sketches fold into ONE scan") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf0001)
+    val both = operators.Relational.cmsKeySketchBoth(
+      li.select(col("l_orderkey").as("k0"), col("l_partkey").as("k1")))
+    val s = executed(both).toString
+    assert(s.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"two-key sketch reads more than one scan:\n$s")
+    // the folded cells equal the two separate single-key collections
+    val (sO, sP) = operators.Relational.cmsCollect2(
+      li.select(col("l_orderkey").as("k0"), col("l_partkey").as("k1")))
+    val oneO = operators.Relational.cmsCollect(
+      li.select(col("l_orderkey").as("k")))
+    val oneP = operators.Relational.cmsCollect(
+      li.select(col("l_partkey").as("k")))
+    assert(sO.sorted.sameElements(oneO.sorted) &&
+      sP.sorted.sameElements(oneP.sorted),
+      "folded sketches drifted from the single-key collections")
   }
 
   test("Q16 shape: broadcast prune + anti-join, one distinct aggregate, no Expand") {
