@@ -73,11 +73,16 @@ object Bench {
     // model, bucketed layout tables), so pass 2 repays the same
     // one-time costs pass 1 did — min-of-2 compares two HONEST runs
     // rather than a cold run against a memo-warm echo.
+    // SPARK_GRAFT_PASSES=1 (probe legs only — 1000× bench scale,
+    // where a second full pass costs more wall than it buys
+    // stall-immunity) skips pass 2; the artifact's "passes" field
+    // says which protocol produced it.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val pass1 = runPass()
     val attr1 = SessionMemo.drainAttribution()
     SessionMemo.clear(spark)
-    val pass2 = runPass()
-    val attr2 = SessionMemo.drainAttribution()
+    val pass2 = if (passes >= 2) runPass() else pass1
+    val attr2 = if (passes >= 2) SessionMemo.drainAttribution() else Nil
     val byName2 = pass2.map(r => r._1 -> r).toMap
     val results = pass1.map { case (name, t1, e1) =>
       val (_, t2, e2) = byName2(name)
@@ -124,7 +129,7 @@ object Bench {
     val p1t = pass1.map(_._2).sum
     val p2t = pass2.map(_._2).sum
     val line =
-      s"""{"queries":$qs,$errJson"metric":"total","unit":"sec","pass1":${r3(p1t)},"pass2":${r3(p2t)},"value":${r3(total)},"sf":"$sfDir"}"""
+      s"""{"queries":$qs,$errJson"metric":"total","unit":"sec","passes":$passes,"pass1":${r3(p1t)},"pass2":${r3(p2t)},"value":${r3(total)},"sf":"$sfDir"}"""
     // The full JSON always lands on disk too — per-query times AND the
     // per-query (pass1, pass2) raw pairs — so stalls are attributable
     // to individual queries even when the captured line was truncated.

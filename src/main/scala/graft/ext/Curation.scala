@@ -818,8 +818,8 @@ object Curation {
     // shuffle — by the column count. Here the scan stays columnar,
     // every per-column statistic is one aggregate expression over the
     // ORIGINAL rows, and each partition emits exactly ONE wide row
-    // (55 scalars + 11 ≤256-long arrays, kilobytes) to the final
-    // merge. The 11-row output unpivots from that single row — a
+    // (11 fused profile structs, kilobytes) to the final merge. The
+    // 11-row output unpivots from that single row — a
     // driver-side-free explode over one row.
     //
     // The canonical coordinate is the DECIMAL(18,4) UNSCALED LONG
@@ -830,30 +830,44 @@ object Curation {
     // tree). r12 rendered the decimal to a STRING here — a per-row
     // UTF8String allocation × 11 columns × every corpus row that made
     // the sketch face cost 4.4× its gated exact twin at sf10; the
-    // long projection allocates nothing and the aggregate renders its
-    // digits into a reused buffer, hash-identical to the string form
+    // long projection allocates nothing and the aggregate renders
+    // digits into a reused buffer behind a value→hash memo,
+    // hash-identical to the string form
     // (DuckDB: md5('kmv:' || CAST(u AS VARCHAR))).
+    // r13 fuses each column's five statistics into ONE typed
+    // aggregate ([[graft.functions.ProfileKmvSketch]]): 11 update
+    // calls per row instead of 55 through ObjectHashAggregate's
+    // per-row machinery; row/null counts and min/max ride the
+    // `child.eval` the KMV hash already pays (min/max over the
+    // unscaled long ARE the value's min/max — ×10⁴ is monotonic and
+    // divides back exactly).
+    // `floor(v·10⁴ + 0.5)` IS the decimal's unscaled long, in pure
+    // codegen double arithmetic: a Spark DECIMAL multiply at
+    // precision > 18 drops out of the compact-long representation
+    // and allocates BigDecimals per value — measured ~10 s of this
+    // query's sf10 wall, more than the aggregate itself. Exactness:
+    // the target integer N = D·10⁴ ≤ 10¹³ (well under 2⁵²), the
+    // double product lands within ~0.002 of N, and no value sits
+    // near a .5 boundary (≤ 2 dp inputs end in two zero digits), so
+    // the +0.5 floor recovers N exactly — DuckDB replays the DECIMAL
+    // form and lands on the identical integer.
     val pre = Tables.fanOut(s, Tables.lineitem(s, dir)).select(
-      ProfileCols.flatMap { case (n, v, _) =>
-        val u = (v.cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
-          lit(10000)).cast("long")
-        Seq(v.as(s"${n}__v"), when(v.isNotNull, u).as(s"${n}__u"))
+      ProfileCols.map { case (n, v, _) =>
+        floor(v * lit(10000.0) + lit(0.5)).cast("long").as(s"${n}__u")
       }: _*)
-    val aggs = ProfileCols.flatMap { case (n, _, _) =>
-      val v = col(s"${n}__v")
-      Seq(
-        count(lit(1)).as(s"${n}__n_rows"),
-        sum(when(v.isNull, 1L).otherwise(0L)).as(s"${n}__n_null"),
-        r4(min(v)).as(s"${n}__min_v"),
-        r4(max(v)).as(s"${n}__max_v"),
-        graft.functions.KmvSketch.kmvSketch(col(s"${n}__u"), KmvK)
-          .as(s"${n}__kmv"))
+    val aggs = ProfileCols.map { case (n, _, _) =>
+      graft.functions.KmvSketch.profileKmvSketch(col(s"${n}__u"), KmvK)
+        .as(s"${n}__ps")
     }
     val wide = pre.agg(aggs.head, aggs.tail: _*)
     val outs = ProfileCols.map { case (n, _, _) =>
-      struct(lit(n).as("col_name"), col(s"${n}__n_rows").as("n_rows"),
-        col(s"${n}__n_null").as("n_null"), col(s"${n}__min_v").as("min_v"),
-        col(s"${n}__max_v").as("max_v"), col(s"${n}__kmv").as("kmv")) }
+      val ps = col(s"${n}__ps")
+      struct(lit(n).as("col_name"),
+        ps.getField("n_rows").as("n_rows"),
+        ps.getField("n_null").as("n_null"),
+        r4(ps.getField("min_u") / lit(10000.0)).as("min_v"),
+        r4(ps.getField("max_u") / lit(10000.0)).as("max_v"),
+        ps.getField("kmv").as("kmv")) }
     val estD = lit((KmvK - 1).toDouble) * lit((1L << 60).toDouble) /
       element_at(col("kmv"), KmvK).cast("double")
     wide.select(explode(array(outs: _*)).as("r"))

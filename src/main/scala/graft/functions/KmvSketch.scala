@@ -66,7 +66,11 @@ case class KmvSketch(
   // the per-row allocation was the profiler's dominant constant.
   @transient private lazy val md =
     java.security.MessageDigest.getInstance("MD5")
-  @transient private lazy val digitBuf = new Array[Byte](20)
+  // Reused 16-byte digest output: digest() allocates a fresh array
+  // per call — at 11 columns × every corpus row that is the GC's
+  // dominant customer in the profiler.
+  @transient private lazy val digestOut = new Array[Byte](16)
+  @transient private lazy val longHasher = new LongKmvHasher
   private val prefix = "kmv:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
@@ -79,36 +83,29 @@ case class KmvSketch(
     }
   }
 
+  private def digestHash(): Long = {
+    md.digest(digestOut, 0, 16)
+    val d = digestOut
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
   override def update(buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      md.reset()
-      md.update(prefix)
-      v match {
+      val h = v match {
         case s: org.apache.spark.unsafe.types.UTF8String =>
+          md.reset()
+          md.update(prefix)
           md.update(s.getBytes)
-        case l: java.lang.Long =>
-          // decimal digits of the long, written back-to-front into the
-          // reused buffer — byte-identical to Long.toString(l) without
-          // the per-row String. Inputs here are bounded unscaled
-          // decimals, far from Long.MinValue.
-          var x = l.longValue()
-          val neg = x < 0
-          if (neg) x = -x
-          var i = digitBuf.length
-          do { i -= 1; digitBuf(i) = ('0' + (x % 10)).toByte; x /= 10 }
-          while (x != 0)
-          if (neg) { i -= 1; digitBuf(i) = '-' }
-          md.update(digitBuf, i, digitBuf.length - i)
+          digestHash()
+        case l: java.lang.Long => longHasher.hash(l.longValue())
         case other => throw new IllegalStateException(
           s"kmv_sketch: unexpected input ${other.getClass}")
       }
-      val d = md.digest()
-      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
       add(buf, h)
     }
     buf
@@ -158,4 +155,171 @@ object KmvSketch {
   def kmvSketch(value: Column, k: Int): Column =
     GraftShims.column(
       KmvSketch(GraftShims.expression(value), k).toAggregateExpression())
+
+  /** Column-API entry point for the fused profile aggregate. */
+  def profileKmvSketch(value: Column, k: Int): Column =
+    GraftShims.column(
+      ProfileKmvSketch(GraftShims.expression(value), k).toAggregateExpression())
+}
+
+/** Task-private memo of `value → md5-60("kmv:" + decimal digits)`:
+  * the profiler's per-row hash, allocation-free. A direct-mapped
+  * 4096-slot pure-function cache — correctness is independent of
+  * grouping or buffer identity because a hit returns the HASH (the
+  * bottom-k still decides inclusion); low-NDV columns (flags,
+  * discrete quantities, dates — 7 of the profiler's 11) hit almost
+  * always and skip the md5 + digit render entirely, high-NDV keys
+  * miss and pay the single-block [[Md5Hash60.hash]] they always
+  * paid, and a collision merely recomputes. One instance per
+  * deserialized expression, so task-private. */
+private[functions] final class LongKmvHasher {
+  // "kmv:" + up to 20 digits (sign included) — always one MD5 block
+  private val buf = new Array[Byte](24)
+  private val vals = new Array[Long](4096)
+  private val hs = new Array[Long](4096)
+  private val occ = new Array[Boolean](4096)
+
+  def hash(x0: Long): Long = {
+    val slot = (scala.util.hashing.byteswap64(x0) & 0xfffL).toInt
+    if (occ(slot) && vals(slot) == x0) return hs(slot)
+    // decimal digits back-to-front (byte-identical to
+    // Long.toString), prefix immediately before them; inputs are
+    // bounded unscaled decimals, far from Long.MinValue
+    var x = x0
+    val neg = x < 0
+    if (neg) x = -x
+    var i = buf.length
+    do { i -= 1; buf(i) = ('0' + (x % 10)).toByte; x /= 10 }
+    while (x != 0)
+    if (neg) { i -= 1; buf(i) = '-' }
+    buf(i - 1) = ':'; buf(i - 2) = 'v'; buf(i - 3) = 'm'; buf(i - 4) = 'k'
+    val h = Md5Hash60.hash(buf, i - 4, buf.length - (i - 4))
+    vals(slot) = x0; hs(slot) = h; occ(slot) = true
+    h
+  }
+}
+
+object ProfileKmvSketch {
+  /** Mutable single-pass profile state: row/null counts, min/max of
+    * the unscaled-long coordinate, and the ascending bottom-k
+    * distinct hash array (primitive — the TreeSet's boxed compares
+    * and right-spine walks were measurable at 660 M updates). */
+  final class Buf(val k: Int) {
+    var n: Long = 0L
+    var nulls: Long = 0L
+    var minU: Long = Long.MaxValue
+    var maxU: Long = Long.MinValue
+    var size: Int = 0
+    val hs: Array[Long] = new Array[Long](k)
+
+    def addK(h: Long): Unit = {
+      if (size == k && h >= hs(k - 1)) return
+      val idx = java.util.Arrays.binarySearch(hs, 0, size, h)
+      if (idx >= 0) return // already present
+      val ins = -idx - 1
+      val lastKept = if (size == k) k - 1 else size
+      System.arraycopy(hs, ins, hs, ins + 1, lastKept - ins)
+      hs(ins) = h
+      if (size < k) size += 1
+    }
+  }
+}
+
+/** The sketch-only profiler's per-column statistic FUSED into one
+  * typed aggregate: row count, null count, min/max of the
+  * DECIMAL(18,4) unscaled-long coordinate, and the [[KmvSketch]]
+  * bottom-k — all updated in the single `child.eval` the KMV pass
+  * already pays. The r12 shape ran five aggregate functions per
+  * column (55 for the 11-column profile) through
+  * ObjectHashAggregate's per-row machinery; this runs 11, and the
+  * scalar stats ride for ~free. Hash values are IDENTICAL to
+  * [[KmvSketch]] over the same longs (same "kmv:"+digits md5-60 via
+  * [[LongKmvHasher]]), so the oracle replay is unchanged; min/max
+  * over the unscaled long are the min/max of the value itself
+  * (×10⁴ is monotonic) and divide back exactly. */
+case class ProfileKmvSketch(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ProfileKmvSketch.Buf]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_null", LongType, nullable = false),
+    StructField("kmv", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("min_u", LongType, nullable = true),
+    StructField("max_u", LongType, nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "profile_kmv_sketch"
+
+  @transient private lazy val longHasher = new LongKmvHasher
+
+  override def createAggregationBuffer(): ProfileKmvSketch.Buf =
+    new ProfileKmvSketch.Buf(k)
+
+  override def update(buf: ProfileKmvSketch.Buf,
+      input: InternalRow): ProfileKmvSketch.Buf = {
+    val v = child.eval(input)
+    buf.n += 1
+    if (v == null) buf.nulls += 1
+    else {
+      val x = v.asInstanceOf[java.lang.Long].longValue()
+      if (x < buf.minU) buf.minU = x
+      if (x > buf.maxU) buf.maxU = x
+      buf.addK(longHasher.hash(x))
+    }
+    buf
+  }
+
+  override def merge(b1: ProfileKmvSketch.Buf,
+      b2: ProfileKmvSketch.Buf): ProfileKmvSketch.Buf = {
+    b1.n += b2.n
+    b1.nulls += b2.nulls
+    if (b2.minU < b1.minU) b1.minU = b2.minU
+    if (b2.maxU > b1.maxU) b1.maxU = b2.maxU
+    var i = 0
+    while (i < b2.size) { b1.addK(b2.hs(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: ProfileKmvSketch.Buf): Any = {
+    val hasVals = buf.n > buf.nulls
+    InternalRow(buf.n, buf.nulls,
+      new GenericArrayData(java.util.Arrays.copyOf(buf.hs, buf.size)),
+      if (hasVals) buf.minU else null,
+      if (hasVals) buf.maxU else null)
+  }
+
+  override def serialize(buf: ProfileKmvSketch.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * 4 + 4 + 8 * buf.size)
+    bb.putLong(buf.n).putLong(buf.nulls)
+      .putLong(buf.minU).putLong(buf.maxU).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.hs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ProfileKmvSketch.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new ProfileKmvSketch.Buf(k)
+    buf.n = bb.getLong(); buf.nulls = bb.getLong()
+    buf.minU = bb.getLong(); buf.maxU = bb.getLong()
+    buf.size = bb.getInt()
+    var i = 0
+    while (i < buf.size) { buf.hs(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ProfileKmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ProfileKmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): ProfileKmvSketch =
+    copy(child = newChild)
 }

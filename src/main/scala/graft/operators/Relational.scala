@@ -907,13 +907,23 @@ object Relational {
   /** CMS bucket-count sketch of a key frame (column `k`): each key
     * lands in [[JcmsD]] (row, md5-bucket) cells; the bucket counts
     * are the count-min rows the join-cardinality inner product reads.
-    * md5-seeded, so DuckDB replays the identical cells. */
+    * md5-seeded, so DuckDB replays the identical cells.
+    *
+    * ONE md5 per key row, not one per depth (r13): the [[JcmsD]]
+    * depth buckets are DISJOINT 9-bit windows of the single 60-bit
+    * hash (`(h >> 9d) mod 512`, 36 of 60 bits used) — the
+    * Kirsch–Mitzenmacher trick of deriving a hash family from one
+    * strong hash. The per-depth-seeded form computed [[JcmsD]]
+    * string-concats + md5 digests per input row, which made the
+    * statistics pass — not the joins it prices — the dominant term of
+    * `rel_cbo_join_order` at sf10. */
   private def cmsKeySketch(df: DataFrame): DataFrame =
-    df.select(explode(array((0 until JcmsD).map(d =>
+    df.select(graft.functions.Md5Hash60.md5Hash60(
+        concat(lit("jcms:"), col("k").cast("string"))).as("h"))
+      .select(explode(array((0 until JcmsD).map(d =>
         struct(lit(d).as("d"),
-          pmod(graft.functions.Md5Hash60.md5Hash60(
-              concat(lit(s"jcms:$d:"), col("k").cast("string"))),
-            lit(JcmsW)).as("b"))): _*)).as("db"))
+          pmod(shiftright(col("h"), 9 * d), lit(JcmsW)).as("b"))): _*))
+        .as("db"))
       .groupBy(col("db.d").as("d"), col("db.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
@@ -937,12 +947,14 @@ object Relational {
     * key's NAME), so the estimates — and the oracle's replay — are
     * unchanged. */
   private[graft] def cmsKeySketchBoth(df: DataFrame): DataFrame =
-    df.select(explode(array((for {
+    df.select((0 until 2).map(ki =>
+        graft.functions.Md5Hash60.md5Hash60(
+          concat(lit("jcms:"), col(s"k$ki").cast("string"))).as(s"h$ki")): _*)
+      .select(explode(array((for {
         ki <- 0 until 2; d <- 0 until JcmsD
       } yield struct(lit(ki).as("ki"), lit(d).as("d"),
-        pmod(graft.functions.Md5Hash60.md5Hash60(
-            concat(lit(s"jcms:$d:"), col(s"k$ki").cast("string"))),
-          lit(JcmsW)).as("b"))).toSeq: _*)).as("kdb"))
+        pmod(shiftright(col(s"h$ki"), 9 * d), lit(JcmsW)).as("b")))
+        .toSeq: _*)).as("kdb"))
       .groupBy(col("kdb.ki").as("ki"), col("kdb.d").as("d"),
         col("kdb.b").as("b"))
       .agg(count(lit(1)).as("c"))
@@ -1511,11 +1523,11 @@ object Relational {
     "rel_join_size_est" ->
       s"""WITH la AS (SELECT l_orderkey AS k FROM lineitem),
          |ob AS (SELECT o_orderkey AS k FROM orders),
-         |sa AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
-         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS ca
+         |sa AS (SELECT d, (CAST(concat('0x', substr(md5('jcms:' || k),
+         |      1, 15)) AS BIGINT) >> (9 * d)) % $JcmsW AS b, count(*) AS ca
          |  FROM la CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
-         |sb AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
-         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS cb
+         |sb AS (SELECT d, (CAST(concat('0x', substr(md5('jcms:' || k),
+         |      1, 15)) AS BIGINT) >> (9 * d)) % $JcmsW AS b, count(*) AS cb
          |  FROM ob CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
          |ipd AS (SELECT sa.d, sum(ca * cb) AS ip FROM sa JOIN sb USING (d, b)
          |  GROUP BY 1),
@@ -1547,20 +1559,20 @@ object Relational {
          |  WHERE o_orderpriority = '$CboPriority'),
          |lp AS (SELECT l_partkey AS k FROM lineitem),
          |pfk AS (SELECT p_partkey AS k FROM part WHERE p_size <= $CboMaxSize),
-         |sa1 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
-         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS ca
+         |sa1 AS (SELECT d, (CAST(concat('0x', substr(md5('jcms:' || k),
+         |      1, 15)) AS BIGINT) >> (9 * d)) % $JcmsW AS b, count(*) AS ca
          |  FROM lo CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
-         |sb1 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
-         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS cb
+         |sb1 AS (SELECT d, (CAST(concat('0x', substr(md5('jcms:' || k),
+         |      1, 15)) AS BIGINT) >> (9 * d)) % $JcmsW AS b, count(*) AS cb
          |  FROM ofk CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
          |e1 AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_orders_rows
          |  FROM (SELECT sa1.d, sum(ca * cb) AS ip FROM sa1 JOIN sb1 USING (d, b)
          |        GROUP BY 1)),
-         |sa2 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
-         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS ca
+         |sa2 AS (SELECT d, (CAST(concat('0x', substr(md5('jcms:' || k),
+         |      1, 15)) AS BIGINT) >> (9 * d)) % $JcmsW AS b, count(*) AS ca
          |  FROM lp CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
-         |sb2 AS (SELECT d, CAST(concat('0x', substr(md5('jcms:' || d || ':' || k),
-         |      1, 15)) AS BIGINT) % $JcmsW AS b, count(*) AS cb
+         |sb2 AS (SELECT d, (CAST(concat('0x', substr(md5('jcms:' || k),
+         |      1, 15)) AS BIGINT) >> (9 * d)) % $JcmsW AS b, count(*) AS cb
          |  FROM pfk CROSS JOIN range(0, $JcmsD) dd(d) GROUP BY 1, 2),
          |e2 AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_part_rows
          |  FROM (SELECT sa2.d, sum(ca * cb) AS ip FROM sa2 JOIN sb2 USING (d, b)

@@ -264,6 +264,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  test("md5_hash60 single-block fast path == MessageDigest at every length") {
+    // the ≤ 55-byte inline MD5 must be bit-identical to the engine
+    // digest on either side of the one-block boundary, at every
+    // offset alignment, on arbitrary (non-ASCII) bytes
+    val rnd = new scala.util.Random(42)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(bytes: Array[Byte], off: Int, len: Int): Long = {
+      md.reset(); md.update(bytes, off, len)
+      val d = md.digest()
+      (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+    }
+    for (len <- 0 to 70; off <- Seq(0, 3)) {
+      val buf = new Array[Byte](off + len)
+      rnd.nextBytes(buf)
+      assert(graft.functions.Md5Hash60.hash(buf, off, len) ==
+        ref(buf, off, len), s"len=$len off=$off")
+    }
+  }
+
   test("text kernels: null input yields null; interpreted == codegen") {
     val df = Seq(Option.empty[String], Some("A  b!")).toDF("text")
     val rows = df.select(
