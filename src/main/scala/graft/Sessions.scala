@@ -19,6 +19,16 @@ import org.apache.spark.sql.SparkSession
   *    coalesces)
   *  - UTC session timezone (calendar semantics must not depend on
   *    the host)
+  *  - periodic context-cleaner GC at 2 min, not Spark's 30-min
+  *    default: shuffle files of finished queries are reclaimed only
+  *    when the driver GCs their last reference, and a long-lived
+  *    session running shuffle-heavy queries back-to-back can hold
+  *    hundreds of GB of DEAD shuffle state for half an hour — the
+  *    fifth-decade probe filled a 55 GB disk exactly this way (a
+  *    query's own live spill competing with two predecessors' dead
+  *    files). At cluster scale the same dead state squats on
+  *    executor-local disks; a tighter GC cadence is the standard
+  *    mitigation and costs one minor driver GC every 2 min.
   */
 object Sessions {
   def builder(cores: Int): SparkSession.Builder =
@@ -29,5 +39,6 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
 }

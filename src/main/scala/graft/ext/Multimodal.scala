@@ -25,6 +25,22 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO's stream wrappers default to a FILE-backed cache
+  // (`useCache=true`): every `ImageIO.write`/`read` over an in-memory
+  // stream creates, fills, and deletes a temp file in java.io.tmpdir.
+  // Per-image that is invisible; at corpus scale it is 2+ filesystem
+  // round-trips PER DOCUMENT on the executors' local disks, all 32
+  // threads contending on tmpdir create/delete. A/B at 1000× bench
+  // scale (5 M payloads, clean disk, same JVM settings): the
+  // render→decode→dHash frame reads 633.0 s with the file cache and
+  // 31.8 s without — a 20× constant on the image family's dominant
+  // stage, and under shuffle-spill disk pressure it amplified to 33×
+  // decade growth in the r12/r13 probes. All payloads here are
+  // in-memory byte arrays; memory-cached wrappers are strictly
+  // better. JVM-global, set once when the object loads (every image
+  // path lives in this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, content: Array[Byte], source: String)
   case class MediaFeatures(media_id: Long, width: Int, height: Int,
       n_bytes: Long, features: Array[Double])

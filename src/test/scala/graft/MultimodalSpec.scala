@@ -335,6 +335,16 @@ import graft.ext.Multimodal
     }
   }
 
+  test("ImageIO's file-backed stream cache stays disabled") {
+    // the default (true) turns every in-memory encode/decode into a
+    // tmpdir temp-file round-trip — A/B'd 20× slower on the 5 M-doc
+    // hash frame (Multimodal.scala's object initializer); any image
+    // path loading the object must find the memory-cached setting
+    Multimodal.decodeStub(Multimodal.MediaRow(0L, Array[Byte](1), "s"))
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO.useCache regressed to the file-backed default")
+  }
+
   test("declared cut/sample faces agree with the codec-aware faces on a GIF-free corpus") {
     // the declared faces exclude GIF8-sniffing payloads (the oracle
     // gate); this corpus has none, so the two faces must be identical
