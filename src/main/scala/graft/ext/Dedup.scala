@@ -517,27 +517,37 @@ object Dedup {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism))
 
+  /** All [[SpanGram]]-gram anchor rows (doc_id, pos, sh), built
+    * IN-ROW from each doc's token array — r13: the r12 form exploded
+    * every token and ran a [[SpanGram]]−1-deep `lead` chain under a
+    * per-doc window, which EXCHANGED and SORTED the whole token
+    * stream just to line up consecutive tokens that were already
+    * adjacent inside their own row. A single-level `transform` over
+    * `sequence(0, n−G)` builds the identical shingle strings with no
+    * exchange and no sort; the anchors then flow straight into the
+    * global gram-frequency aggregate. `docs` must carry a
+    * materialized `tk` token-array column. */
+  private def anchorRows(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(col("tk")) >= SpanGram)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - SpanGram),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(SpanGram)))))
+        .as(Seq("pos", "sh")))
+
   /** [[duplicateSpans]] over an arbitrary (doc_id, text) frame —
     * `DedupSpec` drives planted fixtures through this directly. */
   private[graft] def duplicateSpansOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val tk = Text.tokens(col("text"))
-    val base = docs
-      .filter(size(tk) >= SpanGram)
-      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
-    val withLeads = (1 until SpanGram).foldLeft(base) { (df, i) =>
-      df.withColumn(s"t$i", lead(col("tok"), i).over(wDoc))
-    }
-    val anchors = withLeads.filter(col(s"t${SpanGram - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ",
-          col("tok") +: (1 until SpanGram).map(i => col(s"t$i")): _*).as("sh"))
+    val anchors = anchorRows(
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("tk")))
     val dupSh = anchors.groupBy("sh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("sh")
     val dup = anchors.join(dupSh.hint("shuffle_hash"), Seq("sh"))
       .select("doc_id", "pos")
-    // islands: consecutive anchor positions share (pos − row_number)
+    // islands: consecutive anchor positions share (pos − row_number);
+    // the window runs over DUPLICATED anchors only, a small set
     dup.withColumn("grp", col("pos") - row_number().over(wDoc))
       .groupBy("doc_id", "grp")
       .agg(min("pos").as("sp"), max("pos").as("ep"),
@@ -569,31 +579,41 @@ object Dedup {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism))
 
-  /** The scrub's shared coverage frame: every token position with its
-    * `covered` flag (inside some duplicated span). One window for the
-    * coverage union — see [[spanScrub]]'s doc for the shape. */
-  private def markedTokens(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val tk = Text.tokens(col("text"))
+  /** The scrub's shared survivor frame: per doc its token array `tk`,
+    * token count `n`, and the SORTED surviving positions `keep`
+    * (outside every duplicated span).
+    *
+    * r13 shape — decide on metadata, move the payload once (guide
+    * §8): the r12 form exploded every token, window-sorted the stream
+    * per doc TWICE (the lead chain and the coverage max), and
+    * shuffled all token rows through the gram-frequency join. Now the
+    * anchors are built in-row ([[anchorRows]]), only (doc_id, pos,
+    * sh) METADATA rows flow through the frequency aggregate and join,
+    * the duplicated anchor positions come back as ONE array per doc,
+    * and coverage is computed in-row: covered = ∪ [a, a+G−1] over
+    * anchor positions a, so `keep` = positions minus that union —
+    * `array_except` keeps the left array's (ascending) order, which
+    * reproduces the old position-sorted survivor order exactly. Token
+    * payloads cross exactly one doc-keyed exchange (the join back),
+    * instead of three token-level ones. */
+  private def scrubKeep(docs: DataFrame): DataFrame = {
     val base = docs
-      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
-    val withLeads = (1 until SpanGram).foldLeft(base) { (df, i) =>
-      df.withColumn(s"t$i", lead(col("tok"), i).over(wDoc))
-    }
-    val flagged = withLeads
-      .withColumn("sh", when(col(s"t${SpanGram - 1}").isNotNull,
-        concat_ws(" ",
-          col("tok") +: (1 until SpanGram).map(i => col(s"t$i")): _*)))
-      .select(col("doc_id"), col("pos"), col("tok"), col("sh"))
-    val dupSh = flagged.filter(col("sh").isNotNull)
-      .groupBy("sh").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("sh"), lit(1).as("anch"))
-    flagged
-      .join(dupSh.hint("shuffle_hash"), Seq("sh"), "left")
-      .withColumn("covered",
-        max(coalesce(col("anch"), lit(0)))
-          .over(wDoc.rowsBetween(-(SpanGram - 1), Window.currentRow)) === 1)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+    val anchors = anchorRows(base)
+    val dupSh = anchors.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("sh")
+    val dupPos = anchors.join(dupSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("apos"))
+    base
+      .join(dupPos.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("n", size(col("tk")))
+      .withColumn("keep",
+        when(col("apos").isNull, sequence(lit(0), col("n") - 1))
+          .otherwise(array_except(
+            sequence(lit(0), col("n") - 1),
+            array_distinct(flatten(transform(col("apos"),
+              a => sequence(a, a + SpanGram - 1)))))))
   }
 
   /** Survivor token stream of the span scrub — (doc_id, stoks) with
@@ -603,27 +623,22 @@ object Dedup {
     * tokenize to nothing drop (they have no positions), exactly as in
     * [[spanScrubOf]]. */
   private[graft] def scrubbedDocs(docs: DataFrame): DataFrame =
-    markedTokens(docs)
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(
-          when(!col("covered"), struct(col("pos"), col("tok"))))),
-        x => x.getField("tok")).as("stoks"))
+    scrubKeep(docs)
+      .select(col("doc_id"),
+        transform(col("keep"), p => element_at(col("tk"), p + 1)).as("stoks"))
 
   /** [[spanScrub]] over an arbitrary (doc_id, text) frame —
     * `DedupSpec` drives planted fixtures through this directly. */
-  private[graft] def spanScrubOf(docs: DataFrame): DataFrame = {
-    markedTokens(docs)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+  private[graft] def spanScrubOf(docs: DataFrame): DataFrame =
+    scrubKeep(docs)
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("keep"))).cast("long").as("n_removed"),
         md5(concat_ws(" ",
-          transform(
-            array_sort(collect_list(
-              when(!col("covered"), struct(col("pos"), col("tok"))))),
-            x => x.getField("tok"))).cast("binary")).as("scrubbed_md5"))
+          transform(col("keep"), p => element_at(col("tk"), p + 1)))
+          .cast("binary")).as("scrubbed_md5"))
       .orderBy("doc_id")
-  }
 
   private val WinnowW = 4
 
@@ -1743,10 +1758,17 @@ object Dedup {
     * oracle lists the identical triangles via a 3-way self-join over
     * the identical all-pairs-verified edge set (collapse is exact, so
     * the per-doc counts cannot differ). */
-  def triangles(s: SparkSession, dir: String): DataFrame =
-    trianglesFromSigs(graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
-    })
+    }
+    // r13: the collapsed graph + triangle stats come from the shared
+    // (session, dir) memo — one banded-candidate + verify build and
+    // one wedge listing serve this face, the clustering-coefficient
+    // face, and (graph only) the link-prediction face.
+    val (member, perGroup) = triStatsCached(s, dir, sigs)
+    trianglesOut(sigs, member, perGroup)
+  }
 
   /** [[triangles]] over an explicit (doc_id, sig) frame — the
     * unit-testable core.
@@ -1794,6 +1816,50 @@ object Dedup {
     (member, gEdges, memberIds ++ gEdgeIds)
   }
 
+  /** (session, dir)-memoized collapsed signature graph — the
+    * supernode/verified-edge structure [[trianglesFromSigs]],
+    * [[clusteringFromSigs]] and [[adamicAdarFromSigs]] all start
+    * from. Before r13 each of the three graph-analytics queries
+    * rebuilt it independently (three banded candidate joins + three
+    * signature verifies per session — the bench's pass attribution
+    * showed the rebuild as each query's dominant cost); one build per
+    * (session, dir) now serves all three, the `kmeansMemo` pattern.
+    * Frames are localCheckpointed inside [[sigGraph]]; the cleanup
+    * hook releases their blocks and drops the memo entry on
+    * `SessionMemo.clear`. */
+  private val sigGraphMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def sigGraphCached(s: SparkSession, dir: String,
+      sigs: DataFrame): (DataFrame, DataFrame) =
+    sigGraphMemo.getOrElseUpdate((s, dir),
+      graft.SessionMemo.timedBuild(s"sig_graph:$dir") {
+        val (member, gEdges, ids) = sigGraph(sigs)
+        graft.SessionMemo.registerCleanup(s, s"sig_graph:$dir") { () =>
+          sigGraphMemo.remove((s, dir)); release(s, ids)
+        }
+        (member, gEdges)
+      })
+
+  /** (session, dir)-memoized per-class triangle statistics — shared
+    * by the triangle-count and clustering-coefficient faces (both
+    * consume the identical closed-form stats; before r13 each ran its
+    * own wedge listing). Rides [[sigGraphCached]]. */
+  private val triStatsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def triStatsCached(s: SparkSession, dir: String,
+      sigs: DataFrame): (DataFrame, DataFrame) =
+    triStatsMemo.getOrElseUpdate((s, dir),
+      graft.SessionMemo.timedBuild(s"sig_triangle_stats:$dir") {
+        val (member, gEdges) = sigGraphCached(s, dir, sigs)
+        val (perGroup, ids) = triangleStatsFrom(member, gEdges)
+        graft.SessionMemo.registerCleanup(s, s"sig_triangle_stats:$dir") { () =>
+          triStatsMemo.remove((s, dir)); release(s, ids)
+        }
+        (member, perGroup)
+      })
+
   /** Per-signature-class triangle statistics shared by
     * [[trianglesFromSigs]] and [[clusteringFromSigs]]: for every class
     * (gid, w) the neighbor-weight sum and the per-member triangle
@@ -1803,6 +1869,17 @@ object Dedup {
   private def groupTriangleStats(sigs: DataFrame)
       : (DataFrame, DataFrame, Set[Int]) = {
     val (member, gEdges, graphIds) = sigGraph(sigs)
+    val (perGroup, statIds) = triangleStatsFrom(member, gEdges)
+    (member, perGroup, graphIds ++ statIds)
+  }
+
+  /** The stats body over an explicit collapsed graph — the memoized
+    * and the test-fixture paths share it. The returned `perGroup` is
+    * eagerly checkpointed (it feeds two query faces; the wedge
+    * listing must run once) and the wedge-stage working set
+    * (`oriented`) is released as soon as it materializes. */
+  private def triangleStatsFrom(member: DataFrame, gEdges: DataFrame)
+      : (DataFrame, Set[Int]) = {
     val grp = member.select("gid", "sig", "w")
     val und = gEdges.union(
       gEdges.select(col("gb").as("ga"), col("ga").as("gb")))
@@ -1846,8 +1923,12 @@ object Dedup {
         .as("c"))
       .groupBy(col("c.gid").as("gid")).agg(sum("c.t").as("cross_t"))
     // closed-form per-group totals (zeros kept — the coefficient
-    // consumer needs degree-positive triangle-free classes too)
-    val perGroup = wTbl
+    // consumer needs degree-positive triangle-free classes too).
+    // Checkpointed: the stats feed BOTH the triangle-count and the
+    // clustering-coefficient faces via the (session, dir) memo, and
+    // the wedge listing must not replay per consumer. perGroup is
+    // supernode-sized (one row per signature class).
+    val (perGroup, perGroupIds) = checkpointTracked(wTbl
       .join(nbr.hint("shuffle_hash"), Seq("gid"), "left")
       .join(cross.hint("shuffle_hash"), Seq("gid"), "left")
       .select(col("gid"), col("w"),
@@ -1855,19 +1936,26 @@ object Dedup {
         (expr("((w - 1) * (w - 2)) div 2") +
           (col("w") - 1) * coalesce(col("nbr_w"), lit(0L)) +
           coalesce(col("nbr_pairs"), lit(0L)) +
-          coalesce(col("cross_t"), lit(0L))).as("n_triangles"))
-    (member, perGroup, graphIds ++ orientedIds)
+          coalesce(col("cross_t"), lit(0L))).as("n_triangles")))
+    // perGroup materialized — the wedge stage's working set is dead
+    release(member.sparkSession, orientedIds)
+    (perGroup, perGroupIds)
   }
 
-  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
-    val sess = sigs.sparkSession
-    val (member, perGroup, ids) = groupTriangleStats(sigs)
-    val out = sigs.join(member.hint("shuffle_hash"), Seq("sig"))
+  /** The triangle query's per-doc projection over the shared stats. */
+  private def trianglesOut(sigs: DataFrame, member: DataFrame,
+      perGroup: DataFrame): DataFrame =
+    sigs.join(member.hint("shuffle_hash"), Seq("sig"))
       .select(col("doc_id"), col("gid"))
       .join(perGroup.filter(col("n_triangles") > 0).hint("shuffle_hash"),
         Seq("gid"))
       .select(col("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
+
+  private[graft] def trianglesFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (member, perGroup, ids) = groupTriangleStats(sigs)
+    val out = trianglesOut(sigs, member, perGroup)
     graft.SessionMemo.registerCleanup(sess,
       s"triangle_checkpoint:${ccInstance.incrementAndGet()}")(
       () => release(sess, ids))
@@ -1884,25 +1972,35 @@ object Dedup {
     * one fixed double tree, so both engines agree to the 6-dp output
     * rounding. Docs with degree &lt; 2 have no defined coefficient and
     * drop (matching the oracle's WHERE). */
-  def clusteringCoeff(s: SparkSession, dir: String): DataFrame =
-    clusteringFromSigs(graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
-    })
+    }
+    val (member, perGroup) = triStatsCached(s, dir, sigs)
+    clusteringOut(sigs, member, perGroup)
+  }
 
-  private[graft] def clusteringFromSigs(sigs: DataFrame): DataFrame = {
-    val sess = sigs.sparkSession
-    val (member, perGroup, ids) = groupTriangleStats(sigs)
+  /** The coefficient query's per-doc projection over the shared
+    * stats. */
+  private def clusteringOut(sigs: DataFrame, member: DataFrame,
+      perGroup: DataFrame): DataFrame = {
     val withDeg = perGroup
       .select(col("gid"),
         (col("w") - 1 + col("nbr_w")).as("degree"), col("n_triangles"))
       .filter(col("degree") >= 2)
-    val out = sigs.join(member.hint("shuffle_hash"), Seq("sig"))
+    sigs.join(member.hint("shuffle_hash"), Seq("sig"))
       .select(col("doc_id"), col("gid"))
       .join(withDeg.hint("shuffle_hash"), Seq("gid"))
       .select(col("doc_id"), col("degree"), col("n_triangles"),
         round(lit(2.0) * col("n_triangles") /
           (col("degree") * (col("degree") - 1)), 6).as("clustering_coeff"))
       .orderBy("doc_id")
+  }
+
+  private[graft] def clusteringFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (member, perGroup, ids) = groupTriangleStats(sigs)
+    val out = clusteringOut(sigs, member, perGroup)
     graft.SessionMemo.registerCleanup(sess,
       s"clustering_checkpoint:${ccInstance.incrementAndGet()}")(
       () => release(sess, ids))
@@ -1928,14 +2026,17 @@ object Dedup {
     * order cannot move the ranking; top-k runs as
     * TakeOrderedAndProject with an (a, b) tie-break. A common
     * neighbor has degree ≥ 2, so 1/ln(deg) is always finite. */
-  def adamicAdar(s: SparkSession, dir: String): DataFrame =
-    adamicAdarFromSigs(graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
-    })
+    }
+    val (_, gEdges) = sigGraphCached(s, dir, sigs)
+    adamicAdarOut(gEdges)
+  }
 
-  private[graft] def adamicAdarFromSigs(sigs: DataFrame): DataFrame = {
-    val sess = sigs.sparkSession
-    val (_, gEdges, graphIds) = sigGraph(sigs)
+  /** The link-prediction ranking over an explicit verified edge
+    * frame. */
+  private def adamicAdarOut(gEdges: DataFrame): DataFrame = {
     val und = gEdges.union(
       gEdges.select(col("gb").as("ga"), col("ga").as("gb")))
     val deg = und.groupBy("ga").agg(count(lit(1)).as("deg")).toDF("c", "deg")
@@ -1943,7 +2044,7 @@ object Dedup {
     val n2 = und.toDF("c", "b")
     val wedges = n1.join(n2.hint("shuffle_hash"), Seq("c"))
       .filter(col("a") < col("b"))
-    val out = wedges
+    wedges
       .join(gEdges.toDF("a", "b").hint("shuffle_hash"), Seq("a", "b"), "left_anti")
       .join(deg.hint("shuffle_hash"), Seq("c"))
       .groupBy("a", "b")
@@ -1954,6 +2055,12 @@ object Dedup {
         round(col("sc").cast("double"), 6).as("aa_score"))
       .orderBy(col("aa_score").desc, col("group_a").asc, col("group_b").asc)
       .limit(AaTopK)
+  }
+
+  private[graft] def adamicAdarFromSigs(sigs: DataFrame): DataFrame = {
+    val sess = sigs.sparkSession
+    val (_, gEdges, graphIds) = sigGraph(sigs)
+    val out = adamicAdarOut(gEdges)
     graft.SessionMemo.registerCleanup(sess,
       s"aa_checkpoint:${ccInstance.incrementAndGet()}")(
       () => release(sess, graphIds))

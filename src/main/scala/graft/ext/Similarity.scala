@@ -1194,12 +1194,23 @@ object Similarity {
           col("cos"))
         .unionByName(pairs.select(col("vec_b").as("vec_id"),
           col("vec_a").as("neighbor_id"), col("cos")))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      sym.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= KnnK)
-        .select(col("vec_id"), col("neighbor_id"), r4(col("cos")).as("cos"),
-          col("rank"))
+      // Per-vector top-k as a BOUNDED AGGREGATE, not a window: the
+      // r12 window form shuffled the ENTIRE symmetric candidate
+      // stream (2 rows per celled pair — n·occupancy·probe² rows) to
+      // sort each vec_id's partition, while the aggregate's map-side
+      // partial merge caps the exchange at KnnK entries per (vec, map
+      // partition). (cos DESC, neighbor ASC) is a total order over
+      // distinct neighbors, so the selected set and its emitted order
+      // are bit-identical to the window's row_number (the
+      // ExpressionsSpec equivalence test pins this). cos stays RAW
+      // through the ordering (the window ordered raw doubles too);
+      // r4 applies on output only.
+      val top = graft.functions.TopKByScore.topKByScore(
+        col("cos"), col("neighbor_id"), KnnK)
+      sym.groupBy("vec_id").agg(top.as("tk"))
+        .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("vec_id"), col("t.id").as("neighbor_id"),
+          r4(col("t.score")).as("cos"), (col("pos") + 1).cast("long").as("rank"))
     }
 
   /** Mutual-kNN clustering — the density-based grouping the k-NN
@@ -1251,9 +1262,9 @@ object Similarity {
   /** Embedding near-dup CLUSTERS — the linear-output form of
     * [[embeddingNearDups]], mirroring `dedup_clusters` on the text
     * side: connected components over the VERIFIED pair graph via the
-    * shared min-label propagation, emitting (vec_id, cluster_rep,
-    * cluster_size) for every vector (singletons included via a
-    * per-vector self bucket).
+    * shared star-contraction fixpoint, emitting (vec_id, cluster_rep,
+    * cluster_size) for every vector (singletons included via the
+    * universe id frame).
     *
     * Components run over verified pairs, not raw k-means cells: a
     * cell holds ~[[NearTargetOcc]] vectors that are merely NEAR each
@@ -1261,19 +1272,28 @@ object Similarity {
     * component — the cosine-verified edges are the semantically
     * meaningful graph. The edge list is the pair query's output
     * (bounded by real near-dup density); the component output is one
-    * row per vector. */
+    * row per vector.
+    *
+    * r13: the fixpoint runs DIRECTLY on the (long, long) verified
+    * pair edges via `clustersFromHashGraph` with the identity id map
+    * — the graph is already at the id level, exactly [[knnClusters]]'
+    * shape. The old route re-encoded each pair as a ~25-byte
+    * "a,b" STRING bucket (2 membership rows per pair) plus one
+    * "self:id" string bucket PER VECTOR, then contracted that — the
+    * bucket build alone shuffled ~n corpus-sized string rows where
+    * the edge fixpoint only ever needs the O(near-dup density) long
+    * pairs. Reachability (hence the cluster map) is identical:
+    * same-pair buckets connect exactly their two endpoints, self
+    * buckets connect nothing. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame =
     // memoized like the text-side cluster map: the CC fixpoint must
     // not re-run per invocation (Curation-style consumers re-read it)
     graft.SessionMemo.cached(s, dir, "embedding_clusters") {
-      val pairs = verifiedNearDupPairs(s, dir).select("vec_a", "vec_b")
-      val pairKey = concat_ws(",",
-        col("vec_a").cast("string"), col("vec_b").cast("string"))
-      val bk = pairs.select(col("vec_a").as("doc_id"), pairKey.as("bucket"))
-        .union(pairs.select(col("vec_b").as("doc_id"), pairKey.as("bucket")))
-        .union(vectors(s, dir).select(col("vec_id").as("doc_id"),
-          concat_ws(":", lit("self"), col("vec_id").cast("string")).as("bucket")))
-      Dedup.clustersFromBuckets(bk)
+      val pairs = verifiedNearDupPairs(s, dir)
+        .select(col("vec_a").as("h_a"), col("vec_b").as("h_b"))
+      val ids = vectors(s, dir)
+        .select(col("vec_id").as("doc_id"), col("vec_id").as("hash"))
+      Dedup.clustersFromHashGraph(ids, pairs)
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     }
@@ -1487,7 +1507,14 @@ object Similarity {
         .filter(col("rr") === 1)
         .select(col("query_id"), col("nid"), col("score"),
           lit(t.toLong).as("mmr_rank"))
-      selected = selected.unionByName(st)
+      // selected feeds THREE branches of the next step (the anti-join,
+      // the penalty join's selSet, and the union), so the unrolled
+      // lineage grows geometrically — the final plan reached ~1.3 MB
+      // and ~5 s of driver-side planning PER RUN (the labelProp
+      // re-execution disease, but in planning time). Truncate per
+      // step: the frame is ≤ queries·t rows, the checkpoint is one
+      // trivial job, and the plan stays step-sized.
+      selected = selected.unionByName(st).localCheckpoint()
     }
     selected
       .select(col("query_id"), col("mmr_rank"),

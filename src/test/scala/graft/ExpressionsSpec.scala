@@ -286,6 +286,35 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("topKByScore == per-group row_number window (order pinned best-first)") {
+    // the knn-graph top-k rides this equivalence: (score DESC, id ASC)
+    // emitted best-first must match the window's row_number selection
+    // AND order exactly, including score ties (the fixture's 1/20
+    // rounding forces many)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- 0 until 17; i <- 0 until (3 + g % 9)) yield
+      (g.toLong, (g * 100 + i).toLong, math.rint(rnd.nextDouble() * 20) / 20)
+    val df = rows.toDF("g", "id", "score")
+    val k = 4
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("g", "id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topKByScore(
+        col("score"), col("id"), k).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("g"), col("t.id"), col("t.score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("text kernels: null input yields null; interpreted == codegen") {
     val df = Seq(Option.empty[String], Some("A  b!")).toDF("text")
     val rows = df.select(
