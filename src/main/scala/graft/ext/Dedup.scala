@@ -883,7 +883,7 @@ object Dedup {
     val docs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    val bk = minhashBuckets(docs)
+    val bk = minhashBucketsCached(s, dir, docs)
     val isDelta = col("doc_id") % DeltaMod === 0
     // the standing state a prior pass persisted: the base-only map
     val baseMap = graft.SessionMemo.cached(s, dir, "minhash_clusters_base") {
@@ -1077,6 +1077,16 @@ object Dedup {
             x => x.cast("string"))).cast("binary"))))
         .as("bucket"))
   }
+
+  /** (session, dir)-memoized band-bucket frame (doc_id, bucket —
+    * [[Bands]] skinny rows per doc): the cluster map, the star-edge
+    * builds (PageRank / LPA), and the incremental face's three
+    * per-run evaluations all consume the identical banding; before
+    * r13 each re-rendered the 4 md5 band keys from the signature
+    * array per consumer (~5-6 bandings per session). */
+  private def minhashBucketsCached(s: SparkSession, dir: String,
+      sigs: DataFrame): DataFrame =
+    graft.SessionMemo.cached(s, dir, "minhash_buckets")(minhashBuckets(sigs))
 
   /** `localCheckpoint` + the persistent-RDD ids it pinned, so callers
     * can release exactly those blocks once a successor materializes
@@ -1292,7 +1302,7 @@ object Dedup {
     // memoized: Curation.pipeline re-reads the cluster map, and the
     // CC fixpoint (several shuffle rounds) must not re-run per query
     graft.SessionMemo.cached(s, dir, "minhash_clusters") {
-      clustersFromBuckets(minhashBuckets(docs))
+      clustersFromBuckets(minhashBucketsCached(s, dir, docs))
     }
   }
 
@@ -1608,6 +1618,27 @@ object Dedup {
 
   private val PrIters = 3
 
+  /** (session, dir)-memoized symmetric star edges of the MinHash
+    * near-dup graph — shared by PageRank and LPA (S5: the edge table
+    * sits 4× in PageRank's unrolled plan alone; without the cache
+    * each occurrence replays bucket build → bucket-min join →
+    * distinct). Cached PRE-PARTITIONED on `dst`, the LPA probe key:
+    * the cached frame's hash(dst) partitioning satisfies the
+    * per-round label⋈edges join's required distribution, so the 4
+    * LPA rounds stop re-exchanging the edge table (one exchange,
+    * paid at build time). Rides the shared banded-bucket memo. */
+  private def neardupStarEdges(s: SparkSession, dir: String,
+      sigs: DataFrame): DataFrame =
+    graft.SessionMemo.cached(s, dir, "neardup_star_edges") {
+      val buckets = minhashBucketsCached(s, dir, sigs)
+      val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("m"))
+      val e0 = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("doc_id").as("src"), col("m").as("dst")).distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst"))
+    }
+
   /** Fixed-iteration PageRank over the near-dup star graph — the
     * iterative-graph-analytics member of the dedup family (centrality
     * ranks a near-dup cluster's "canonical" document the way
@@ -1628,17 +1659,7 @@ object Dedup {
     val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    // memoized (S5): the edge table sits 4× in the unrolled plan (3
-    // contribution joins + the degree aggregate) — without the cache
-    // each occurrence replays bucket build → bucket-min join → distinct
-    val edges = graft.SessionMemo.cached(s, dir, "neardup_star_edges") {
-      val buckets = minhashBuckets(sigs)
-      val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("m"))
-      val e0 = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
-        .filter(col("doc_id") =!= col("m"))
-        .select(col("doc_id").as("src"), col("m").as("dst")).distinct()
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    }
+    val edges = neardupStarEdges(s, dir, sigs)
     // degree is a function of the edge table alone, so it joins onto
     // the edges ONCE outside the loop — each power iteration then
     // costs one join + one pre-combined groupBy (2 shuffles/round,
@@ -1648,10 +1669,21 @@ object Dedup {
         .toDF("dsrc", "deg")
       edges.join(deg.hint("shuffle_hash"), col("src") === col("dsrc"))
         .select(col("src"), col("dst"), col("deg"))
+        // same device, power-iteration key: hash(src) partitioning
+        // serves all 3 pr⋈edges rounds from the cache
+        .repartition(col("src"))
     }
     val nodes = sigs.select("doc_id")
     val nDocs = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nDocs))
+    // loop-invariant (node, 1/n) base — hoisted: the r12 form rebuilt
+    // nodes × nDocs INSIDE every round, and with nothing truncating
+    // the unrolled lineage the 3-round plan snowballed to ~480 KB /
+    // 824 Exchange nodes (each round references pr plus a fresh copy
+    // of the count subtree). One localCheckpoint per round keeps the
+    // plan round-sized (the labelProp/MMR discipline; the frame is
+    // |V| rows of (long, double)).
+    val withN = nodes.crossJoin(broadcast(nDocs)).localCheckpoint()
+    var pr = withN
       .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = pr
@@ -1659,11 +1691,12 @@ object Dedup {
         .select(col("dst").as("doc_id"),
           round(col("pr") / col("deg"), 12).cast("decimal(25,15)").as("c"))
         .groupBy("doc_id").agg(sum("c").as("c"))
-      pr = nodes.crossJoin(broadcast(nDocs))
+      pr = withN
         .join(contrib.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(0.15) / col("n") + lit(0.85) *
             coalesce(col("c").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint()
     }
     pr.select(col("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy("doc_id")
@@ -1696,14 +1729,7 @@ object Dedup {
     val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    val edges = graft.SessionMemo.cached(s, dir, "neardup_star_edges") {
-      val buckets = minhashBuckets(sigs)
-      val bmin = buckets.groupBy("bucket").agg(min("doc_id").as("m"))
-      val e0 = buckets.join(bmin.hint("shuffle_hash"), Seq("bucket"))
-        .filter(col("doc_id") =!= col("m"))
-        .select(col("doc_id").as("src"), col("m").as("dst")).distinct()
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    }
+    val edges = neardupStarEdges(s, dir, sigs)
     val nodes = sigs.select("doc_id")
     var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
     for (_ <- 1 to LpaIters) {
