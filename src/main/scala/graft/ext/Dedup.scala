@@ -1659,47 +1659,79 @@ object Dedup {
     val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
       signatures(distinctTokens(s, dir))
     }
-    val edges = neardupStarEdges(s, dir, sigs)
-    // degree is a function of the edge table alone, so it joins onto
-    // the edges ONCE outside the loop — each power iteration then
-    // costs one join + one pre-combined groupBy (2 shuffles/round,
-    // down from 3; contributions are bit-identical either way)
-    val edgesDeg = graft.SessionMemo.cached(s, dir, "neardup_star_edges_deg") {
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .toDF("dsrc", "deg")
-      edges.join(deg.hint("shuffle_hash"), col("src") === col("dsrc"))
-        .select(col("src"), col("dst"), col("deg"))
-        // same device, power-iteration key: hash(src) partitioning
-        // serves all 3 pr⋈edges rounds from the cache
-        .repartition(col("src"))
-    }
+    val edgesDeg = neardupEdgesDeg(s, dir, sigs)
     val nodes = sigs.select("doc_id")
     val nDocs = nodes.agg(count(lit(1)).as("n"))
-    // loop-invariant (node, 1/n) base — hoisted: the r12 form rebuilt
-    // nodes × nDocs INSIDE every round, and with nothing truncating
-    // the unrolled lineage the 3-round plan snowballed to ~480 KB /
-    // 824 Exchange nodes (each round references pr plus a fresh copy
-    // of the count subtree). One localCheckpoint per round keeps the
-    // plan round-sized (the labelProp/MMR discipline; the frame is
-    // |V| rows of (long, double)).
+    // loop-invariant (node, 1/n) base — hoisted and checkpointed
+    // once; each round's output is localCheckpointed too: the r12
+    // form rebuilt nodes × nDocs inside every round with nothing
+    // truncating the unrolled lineage, and the 3-round plan
+    // snowballed to ~480 KB / 824 Exchange nodes (each round
+    // re-embedded the count subtree and the whole prior round). The
+    // checkpointed frames are |V| rows of (long, double) — the
+    // labelProp/MMR discipline. The per-round join shapes stay
+    // auditable via [[pagerankRoundForAudit]] (checkpoint-free), the
+    // memoized-builder device PlanSpec already uses for the embedding
+    // pair pipeline.
     val withN = nodes.crossJoin(broadcast(nDocs)).localCheckpoint()
     var pr = withN
       .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to PrIters) {
-      val contrib = pr
-        .join(edgesDeg.hint("shuffle_hash"), col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"),
-          round(col("pr") / col("deg"), 12).cast("decimal(25,15)").as("c"))
-        .groupBy("doc_id").agg(sum("c").as("c"))
-      pr = withN
-        .join(contrib.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (lit(0.15) / col("n") + lit(0.85) *
-            coalesce(col("c").cast("double"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+      pr = pagerankRound(withN, edgesDeg, pr).localCheckpoint()
     }
     pr.select(col("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy("doc_id")
+  }
+
+  /** Degree-annotated star edges, memoized and cached PRE-PARTITIONED
+    * on `src` (the power-iteration probe key): degree is a function
+    * of the edge table alone, so it joins onto the edges ONCE at
+    * build — each power iteration then costs one join + one
+    * pre-combined groupBy, and the cached hash(src) partitioning
+    * serves every round's pr⋈edges join without re-exchanging. */
+  private def neardupEdgesDeg(s: SparkSession, dir: String,
+      sigs: DataFrame): DataFrame =
+    graft.SessionMemo.cached(s, dir, "neardup_star_edges_deg") {
+      val edges = neardupStarEdges(s, dir, sigs)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .toDF("dsrc", "deg")
+      edges.join(deg.hint("shuffle_hash"), col("src") === col("dsrc"))
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src"))
+    }
+
+  /** One power-iteration round over the hoisted (node, 1/n) base —
+    * shared by the production loop and the PlanSpec plan audit. */
+  private def pagerankRound(withN: DataFrame, edgesDeg: DataFrame,
+      pr: DataFrame): DataFrame = {
+    val contrib = pr
+      .join(edgesDeg.hint("shuffle_hash"), col("doc_id") === col("src"))
+      .select(col("dst").as("doc_id"),
+        round(col("pr") / col("deg"), 12).cast("decimal(25,15)").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("c"))
+    withN
+      .join(contrib.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(0.15) / col("n") + lit(0.85) *
+          coalesce(col("c").cast("double"), lit(0.0))).as("pr"))
+  }
+
+  /** Checkpoint-free single round for PlanSpec's broadcast/SHJ audit:
+    * the production loop truncates lineage per round (Scan
+    * ExistingRDD leaves), which would hide the join shapes the audit
+    * exists to pin — same device as asserting on the embedding pair
+    * BUILDER rather than its memoized cache. */
+  private[graft] def pagerankRoundForAudit(s: SparkSession,
+      dir: String): DataFrame = {
+    val sigs = graft.SessionMemo.cached(s, dir, "minhash_signatures") {
+      signatures(distinctTokens(s, dir))
+    }
+    val edgesDeg = neardupEdgesDeg(s, dir, sigs)
+    val nodes = sigs.select("doc_id")
+    val nDocs = nodes.agg(count(lit(1)).as("n"))
+    val withN = nodes.crossJoin(broadcast(nDocs))
+    pagerankRound(withN, edgesDeg,
+      withN.select(col("doc_id"), (lit(1.0) / col("n")).as("pr")))
   }
 
   private val LpaIters = 4

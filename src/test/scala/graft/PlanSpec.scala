@@ -422,9 +422,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     SessionMemo.clear(spark)
-    val plan = executed(ext.Dedup.pagerank(spark, sf0001))
+    // r13: the production loop localCheckpoints per round (the plan
+    // had snowballed to ~480 KB), which truncates the final plan to
+    // Scan ExistingRDD leaves — audit ONE checkpoint-free round via
+    // the builder instead (the embedding-pair-builder device).
+    val plan = executed(ext.Dedup.pagerankRoundForAudit(spark, sf0001))
     val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
-    // one broadcast per iteration-rejoin of the SAME 1-row count frame
+    // the only broadcast is the 1-row count frame (node base rejoin)
     assert(bx.nonEmpty && bx.forall(_.toString.contains("count(1)")),
       s"a corpus-derived side broadcast in pagerank:\n$plan")
     assert(collectWithSubqueries(plan) {
